@@ -1,0 +1,175 @@
+"""Static configuration containers for the TPU-native SRS/PUSCH channel estimator.
+
+These mirror the *capabilities* of the reference's MATLAB-struct dataclasses
+(`HopConfig` / `EstimatorConfig`, /root/reference/src/ce_rule_baseline.py:13-29) but are
+numpy-backed, hashable, and frozen so they can key jit-compilation caches. All mask /
+index information here is **static**: the jitted estimator never branches on tensor
+values, only on these plan-time constants (the graph-break causes diagnosed by the
+reference's scripts/diagnostics/diagnose_furiosa_backend.py simply cannot occur).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+NRE = 12  # subcarriers (resource elements) per physical resource block
+
+
+def _as_bool_tuple(x) -> Tuple[bool, ...]:
+    return tuple(bool(v) for v in np.asarray(x).reshape(-1))
+
+
+@dataclass(frozen=True)
+class HopConfig:
+    """One frequency hop of an SRS/PUSCH allocation.
+
+    Equivalent information to reference HopConfig (ce_rule_baseline.py:13-21):
+      dmrs_symbol_mask  <-> DMRSsymbols   (n_sym_total,) bool
+      dmrs_re_mask      <-> DMRSREmask    flattened (12 * n_cdm,) bool, column-major
+      prb_start         <-> PRBstart      0-based
+      n_prbs            <-> nPRBs
+      prb_mask          <-> maskPRBs      (n_prb_total,) bool
+      start_symbol      <-> startSymbol   0-based
+      n_allocated_symbols <-> nAllocatedSymbols
+    """
+
+    dmrs_symbol_mask: Tuple[bool, ...]
+    dmrs_re_mask: Tuple[bool, ...]  # flattened column-major (12, n_cdm)
+    n_cdm: int
+    prb_start: int
+    n_prbs: int
+    prb_mask: Tuple[bool, ...]
+    start_symbol: int
+    n_allocated_symbols: int
+
+    @staticmethod
+    def make(
+        dmrs_symbol_mask,
+        dmrs_re_mask,  # (12, n_cdm) array-like
+        prb_start: int,
+        n_prbs: int,
+        prb_mask,
+        start_symbol: int,
+        n_allocated_symbols: int,
+    ) -> "HopConfig":
+        re_mask = np.asarray(dmrs_re_mask, dtype=bool)
+        if re_mask.ndim == 1:
+            re_mask = re_mask[:, None]
+        assert re_mask.shape[0] == NRE, f"DMRS RE mask must have {NRE} rows"
+        return HopConfig(
+            dmrs_symbol_mask=_as_bool_tuple(dmrs_symbol_mask),
+            dmrs_re_mask=tuple(bool(v) for v in re_mask.T.reshape(-1)),
+            n_cdm=int(re_mask.shape[1]),
+            prb_start=int(prb_start),
+            n_prbs=int(n_prbs),
+            prb_mask=_as_bool_tuple(prb_mask),
+            start_symbol=int(start_symbol),
+            n_allocated_symbols=int(n_allocated_symbols),
+        )
+
+    # -- numpy views -------------------------------------------------------
+    @property
+    def dmrs_symbol_mask_np(self) -> np.ndarray:
+        return np.asarray(self.dmrs_symbol_mask, dtype=bool)
+
+    @property
+    def dmrs_re_mask_np(self) -> np.ndarray:
+        """(12, n_cdm) bool."""
+        return np.asarray(self.dmrs_re_mask, dtype=bool).reshape(self.n_cdm, NRE).T
+
+    @property
+    def prb_mask_np(self) -> np.ndarray:
+        return np.asarray(self.prb_mask, dtype=bool)
+
+    @property
+    def n_dmrs_symbols(self) -> int:
+        return int(self.dmrs_symbol_mask_np.sum())
+
+    @property
+    def is_empty(self) -> bool:
+        return len(self.dmrs_symbol_mask) == 0 or self.n_dmrs_symbols == 0
+
+    @staticmethod
+    def empty() -> "HopConfig":
+        return HopConfig(
+            dmrs_symbol_mask=(),
+            dmrs_re_mask=(),
+            n_cdm=0,
+            prb_start=0,
+            n_prbs=0,
+            prb_mask=(),
+            start_symbol=0,
+            n_allocated_symbols=0,
+        )
+
+
+@dataclass(frozen=True)
+class EstimatorConfig:
+    """Estimator-wide configuration.
+
+    Mirrors reference EstimatorConfig (ce_rule_baseline.py:24-29) plus the CNN variant's
+    duck-typed extras (ce_dl_cnn.py:864-867):
+      scs_hz          <-> scs (Hz)
+      cp_durations_ms <-> CyclicPrefixDurations (>=14,) ms
+      smoothing       <-> Smoothing in {"filter", "mean", "none"}
+      cfo_compensate  <-> CFOCompensate
+      cnn_alpha       <-> CNNSmoothingAlpha (0 disables CNN residual blending)
+      interp          : "linear" (baseline/tensorized behavior, ce_rule_baseline.py:303-320)
+                        or "cnn" (partial-conv inpainting, ce_dl_cnn.py:292-295)
+    """
+
+    scs_hz: float
+    cp_durations_ms: Tuple[float, ...]
+    smoothing: str = "filter"
+    cfo_compensate: bool = True
+    interp: str = "linear"
+    cnn_alpha: float = 0.0
+
+    def __post_init__(self):
+        if self.smoothing not in ("filter", "mean", "none"):
+            raise ValueError(f"Unknown smoothing strategy {self.smoothing}.")
+        if self.interp not in ("linear", "cnn"):
+            raise ValueError(f"Unknown interpolation strategy {self.interp}.")
+        object.__setattr__(self, "cp_durations_ms", tuple(float(v) for v in self.cp_durations_ms))
+
+    @property
+    def cp_durations_np(self) -> np.ndarray:
+        return np.asarray(self.cp_durations_ms, dtype=np.float64)
+
+
+def normal_cp_durations_ms(scs_hz: float, n_symbols: int = 14) -> np.ndarray:
+    """Normal-cyclic-prefix durations (ms) per OFDM symbol at a given SCS.
+
+    Same model as the reference harness (scripts/validation/validate_all.py:269-283):
+    scale the 15 kHz reference CP sample counts (160 for symbol 0, 144 for the rest,
+    at FFT 2048) by 15 kHz / SCS (rounded to integer samples), with sample time
+    Ts = 1 / (scs * 2048) seconds.
+    """
+    scale = 15000.0 / scs_hz
+    cp0 = float(round(160 * scale))
+    cp_rest = float(round(144 * scale))
+    cp_samples = np.full(n_symbols, cp_rest, dtype=np.float64)
+    cp_samples[0] = cp0
+    ts = 1.0 / (scs_hz * 2048.0)  # seconds per sample
+    return cp_samples * ts * 1000.0
+
+
+def make_config(
+    scs_hz: float,
+    smoothing: str = "filter",
+    cfo_compensate: bool = True,
+    interp: str = "linear",
+    cnn_alpha: float = 0.0,
+    n_symbols: int = 14,
+) -> EstimatorConfig:
+    return EstimatorConfig(
+        scs_hz=float(scs_hz),
+        cp_durations_ms=tuple(normal_cp_durations_ms(scs_hz, n_symbols)),
+        smoothing=smoothing,
+        cfo_compensate=cfo_compensate,
+        interp=interp,
+        cnn_alpha=float(cnn_alpha),
+    )

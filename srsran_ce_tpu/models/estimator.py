@@ -1,0 +1,415 @@
+"""Plan-driven JAX estimator — the production compute path.
+
+Single-problem forward pass of the full srsRAN port-channel-estimator chain
+(reference srs_channel_estimator + process_hop, ce_rule_baseline.py:507-953), built
+from an `EstimatorPlan` so that the whole thing traces to ONE static-shape XLA
+program: gathers with static index tables, K-tap shifted-add convolutions, one
+4096-point batched IFFT per hop, and static Python loops over hops/CDM groups.
+
+Layout: internally layer-major (n_layers, n_re[, n_dsym]) so per-layer ops batch on
+the leading axis and vmap adds a clean problem axis in front.
+
+Works in complex64 (TPU default) or complex128 (CPU x64 conformance runs) — dtype
+follows the inputs.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EstimatorConfig, HopConfig
+from ..ops import dsp
+from .plan import EstimatorPlan, HopPlan, make_plan
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EstimateResult:
+    """Outputs of one estimation problem (reference return 6-tuple,
+    ce_rule_baseline.py:768). `cfo_hz` is NaN when no hop had >= 2 DM-RS symbols
+    (the reference returns an empty tensor; presence is a static plan property —
+    see `EstimatorPlan.cfo_possible`)."""
+
+    channel_est_rg: jnp.ndarray  # (n_sc, n_sym, n_layers) complex
+    noise_est: jnp.ndarray  # scalar real
+    rsrp: jnp.ndarray  # scalar real
+    epre: jnp.ndarray  # scalar real
+    time_alignment: jnp.ndarray  # scalar real, seconds
+    cfo_hz: jnp.ndarray  # scalar real, Hz (NaN if not estimable)
+
+
+def _virtual_pilots(h: jnp.ndarray, vp_matrix: Optional[np.ndarray], n_pils: int) -> jnp.ndarray:
+    """Extrapolate n_pils virtual pilots to the left of h[..., :n_pils].
+
+    h: (..., n_pils) complex — the first n_pils pilot estimates (pass a flipped tail
+    to extrapolate past the right edge). Linear LS fit of modulus and unwrapped phase
+    as two matmuls with the static fit matrix (ce_rule_baseline.py:69-140).
+    """
+    if n_pils == 1 or vp_matrix is None:
+        # n==1 fit degenerates; reference extrapolates the constant value
+        # (ce_rule_baseline.py:95-101).
+        return jnp.repeat(h[..., :1], n_pils, axis=-1)
+    rdtype = jnp.real(h).dtype
+    M = jnp.asarray(vp_matrix.T, dtype=rdtype)  # (n_pils_in, n_virt)
+    amp = jnp.abs(h)
+    ph = dsp.unwrap_phase(jnp.angle(h))
+    v_amp = amp @ M
+    v_ph = ph @ M
+    return (v_amp * jnp.exp(1j * v_ph)).astype(h.dtype)
+
+
+def _smooth(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> jnp.ndarray:
+    """Frequency-domain smoothing switch (ce_rule_baseline.py:645-680; CNN alpha
+    blend from ce_dl_cnn.py:690-717). h_p: (n_layers, n_re)."""
+    smoothing = hp_plan.smoothing
+    if smoothing == "none":
+        return h_p
+    if smoothing == "mean":
+        return jnp.broadcast_to(jnp.mean(h_p, axis=-1, keepdims=True), h_p.shape)
+    # "filter"
+    n_pils = hp_plan.n_pils
+    v_begin = _virtual_pilots(h_p[:, :n_pils], hp_plan.vp_matrix, n_pils)
+    tail_rev = jnp.flip(h_p[:, -n_pils:], axis=-1)
+    v_end = _virtual_pilots(tail_rev, hp_plan.vp_matrix, n_pils)
+    x_ext = jnp.concatenate([v_begin, h_p, jnp.flip(v_end, axis=-1)], axis=-1)
+    y = dsp.conv_same_zero(x_ext, hp_plan.rc_taps)
+    out = y[:, n_pils : y.shape[-1] - n_pils]
+    if config.cnn_alpha > 0.0:
+        alpha = min(1.0, max(0.0, config.cnn_alpha))
+        out = out + alpha * (dsp.cnn_lowpass(out, passes=1) - out)
+    return out
+
+
+def _grid_fill(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate pilot-position estimates to every subcarrier of the hop band.
+
+    h_p: (n_layers, n_re) -> (n_layers, n_sc_hop). Linear path = one static gather +
+    FMA per CDM group (replacing ce_rule_baseline.py:303-320); CNN path = fixed-point
+    partial-conv inpainting with a precomputed mask schedule (ce_dl_cnn.py:473-508).
+    """
+    outs = []
+    for c, (l0, l1) in enumerate(hp_plan.layer_slices):
+        vals = h_p[l0:l1]  # (n_l_c, n_re)
+        if config.interp == "linear":
+            full = dsp.lerp_gather(
+                vals, hp_plan.interp_left[c], hp_plan.interp_right[c], hp_plan.interp_alpha[c]
+            )
+        else:  # "cnn"
+            known = hp_plan.inpaint_known[c]
+            filled = np.nonzero(known)[0]
+            sparse = jnp.zeros((vals.shape[0], hp_plan.n_sc_hop), dtype=vals.dtype)
+            sparse = sparse.at[:, filled].set(vals)
+            full = dsp.cnn_inpaint(sparse, known, 0, schedule=hp_plan.inpaint_schedules[c])
+        outs.append(full)
+    return jnp.concatenate(outs, axis=0)  # (n_layers, n_sc_hop)
+
+
+def _process_hop(
+    hp: HopPlan,
+    config: EstimatorConfig,
+    received_rg: jnp.ndarray,  # (n_sc, n_sym) complex
+    pilots_h: jnp.ndarray,  # (n_re, n_dsym, n_layers) complex
+    beta: jnp.ndarray,
+    sst: Optional[np.ndarray],
+):
+    """One hop of the estimator (reference process_hop, ce_rule_baseline.py:507-755).
+
+    Returns (epre_inc, cfo_hop|None, ta_inc, noise_inc, rsrp_inc, grid_block) where
+    grid_block is (n_sc_hop, n_alloc_syms, n_layers) ready for a dynamic_update_slice.
+    """
+    cdtype = received_rg.dtype
+    rdtype = jnp.zeros((), cdtype).real.dtype
+    nL = hp.n_layers
+    beta_r = beta.astype(rdtype)
+
+    # --- Pilot RE gather + LS de-spread (ce_rule_baseline.py:583-605) ---
+    # rx: (n_cdm, n_re, n_dsym) received pilot REs
+    rx = jnp.take(received_rg, jnp.asarray(hp.re_idx), axis=0)  # (n_cdm, n_re, n_sym)
+    rx = jnp.take(rx, jnp.asarray(hp.dmrs_sym_idx), axis=2)
+    epre_inc = dsp.fro_norm_sq(rx)
+
+    cdm_of_layer = np.arange(nL) // 2
+    rx_l = jnp.take(rx, jnp.asarray(cdm_of_layer), axis=0)  # (nL, n_re, n_dsym)
+    pil_l = jnp.moveaxis(pilots_h, -1, 0)  # (nL, n_re, n_dsym)
+    rec_x = rx_l * jnp.conj(pil_l)
+
+    # --- CFO estimate / compensation (ce_rule_baseline.py:363-463) ---
+    cfo_hop = None
+    rec_x_nocfo = rec_x
+    if hp.cfo_possible:
+        inner = jnp.sum(jnp.conj(rec_x[:, :, 0]) * rec_x[:, :, 1], axis=1)  # (nL,)
+        acc = jnp.zeros((), rdtype)
+        for c in range(hp.n_cdm):
+            pair = inner[2 * c] + (inner[2 * c + 1] if 2 * c + 1 < nL else 0.0)
+            acc = acc + jnp.angle(pair).astype(rdtype)
+        cfo_hop = acc / (2.0 * np.pi * hp.n_samples) / hp.n_cdm
+        if config.cfo_compensate:
+            sst_d = jnp.asarray(sst[hp.dmrs_sym_idx], dtype=rdtype)
+            rot = jnp.exp(-1j * (2.0 * np.pi * sst_d * cfo_hop)).astype(cdtype)
+            rec_x_nocfo = rec_x * rot[None, None, :]
+
+    # --- Time average (ce_rule_baseline.py:625) ---
+    h_p = jnp.sum(rec_x_nocfo, axis=-1) / beta.astype(cdtype) / hp.n_dsym  # (nL, n_re)
+
+    # --- CDM interference removal: adjacent-RE pair average (ce_rule_baseline.py:632-640) ---
+    if nL >= 2:
+        m = hp.n_re // 2
+        pairs = h_p[:, : 2 * m].reshape(nL, m, 2)
+        avg = jnp.mean(pairs, axis=-1, keepdims=True)
+        h_p = jnp.concatenate(
+            [jnp.broadcast_to(avg, (nL, m, 2)).reshape(nL, 2 * m), h_p[:, 2 * m :]], axis=-1
+        )
+
+    # --- Smoothing (ce_rule_baseline.py:645-680) ---
+    h_p = _smooth(hp, config, h_p)
+
+    # --- Time alignment from IFFT power-delay profile (ce_rule_baseline.py:684-710) ---
+    z = jnp.zeros((hp.fft_size, nL), dtype=cdtype)
+    z = z.at[jnp.asarray(hp.ta_scatter_idx), :].set(h_p[:, : hp.ta_scatter_idx.size].T)
+    ir = jnp.fft.ifft(z, axis=0)
+    pdp = jnp.sum(jnp.abs(ir) ** 2, axis=1)
+    head = pdp[: hp.half_cp_len]
+    tail = pdp[-hp.half_cp_len :]
+    i_delay = jnp.argmax(head)
+    i_adv = jnp.argmax(tail)
+    i_max = jnp.where(
+        head[i_delay] >= tail[i_adv],
+        i_delay.astype(rdtype),
+        -(hp.half_cp_len - i_adv).astype(rdtype),
+    )
+    ta_inc = i_max / float(hp.fft_size) / float(config.scs_hz)
+
+    # --- Reconstruct expected RX pilots; noise / RSRP (ce_rule_baseline.py:713-746) ---
+    if config.cfo_compensate and cfo_hop is not None:
+        sst_d = jnp.asarray(sst[hp.dmrs_sym_idx], dtype=rdtype)
+        ph = jnp.exp(1j * (2.0 * np.pi * sst_d * cfo_hop)).astype(cdtype)  # (n_dsym,)
+    else:
+        ph = jnp.ones((hp.n_dsym,), dtype=cdtype)
+    contrib = beta.astype(cdtype) * pil_l * (h_p[:, :, None] * ph[None, None, :])  # (nL, n_re, n_dsym)
+    est_rx_parts = []
+    for c, (l0, l1) in enumerate(hp.layer_slices):
+        est_rx_parts.append(jnp.sum(contrib[l0:l1], axis=0))
+    est_rx = jnp.stack(est_rx_parts, axis=0)  # (n_cdm, n_re, n_dsym)
+    noise_inc = dsp.fro_norm_sq(rx - est_rx)
+    rsrp_inc = (beta_r**2) * dsp.fro_norm_sq(h_p) * hp.n_dsym
+
+    # --- Grid fill (ce_rule_baseline.py:237-360 / ce_dl_cnn.py:233-322) ---
+    full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
+    grid_block = jnp.broadcast_to(
+        full.T[:, None, :], (hp.n_sc_hop, hp.n_alloc_syms, nL)
+    )
+
+    return epre_inc, cfo_hop, ta_inc, noise_inc, rsrp_inc, grid_block
+
+
+def _estimate_impl(
+    plan: EstimatorPlan,
+    received_rg: jnp.ndarray,
+    pilots: jnp.ndarray,
+    beta: jnp.ndarray,
+) -> EstimateResult:
+    cdtype = received_rg.dtype
+    rdtype = jnp.zeros((), cdtype).real.dtype
+    config = plan.config
+    nL = plan.n_layers
+    n_sc, n_sym = received_rg.shape
+    sst = plan.symbol_start_time
+    beta = jnp.asarray(beta, dtype=rdtype)
+
+    channel = jnp.zeros((n_sc, n_sym, nL), dtype=cdtype)
+    epre = jnp.zeros((), rdtype)
+    noise = jnp.zeros((), rdtype)
+    rsrp = jnp.zeros((), rdtype)
+    ta = jnp.zeros((), rdtype)
+    cfo = None
+
+    hops = [(plan.hop1, pilots[:, : plan.n_dsym1, :])]
+    if plan.has_hop2:
+        hops.append((plan.hop2, pilots[:, plan.n_dsym1 :, :]))
+
+    for hp, pil in hops:
+        e_i, cfo_h, ta_i, n_i, r_i, block = _process_hop(hp, config, received_rg, pil, beta, sst)
+        epre = epre + e_i
+        noise = noise + n_i
+        rsrp = rsrp + r_i
+        ta = ta + ta_i
+        if cfo_h is not None:
+            # Reference combine rule (ce_rule_baseline.py:617-621): average when both
+            # hops estimate a CFO.
+            cfo = cfo_h if cfo is None else (cfo + cfo_h) / 2.0
+        channel = jax.lax.dynamic_update_slice(channel, block, (hp.sc_start, hp.sym_start, 0))
+
+    # --- Normalization (ce_rule_baseline.py:914-935) ---
+    rsrp = rsrp / plan.n_pilots / nL
+    epre = epre / plan.n_pilots
+    noise = noise / plan.noise_den
+    if plan.has_hop2:
+        ta = ta / 2.0
+
+    # --- Grid-wide CFO phase rotation (ce_rule_baseline.py:938-945) ---
+    if config.cfo_compensate and cfo is not None:
+        sst_j = jnp.asarray(sst, dtype=rdtype)  # (14,)
+        rot = jnp.exp(1j * (2.0 * np.pi * sst_j * cfo)).astype(cdtype)
+        # Reference broadcasts a length-14 vector over the symbol axis (assumes a
+        # 14-symbol slot, ce_rule_baseline.py:944); preserve that contract.
+        assert n_sym == rot.shape[0], "CFO grid rotation assumes a 14-symbol slot"
+        channel = channel * rot[None, :, None]
+
+    cfo_hz = (
+        (cfo * config.scs_hz).astype(rdtype)
+        if cfo is not None
+        else jnp.full((), jnp.nan, dtype=rdtype)
+    )
+    return EstimateResult(channel, noise, rsrp, epre, ta, cfo_hz)
+
+
+# ---------------------------------------------------------------------------
+# Public builders (jitted, cached per plan)
+# ---------------------------------------------------------------------------
+#
+# Device-boundary layout: all jitted entry points take and return REAL arrays with a
+# leading re/im axis of size 2 ("ri layout") and recombine to complex *inside* the
+# traced program. This is both the TPU-idiomatic layout (SURVEY.md §7 design stance
+# #3: f32 pairs tile onto the VPU/MXU; complex64 is just an interleaving XLA must
+# undo) and a hard requirement of this environment's TPU relay, which does not
+# implement complex host<->device transfers. Complex math stays complex in-graph,
+# where XLA lowers it to fused real arithmetic.
+
+
+def _ri_to_complex(x_ri: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.complex(x_ri[0], x_ri[1])
+
+
+def _complex_to_ri(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([jnp.real(x), jnp.imag(x)])
+
+
+def split_ri(x: np.ndarray) -> np.ndarray:
+    """Host-side complex -> (2, ...) real-pair conversion."""
+    x = np.asarray(x)
+    rdt = np.float64 if x.dtype == np.complex128 else np.float32
+    return np.stack([x.real.astype(rdt), x.imag.astype(rdt)])
+
+
+def merge_ri(x_ri: np.ndarray) -> np.ndarray:
+    """Host-side (2, ...) real-pair -> complex conversion."""
+    x_ri = np.asarray(x_ri)
+    cdt = np.complex128 if x_ri.dtype == np.float64 else np.complex64
+    return (x_ri[0] + 1j * x_ri[1]).astype(cdt)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_ri_cached(plan_key, batched: bool):
+    hop1, hop2, config, n_layers = plan_key
+    plan = make_plan(hop1, hop2, config, n_layers)
+
+    def single(rg_ri, pil_ri, beta):
+        res = _estimate_impl(plan, _ri_to_complex(rg_ri), _ri_to_complex(pil_ri), beta)
+        return EstimateResult(
+            channel_est_rg=_complex_to_ri(res.channel_est_rg),
+            noise_est=res.noise_est,
+            rsrp=res.rsrp,
+            epre=res.epre,
+            time_alignment=res.time_alignment,
+            cfo_hz=res.cfo_hz,
+        )
+
+    if batched:
+        fn = jax.jit(jax.vmap(single))
+    else:
+        fn = jax.jit(single)
+    return fn
+
+
+def build_ri(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    batched: bool = False,
+):
+    """Jitted `fn(rg_ri, pil_ri, beta) -> EstimateResult` in ri layout.
+
+    rg_ri: (2, n_sc, n_sym) real; pil_ri: (2, n_re, n_dsym, n_layers) real; the
+    returned channel_est_rg is (2, n_sc, n_sym, n_layers) real. With batched=True a
+    leading problem axis B follows the ri axis on inputs ((B, 2, ...)) and outputs.
+    This is the fast path for TPU serving: no complex arrays ever cross the device
+    boundary.
+    """
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    return _build_ri_cached((hop1, hop2, config, n_layers), batched)
+
+
+def build(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+):
+    """Complex-friendly wrapper: `fn(received_rg, pilots, beta) -> EstimateResult`
+    with numpy complex inputs/outputs (converted to ri layout at the host boundary).
+    Calls sharing (hop1, hop2, config, n_layers) share one compiled executable."""
+    fn_ri = build_ri(hop1, hop2, config, n_layers, batched=False)
+
+    def fn(received_rg, pilots, beta):
+        res = fn_ri(split_ri(received_rg), split_ri(pilots), jnp.asarray(beta))
+        return EstimateResult(
+            channel_est_rg=merge_ri(np.asarray(res.channel_est_rg)),
+            noise_est=res.noise_est,
+            rsrp=res.rsrp,
+            epre=res.epre,
+            time_alignment=res.time_alignment,
+            cfo_hz=res.cfo_hz,
+        )
+
+    return fn
+
+
+def build_batched(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+):
+    """Batched front-end: `fn(received_rg[B], pilots[B], beta[B]) -> EstimateResult`
+    with a leading problem axis on every output (SURVEY.md §2.3 'batched front-end';
+    the (cell, UE, port, slot) problem tuple is flattened into B). Complex host API;
+    use build_ri(batched=True) directly for the zero-conversion serving path."""
+    fn_ri = build_ri(hop1, hop2, config, n_layers, batched=True)
+
+    def fn(received_rg, pilots, beta):
+        rg_ri = np.moveaxis(split_ri(received_rg), 0, 1)  # (B, 2, ...)
+        pil_ri = np.moveaxis(split_ri(pilots), 0, 1)
+        res = fn_ri(rg_ri, pil_ri, jnp.asarray(beta))
+        ch = np.moveaxis(np.asarray(res.channel_est_rg), 1, 0)  # (2, B, ...)
+        return EstimateResult(
+            channel_est_rg=merge_ri(ch),
+            noise_est=res.noise_est,
+            rsrp=res.rsrp,
+            epre=res.epre,
+            time_alignment=res.time_alignment,
+            cfo_hz=res.cfo_hz,
+        )
+
+    return fn
+
+
+def estimate(
+    received_rg,
+    pilots,
+    beta,
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+) -> EstimateResult:
+    """Convenience one-shot API mirroring the reference call signature
+    (srs_channel_estimator, ce_rule_baseline.py:761-768)."""
+    n_layers = int(pilots.shape[-1])
+    fn = build(hop1, hop2, config, n_layers)
+    return fn(received_rg, pilots, beta)

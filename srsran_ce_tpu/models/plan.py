@@ -1,0 +1,271 @@
+"""Trace-time planning: turn HopConfig/EstimatorConfig into static index tables.
+
+This is the architectural core of the TPU-native design (SURVEY.md §7 design stance
+#2). Every `.item()` call, boolean fancy-index, and Python branch on tensor data that
+broke whole-graph capture in the reference (diagnosed by
+scripts/diagnostics/diagnose_furiosa_backend.py; see SURVEY.md §3.2) is evaluated
+*here*, once, in numpy, from pure configuration. The jitted estimator then sees only:
+
+  - dense complex arrays (received grid, pilots),
+  - static int32 gather/scatter index tables,
+  - static filter taps and least-squares extrapolation matrices,
+  - static loop bounds (CDM groups, layers, hops).
+
+One plan == one compiled XLA program; problems sharing a plan signature share the
+compilation (plan-bucketing, SURVEY.md §7 "hard parts").
+"""
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import NRE, EstimatorConfig, HopConfig
+from ..ops.dsp import make_inpaint_schedule
+from ..utils import oracle as _oracle  # numpy filter design reused at plan time
+
+
+def _virtual_pilot_matrix(n: int, n_virtuals: int) -> np.ndarray:
+    """LS extrapolation matrix M (n_virtuals, n): v = M @ y gives the straight-line
+    fit of y (modulus or unwrapped phase) evaluated at indices -n_virtuals..-1.
+
+    Encodes the closed-form a/b fit of the reference's createVirtualPilots
+    (ce_rule_baseline.py:105-134): a = sum_i c_i y_i with c = (x - mx)/denom,
+    b = mean(y) - a*mx, v_j = a*k_j + b  =>  M[j, i] = c_i*(k_j - mx) + 1/n.
+    """
+    x = np.arange(n, dtype=np.float64)
+    mx = x.mean()
+    denom = float(np.sum(x * x)) - n * mx * mx
+    c = (x - mx) / denom
+    k = np.arange(-n_virtuals, 0, dtype=np.float64)
+    return c[None, :] * (k[:, None] - mx) + 1.0 / n
+
+
+@dataclass(eq=False)
+class HopPlan:
+    """Static per-hop compute plan."""
+
+    hop: HopConfig
+    n_layers: int
+    n_cdm: int
+    n_re: int  # pilot REs per CDM group (== pilots.shape[0])
+    n_dsym: int
+    dmrs_sym_idx: np.ndarray  # (n_dsym,) int32
+    re_idx: np.ndarray  # (n_cdm, n_re) int32 absolute subcarrier index
+    n_sc_hop: int
+    sc_start: int
+    sym_start: int
+    n_alloc_syms: int
+    layer_slices: Tuple[Tuple[int, int], ...]  # per-CDM (l0, l1) global layer range
+    # CFO (static geometry; ce_rule_baseline.py:394-438)
+    cfo_possible: bool
+    n_samples: float  # nSyms + sum(CPDs) between first two DMRS symbols
+    # smoothing (ce_rule_baseline.py:645-680)
+    smoothing: str
+    rc_taps: Optional[np.ndarray]  # (K,) float64, sum=1
+    n_pils: int
+    vp_matrix: Optional[np.ndarray]  # (n_pils, n_pils) or None when n_pils fit is n==1
+    # grid-fill interp tables per CDM (ce_rule_baseline.py:237-360)
+    interp_left: np.ndarray  # (n_cdm, n_sc_hop) int32, ordinals into n_re
+    interp_right: np.ndarray
+    interp_alpha: np.ndarray  # (n_cdm, n_sc_hop) float64
+    # CNN inpainting static schedule per CDM (ce_dl_cnn.py:473-508) — list len n_cdm
+    inpaint_schedules: Optional[list]
+    inpaint_known: Optional[list]  # (n_sc_hop,) bool per CDM
+    # time alignment (ce_rule_baseline.py:684-710)
+    ta_scatter_idx: np.ndarray  # (n_re,) int32 positions of LAST CDM group, clipped to fft
+    half_cp_len: int
+    fft_size: int
+
+
+def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> HopPlan:
+    n_cdm = math.ceil(n_layers / 2)
+    assert hop.n_cdm >= n_cdm, (
+        f"DMRS RE mask has {hop.n_cdm} CDM columns but {n_layers} layers need {n_cdm}"
+    )
+    re_mask = hop.dmrs_re_mask_np
+    prb_mask = hop.prb_mask_np
+    sym_mask = hop.dmrs_symbol_mask_np
+
+    dmrs_sym_idx = np.nonzero(sym_mask)[0].astype(np.int32)
+    n_dsym = dmrs_sym_idx.size
+
+    re_idx_list = []
+    for c in range(n_cdm):
+        full_mask = np.kron(prb_mask.astype(np.int64), re_mask[:, c].astype(np.int64)) > 0
+        re_idx_list.append(np.nonzero(full_mask)[0].astype(np.int32))
+    counts = {len(r) for r in re_idx_list}
+    assert len(counts) == 1, "All CDM groups must have the same pilot RE count"
+    n_re = counts.pop()
+    re_idx = np.stack(re_idx_list)
+
+    n_sc_hop = hop.n_prbs * NRE
+    dmrs_per_prb = int(re_mask[:, 0].sum())
+    n_prbs_masked = int(prb_mask.sum())
+
+    # CFO geometry
+    cfo_possible = n_dsym >= 2
+    n_samples = 0.0
+    if cfo_possible:
+        cpds = config.cp_durations_np * config.scs_hz / 1000.0  # symbol units
+        n_syms = int(dmrs_sym_idx[1] - dmrs_sym_idx[0])
+        n_samples = n_syms + float(np.sum(cpds[dmrs_sym_idx[0] + 1 : dmrs_sym_idx[1] + 1]))
+
+    # Smoothing filter design (static; ce_rule_baseline.py:649-659)
+    rc_taps = None
+    n_pils = 0
+    vp_matrix = None
+    if config.smoothing == "filter":
+        stride = NRE // dmrs_per_prb
+        rc_taps, _ = _oracle.get_rc_filter(stride, min(3, n_prbs_masked))
+        n_pils = min(12, rc_taps.size // 2) if n_prbs_masked > 1 else dmrs_per_prb
+        if n_pils > 1:
+            vp_matrix = _virtual_pilot_matrix(n_pils, n_pils)
+
+    # Interpolation anchor tables per CDM group
+    interp_left = np.zeros((n_cdm, n_sc_hop), dtype=np.int32)
+    interp_right = np.zeros((n_cdm, n_sc_hop), dtype=np.int32)
+    interp_alpha = np.zeros((n_cdm, n_sc_hop), dtype=np.float64)
+    inpaint_schedules = None
+    inpaint_known = None
+    if config.interp == "cnn":
+        inpaint_schedules, inpaint_known = [], []
+    for c in range(n_cdm):
+        filled = np.nonzero(np.tile(re_mask[:, c], hop.n_prbs))[0]
+        assert filled.size == n_re
+        pos = np.arange(n_sc_hop)
+        # right anchor ordinal: number of filled positions strictly below pos, clipped
+        right_ord = np.searchsorted(filled, pos, side="left")
+        left_ord = right_ord - 1
+        left_ord = np.clip(left_ord, 0, n_re - 1)
+        right_ord = np.clip(right_ord, 0, n_re - 1)
+        fl = filled[left_ord].astype(np.float64)
+        fr = filled[right_ord].astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha = np.where(fr > fl, (pos - fl) / np.where(fr > fl, fr - fl, 1.0), 0.0)
+        # Constant extrapolation outside [filled[0], filled[-1]]
+        alpha = np.where(pos <= filled[0], 0.0, alpha)
+        left_ord = np.where(pos <= filled[0], 0, left_ord)
+        right_ord = np.where(pos <= filled[0], 0, right_ord)
+        alpha = np.where(pos >= filled[-1], 0.0, alpha)
+        left_ord = np.where(pos >= filled[-1], n_re - 1, left_ord)
+        right_ord = np.where(pos >= filled[-1], n_re - 1, right_ord)
+        interp_left[c] = left_ord
+        interp_right[c] = right_ord
+        interp_alpha[c] = alpha
+        if config.interp == "cnn":
+            known = np.zeros(n_sc_hop, dtype=bool)
+            known[filled] = True
+            n_iters = max(6, n_sc_hop // 8)
+            inpaint_schedules.append(make_inpaint_schedule(known, n_iters))
+            inpaint_known.append(known)
+
+    fft_size = 4096
+    half_cp_len = int(math.floor((144 / 2) * fft_size / 2048))
+    ta_idx = re_idx[n_cdm - 1]
+    ta_idx = ta_idx[ta_idx < fft_size].astype(np.int32)
+
+    layer_slices = tuple((c * 2, min(n_layers, (c + 1) * 2)) for c in range(n_cdm))
+
+    return HopPlan(
+        hop=hop,
+        n_layers=n_layers,
+        n_cdm=n_cdm,
+        n_re=n_re,
+        n_dsym=n_dsym,
+        dmrs_sym_idx=dmrs_sym_idx,
+        re_idx=re_idx,
+        n_sc_hop=n_sc_hop,
+        sc_start=NRE * hop.prb_start,
+        sym_start=hop.start_symbol,
+        n_alloc_syms=hop.n_allocated_symbols,
+        layer_slices=layer_slices,
+        cfo_possible=cfo_possible,
+        n_samples=n_samples,
+        smoothing=config.smoothing,
+        rc_taps=rc_taps,
+        n_pils=n_pils,
+        vp_matrix=vp_matrix,
+        interp_left=interp_left,
+        interp_right=interp_right,
+        interp_alpha=interp_alpha,
+        inpaint_schedules=inpaint_schedules,
+        inpaint_known=inpaint_known,
+        ta_scatter_idx=ta_idx,
+        half_cp_len=half_cp_len,
+        fft_size=fft_size,
+    )
+
+
+@dataclass(eq=False)
+class EstimatorPlan:
+    """Static full-estimator plan: one or two hop plans + normalization constants."""
+
+    config: EstimatorConfig
+    n_layers: int
+    hop1: HopPlan
+    hop2: Optional[HopPlan]
+    symbol_start_time: Optional[np.ndarray]  # (14,) float64, set iff cfo_compensate
+    cfo_possible: bool  # any hop can estimate CFO
+    n_pilots: int
+    noise_den: float
+    scs_hz: float
+    n_dsym1: int  # pilot-symbol split point between the hops (pilots[:, :n_dsym1])
+
+    @property
+    def has_hop2(self) -> bool:
+        return self.hop2 is not None
+
+
+@functools.lru_cache(maxsize=256)
+def make_plan(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+) -> EstimatorPlan:
+    """Build (and cache) the static plan for a (hop1, hop2, config, n_layers) signature.
+
+    All four keys are hashable frozen dataclasses, so identical configurations share
+    both the plan and, downstream, the compiled XLA executable.
+    """
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    p1 = make_hop_plan(hop1, config, n_layers)
+    p2 = make_hop_plan(hop2, config, n_layers) if hop2 is not None else None
+
+    if p2 is not None:
+        # Reference asserts (ce_rule_baseline.py:869-885): disjoint DMRS symbols,
+        # identical RE masks across hops.
+        assert not np.any(hop1.dmrs_symbol_mask_np & hop2.dmrs_symbol_mask_np), (
+            "Hops should not overlap."
+        )
+        assert np.array_equal(hop1.dmrs_re_mask_np, hop2.dmrs_re_mask_np), (
+            "The DM-RS mask should be the same for the two hops."
+        )
+
+    sst = None
+    if config.cfo_compensate:
+        cpds = config.cp_durations_np * config.scs_hz / 1000.0
+        sst = _oracle.symbol_start_times(cpds)
+
+    n_dsym_total = p1.n_dsym + (p2.n_dsym if p2 is not None else 0)
+    dmrs_per_prb = int(hop1.dmrs_re_mask_np[:, 0].sum())
+    n_pilots = hop1.n_prbs * dmrs_per_prb * n_dsym_total
+    noise_den = math.ceil(n_layers / 2) * n_pilots - 1
+
+    return EstimatorPlan(
+        config=config,
+        n_layers=n_layers,
+        hop1=p1,
+        hop2=p2,
+        symbol_start_time=sst,
+        cfo_possible=p1.cfo_possible or (p2 is not None and p2.cfo_possible),
+        n_pilots=n_pilots,
+        noise_den=float(noise_den),
+        scs_hz=config.scs_hz,
+        n_dsym1=p1.n_dsym,
+    )

@@ -1,0 +1,197 @@
+"""Synthetic golden-case generator for hermetic conformance testing.
+
+The reference validates against srsRAN MATLAB test vectors that are *not shipped*
+(gitignored `testvector_outputs/`, SURVEY.md §4), so CI here synthesizes physically
+plausible cases instead: a TDL-like multipath channel, unit-modulus QPSK pilots with
+optional CDM (OCC) structure, receiver noise, and an injected CFO. The float64 numpy
+oracle (`srsran_ce_tpu.utils.oracle`) run on these cases is the golden output the
+JAX/Pallas production path must match within tight NMSE bounds.
+
+Case geometry mirrors the shapes exercised by the reference harness
+(scripts/validation/validate_all.py:366-571): SCS 15/30 kHz, 1-4 layers, comb-2 /
+comb-4 DM-RS RE masks, single or dual frequency hops, 52/106/273-PRB grids.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import NRE, EstimatorConfig, HopConfig, make_config
+
+
+@dataclass
+class SyntheticCase:
+    received_rg: np.ndarray  # (n_sc, n_sym) complex128
+    pilots: np.ndarray  # (n_re, n_dsym_total, n_layers) complex128
+    beta: float
+    hop1: HopConfig
+    hop2: Optional[HopConfig]
+    config: EstimatorConfig
+    true_channel: np.ndarray  # (n_sc, n_sym, n_layers) complex128 — ground truth
+    snr_db: float
+
+
+def comb_re_mask(comb: int, n_cdm: int = 1) -> np.ndarray:
+    """(12, n_cdm) DM-RS RE mask: comb-`comb` pattern, CDM group c offset by c."""
+    mask = np.zeros((NRE, n_cdm), dtype=bool)
+    for c in range(n_cdm):
+        mask[c::comb, c] = True
+    return mask
+
+
+def _tdl_frequency_response(
+    rng: np.random.Generator, n_sc: int, n_layers: int, n_taps: int, max_delay_frac: float
+) -> np.ndarray:
+    """Smooth multipath frequency response: sum of complex taps at sub-CP delays.
+
+    H[k, l] = sum_t g_{t,l} * exp(-2j*pi*k*d_t/nfft), exponential power-delay profile.
+    """
+    nfft = 2048.0
+    delays = rng.uniform(0.0, max_delay_frac * nfft, size=(n_taps, n_layers))
+    delays[0, :] = 0.0
+    power = np.exp(-delays / (max_delay_frac * nfft / 3.0 + 1e-9))
+    power /= power.sum(axis=0, keepdims=True)
+    gains = (rng.standard_normal((n_taps, n_layers)) + 1j * rng.standard_normal((n_taps, n_layers)))
+    gains *= np.sqrt(power / 2.0)
+    k = np.arange(n_sc, dtype=np.float64)
+    # (n_sc, n_taps, n_layers) phase ramps summed over taps
+    phase = np.exp(-2j * np.pi * k[:, None, None] * delays[None, :, :] / nfft)
+    return np.einsum("ktl,tl->kl", phase, gains)
+
+
+def _qpsk(rng: np.random.Generator, shape) -> np.ndarray:
+    bits = rng.integers(0, 4, size=shape)
+    return np.exp(1j * (np.pi / 4.0 + np.pi / 2.0 * bits))
+
+
+def make_case(
+    seed: int = 0,
+    n_prbs: int = 52,
+    n_layers: int = 1,
+    comb: int = 2,
+    scs_hz: float = 30e3,
+    smoothing: str = "filter",
+    cfo_compensate: bool = True,
+    interp: str = "linear",
+    cnn_alpha: float = 0.0,
+    two_hops: bool = False,
+    snr_db: float = 30.0,
+    cfo_hz: float = 200.0,
+    n_dmrs_syms: int = 4,
+    n_sym: int = 14,
+    prb_start: Optional[int] = None,
+    n_prb_total: Optional[int] = None,
+    beta: float = 1.0,
+    n_taps: int = 6,
+) -> SyntheticCase:
+    """Build one synthetic estimation problem plus its ground-truth channel."""
+    rng = np.random.default_rng(seed)
+    n_cdm = math.ceil(n_layers / 2)
+    re_mask = comb_re_mask(comb, n_cdm)
+    dmrs_per_prb = int(re_mask[:, 0].sum())
+    n_re = n_prbs * dmrs_per_prb
+
+    if n_prb_total is None:
+        n_prb_total = n_prbs if not two_hops else 2 * n_prbs + 4
+    if prb_start is None:
+        prb_start = 0
+    n_sc = n_prb_total * NRE
+
+    config = make_config(
+        scs_hz, smoothing=smoothing, cfo_compensate=cfo_compensate, interp=interp, cnn_alpha=cnn_alpha
+    )
+
+    # Hop symbol allocation
+    if two_hops:
+        half = n_sym // 2
+        sym_idx1 = np.linspace(0, half - 1, n_dmrs_syms // 2 or 1).round().astype(int)
+        sym_idx2 = np.linspace(half, n_sym - 1, n_dmrs_syms - (n_dmrs_syms // 2 or 1)).round().astype(int)
+        prb_start2 = n_prb_total - n_prbs
+        hops = [
+            (prb_start, sym_idx1, 0, half),
+            (prb_start2, sym_idx2, half, n_sym - half),
+        ]
+    else:
+        sym_idx1 = np.unique(np.linspace(0, n_sym - 1, n_dmrs_syms).round().astype(int))
+        hops = [(prb_start, sym_idx1, 0, n_sym)]
+
+    hop_cfgs = []
+    for p0, sym_idx, start_sym, n_alloc in hops:
+        sym_mask = np.zeros(n_sym, dtype=bool)
+        sym_mask[sym_idx] = True
+        prb_mask = np.zeros(n_prb_total, dtype=bool)
+        prb_mask[p0 : p0 + n_prbs] = True
+        hop_cfgs.append(
+            HopConfig.make(sym_mask, re_mask, p0, n_prbs, prb_mask, start_sym, n_alloc)
+        )
+    hop1 = hop_cfgs[0]
+    hop2 = hop_cfgs[1] if two_hops else None
+
+    # Ground-truth per-layer channel over the full grid (frequency-smooth, time-flat
+    # apart from the CFO phase ramp applied below).
+    h_freq = _tdl_frequency_response(rng, n_sc, n_layers, n_taps, max_delay_frac=0.02)
+    true_channel = np.repeat(h_freq[:, None, :], n_sym, axis=1)  # (n_sc, n_sym, n_layers)
+
+    # CFO phase ramp per OFDM symbol (normalized CFO = cfo_hz / scs)
+    cpds = config.cp_durations_np * scs_hz / 1000.0  # symbol-duration units
+    vec = np.empty(14)
+    vec[0] = cpds[0]
+    vec[1:] = cpds[1:14] + 1.0
+    sst = np.cumsum(vec)
+    cfo_norm = cfo_hz / scs_hz
+    cfo_rot = np.exp(1j * 2.0 * np.pi * sst * cfo_norm)  # (14,)
+
+    total_dsym = sum(len(h[1]) for h in hops)
+    pilots = _qpsk(rng, (n_re, total_dsym, n_layers))
+    # OCC-2 structure within each CDM pair so the estimator's adjacent-RE averaging
+    # cancels intra-CDM interference (frequency-domain orthogonal cover code).
+    occ = np.where(np.arange(n_re) % 2 == 0, 1.0, -1.0)
+    for c in range(n_cdm):
+        if c * 2 + 1 < n_layers:
+            pilots[:, :, c * 2 + 1] = pilots[:, :, c * 2] * occ[:, None]
+
+    # Received grid: channel * beta * pilot at DM-RS REs (sum over CDM layers),
+    # channel * random QPSK elsewhere, plus AWGN; CFO rotates every symbol.
+    noise_std = 10.0 ** (-snr_db / 20.0)
+    received = _qpsk(rng, (n_sc, n_sym)) * true_channel[:, :, 0]  # background payload
+    dsym_off = 0
+    for hop, (p0, sym_idx, _, _) in zip(hop_cfgs, hops):
+        for c in range(n_cdm):
+            re_mask_full = np.kron(hop.prb_mask_np, hop.dmrs_re_mask_np[:, c])
+            re_idx = np.nonzero(re_mask_full)[0]
+            l0, l1 = c * 2, min(n_layers, (c + 1) * 2)
+            for j, s in enumerate(sym_idx):
+                tx = np.zeros(n_re, dtype=np.complex128)
+                for l in range(l0, l1):
+                    tx += beta * pilots[:, dsym_off + j, l] * true_channel[re_idx, s, l]
+                received[re_idx, s] = tx
+        dsym_off += len(sym_idx)
+
+    received *= cfo_rot[None, :n_sym]
+    received += noise_std * (
+        rng.standard_normal(received.shape) + 1j * rng.standard_normal(received.shape)
+    ) / np.sqrt(2.0)
+
+    return SyntheticCase(
+        received_rg=received,
+        pilots=pilots,
+        beta=beta,
+        hop1=hop1,
+        hop2=hop2,
+        config=config,
+        true_channel=true_channel,
+        snr_db=snr_db,
+    )
+
+
+# Canonical benchmark-config geometry (BASELINE.json configs[0..4])
+BENCH_CASES = {
+    "c0_baseline_52prb": dict(n_prbs=52, n_layers=1, comb=2, scs_hz=15e3),
+    "c1_batch64": dict(n_prbs=52, n_layers=1, comb=2, scs_hz=30e3),
+    "c2_mmse_4port_106prb": dict(n_prbs=106, n_layers=4, comb=2, scs_hz=30e3),
+    "c3_cnn_273prb": dict(n_prbs=273, n_layers=1, comb=2, scs_hz=30e3, interp="cnn"),
+    "c4_multihost_hopped": dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, two_hops=True),
+}

@@ -1,0 +1,125 @@
+"""End-to-end conformance: jitted JAX estimator vs float64 numpy oracle.
+
+Every case runs the full chain (gather -> LS -> CFO -> CDM average -> smoothing ->
+time alignment -> reconstruction -> grid fill -> normalization) on a synthetic golden
+problem and checks all six outputs. With x64 enabled both paths are complex128, so
+tolerances are tight (the only differences are summation order and FFT backend).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from srsran_ce_tpu.models import estimator
+from srsran_ce_tpu.utils import oracle, synthetic
+
+
+def run_both(case):
+    res_j = estimator.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    res_o = oracle.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    return res_j, res_o
+
+
+def assert_match(res_j, res_o, tol=1e-9):
+    ch_j = np.asarray(res_j.channel_est_rg)
+    ch_o = res_o.channel_est_rg
+    scale = np.sqrt(np.mean(np.abs(ch_o) ** 2)) + 1e-30
+    nmse = np.sum(np.abs(ch_j - ch_o) ** 2) / (np.sum(np.abs(ch_o) ** 2) + 1e-30)
+    assert nmse < tol**2, f"channel NMSE {nmse}"
+    np.testing.assert_allclose(float(res_j.noise_est), res_o.noise_est, rtol=1e-8, atol=1e-20)
+    np.testing.assert_allclose(float(res_j.rsrp), res_o.rsrp, rtol=1e-9)
+    np.testing.assert_allclose(float(res_j.epre), res_o.epre, rtol=1e-9)
+    np.testing.assert_allclose(float(res_j.time_alignment), res_o.time_alignment, rtol=1e-9, atol=1e-15)
+    if res_o.cfo_hz is None:
+        assert np.isnan(float(res_j.cfo_hz))
+    else:
+        np.testing.assert_allclose(float(res_j.cfo_hz), res_o.cfo_hz, rtol=1e-8, atol=1e-10)
+
+
+CASES = [
+    # (name, kwargs)
+    ("c0_52prb_filter", dict(n_prbs=52, n_layers=1, scs_hz=15e3)),
+    ("c0_cfo_off", dict(n_prbs=52, n_layers=1, scs_hz=15e3, cfo_compensate=False)),
+    ("smoothing_mean", dict(n_prbs=24, n_layers=1, smoothing="mean")),
+    ("smoothing_none", dict(n_prbs=24, n_layers=1, smoothing="none")),
+    ("two_layers", dict(n_prbs=24, n_layers=2)),
+    ("four_layers_106prb", dict(n_prbs=106, n_layers=4, scs_hz=30e3)),
+    ("three_layers_odd", dict(n_prbs=16, n_layers=3)),
+    ("comb4", dict(n_prbs=24, n_layers=1, comb=4)),
+    ("two_hops", dict(n_prbs=24, n_layers=1, two_hops=True)),
+    ("two_hops_2layer", dict(n_prbs=12, n_layers=2, two_hops=True)),
+    ("single_prb", dict(n_prbs=1, n_layers=1)),
+    ("two_prbs", dict(n_prbs=2, n_layers=1)),
+    ("cnn_interp", dict(n_prbs=24, n_layers=1, interp="cnn")),
+    ("cnn_interp_alpha", dict(n_prbs=52, n_layers=2, interp="cnn", cnn_alpha=0.4)),
+    ("wideband_273", dict(n_prbs=273, n_layers=1, scs_hz=30e3)),
+    ("one_dmrs_sym", dict(n_prbs=24, n_layers=1, n_dmrs_syms=1, cfo_compensate=True)),
+    ("offset_band", dict(n_prbs=20, n_layers=1, prb_start=30, n_prb_total=106)),
+]
+
+
+@pytest.mark.parametrize("name,kwargs", CASES, ids=[c[0] for c in CASES])
+def test_estimator_matches_oracle(name, kwargs):
+    case = synthetic.make_case(seed=hash(name) % 2**31, snr_db=30.0, **kwargs)
+    res_j, res_o = run_both(case)
+    assert_match(res_j, res_o)
+
+
+def test_estimates_track_ground_truth():
+    """Physical sanity: high-SNR estimate approaches the true channel."""
+    case = synthetic.make_case(seed=11, n_prbs=52, n_layers=1, snr_db=45.0, cfo_hz=150.0)
+    res = estimator.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    cpds = case.config.cp_durations_np * case.config.scs_hz / 1000.0
+    sst = oracle.symbol_start_times(cpds)
+    truth = case.true_channel[:, :, 0] * np.exp(1j * 2 * np.pi * sst * (150.0 / case.config.scs_hz))
+    ch = np.asarray(res.channel_est_rg)[:, :, 0]
+    nmse = np.sum(np.abs(ch - truth) ** 2) / np.sum(np.abs(truth) ** 2)
+    assert nmse < 1e-3, nmse
+    assert abs(float(res.cfo_hz) - 150.0) < 5.0
+    # noise estimate should be near the injected noise power
+    noise_power = 10 ** (-case.snr_db / 10)
+    assert 0.2 * noise_power < float(res.noise_est) < 5 * noise_power
+
+
+def test_float32_accuracy_bound():
+    """complex64 path (the TPU default) stays within a realistic NMSE bound of the
+    float64 oracle."""
+    case = synthetic.make_case(seed=21, n_prbs=106, n_layers=2, snr_db=30.0)
+    res32 = estimator.estimate(
+        case.received_rg.astype(np.complex64),
+        case.pilots.astype(np.complex64),
+        np.float32(case.beta),
+        case.hop1,
+        case.hop2,
+        case.config,
+    )
+    res_o = oracle.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    ch = np.asarray(res32.channel_est_rg).astype(np.complex128)
+    nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(np.abs(res_o.channel_est_rg) ** 2)
+    assert nmse < 1e-9, nmse  # ~ -90 dB: f32 rounding only
+    np.testing.assert_allclose(float(res32.noise_est), res_o.noise_est, rtol=1e-3)
+    np.testing.assert_allclose(float(res32.cfo_hz), res_o.cfo_hz, rtol=1e-3, atol=1e-3)
+
+
+def test_batched_matches_single():
+    case_kwargs = dict(n_prbs=24, n_layers=2, snr_db=30.0)
+    cases = [synthetic.make_case(seed=100 + i, **case_kwargs) for i in range(4)]
+    c0 = cases[0]
+    fn = estimator.build_batched(c0.hop1, c0.hop2, c0.config, n_layers=2)
+    rg = jnp.stack([jnp.asarray(c.received_rg) for c in cases])
+    pil = jnp.stack([jnp.asarray(c.pilots) for c in cases])
+    beta = jnp.asarray([c.beta for c in cases])
+    out = fn(rg, pil, beta)
+    for i, c in enumerate(cases):
+        res_o = oracle.estimate(c.received_rg, c.pilots, c.beta, c.hop1, c.hop2, c.config)
+        ch = np.asarray(out.channel_est_rg[i])
+        nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(np.abs(res_o.channel_est_rg) ** 2)
+        assert nmse < 1e-18, (i, nmse)
+        np.testing.assert_allclose(float(out.noise_est[i]), res_o.noise_est, rtol=1e-8)
