@@ -62,6 +62,25 @@ def conv_same_zero(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     return y
 
 
+def conv_valid(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """'valid' convolution along the last axis: (..., N) -> (..., N-K+1).
+
+    Used by the overlap-save sharded smoothing path: each shard convolves its
+    halo-extended block and keeps exactly its own output span, reproducing the
+    unsharded conv_same_zero bit-for-bit at interior seams.
+    """
+    taps = np.asarray(taps)
+    K = taps.size
+    N = x.shape[-1]
+    assert N >= K, f"conv_valid needs input >= taps ({N} < {K})"
+    flipped = [float(t) for t in taps[::-1]]
+    M = N - K + 1
+    y = flipped[0] * jax.lax.slice_in_dim(x, 0, M, axis=-1)
+    for k in range(1, K):
+        y = y + flipped[k] * jax.lax.slice_in_dim(x, k, k + M, axis=-1)
+    return y
+
+
 def _reflect_pad_1(x: jnp.ndarray) -> jnp.ndarray:
     """Reflect-pad the last axis by 1 on each side (replicate for length-1 inputs),
     matching torch F.pad(mode='reflect') as used by the reference CNN helpers
@@ -121,11 +140,20 @@ def make_inpaint_schedule(known_mask: np.ndarray, n_iters: int):
         return np.convolve(vp, h, mode="valid")
 
     schedule = []
-    for _ in range(max(1, int(n_iters))):
+    steady = 0
+    total = max(1, int(n_iters))
+    for it in range(total):
         den = conv_reflect_np(m)
+        if m.all() and (den > eps).all():
+            # Mask saturated: every remaining iteration is the identical fixed-point
+            # update x = where(known, x0, conv(x)/(1+eps)). Collapse them into a
+            # counted loop so the 273-PRB case (409 iterations) doesn't unroll into
+            # a 400-deep XLA graph.
+            steady = total - it
+            break
         schedule.append((m.copy(), den))
         m = np.maximum(m, (den > eps).astype(np.float64))
-    return schedule
+    return schedule, steady
 
 
 def cnn_inpaint(
@@ -142,17 +170,26 @@ def cnn_inpaint(
         return cnn_lowpass(x_sparse, passes=2)
     if schedule is None:
         schedule = make_inpaint_schedule(known, n_iters)
+    transient, steady = schedule
     eps = 1e-12
     real_dtype = jnp.real(x_sparse).dtype
     known_j = jnp.asarray(known)
     x0 = x_sparse
     x = x_sparse
-    for m_t, den_t in schedule:
+    for m_t, den_t in transient:
         m_j = jnp.asarray(m_t, dtype=real_dtype)
         inv_den = jnp.asarray(1.0 / (den_t + eps), dtype=real_dtype)
         num = conv3_reflect(x * m_j)
         prop = num * inv_den
         x = jnp.where(known_j, x0, prop)
+    if steady > 0:
+        inv = jnp.asarray(1.0 / (1.0 + eps), dtype=real_dtype)
+        x = jax.lax.fori_loop(
+            0,
+            steady,
+            lambda _, xc: jnp.where(known_j, x0, conv3_reflect(xc) * inv),
+            x,
+        )
     x_lp = cnn_lowpass(x, passes=2)
     return jnp.where(known_j, x0, x_lp)
 

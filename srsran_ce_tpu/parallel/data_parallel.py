@@ -1,0 +1,68 @@
+"""Data-parallel batched estimation: shard the problem axis over the mesh.
+
+Estimation problems are independent, so DP is pure SPMD with zero collectives: jit
+with NamedShardings on the leading batch axis and XLA partitions everything. This is
+the scale-out path for the "4096 concurrent (cell, UE, port) estimations" benchmark
+config (BASELINE.json configs[4]); per-chip work stays identical so scaling
+efficiency is bounded only by dispatch overheads.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EstimatorConfig, HopConfig
+from ..models import estimator as _est
+from ..models.plan import make_plan
+
+
+def build_dp_batched(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    mesh: Mesh,
+    axis: str = "dp",
+):
+    """Jitted ri-layout batched estimator with the batch axis sharded over `axis`.
+
+    fn(rg_ri[B,2,n_sc,n_sym], pil_ri[B,2,n_re,n_dsym,L], beta[B]) -> EstimateResult
+    with every output sharded on its leading batch axis. B must be divisible by the
+    mesh axis size.
+    """
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    plan = make_plan(hop1, hop2, config, n_layers)
+
+    batch = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def single(rg_ri, pil_ri, beta):
+        res = _est._estimate_impl(
+            plan, _est._ri_to_complex(rg_ri), _est._ri_to_complex(pil_ri), beta
+        )
+        return _est.EstimateResult(
+            channel_est_rg=_est._complex_to_ri(res.channel_est_rg),
+            noise_est=res.noise_est,
+            rsrp=res.rsrp,
+            epre=res.epre,
+            time_alignment=res.time_alignment,
+            cfo_hz=res.cfo_hz,
+        )
+
+    fn = jax.jit(
+        jax.vmap(single),
+        in_shardings=(batch, batch, batch),
+        out_shardings=_est.EstimateResult(
+            channel_est_rg=batch,
+            noise_est=batch,
+            rsrp=batch,
+            epre=batch,
+            time_alignment=batch,
+            cfo_hz=batch,
+        ),
+    )
+    return fn

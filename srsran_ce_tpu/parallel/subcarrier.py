@@ -1,0 +1,394 @@
+"""Subcarrier-block sharding with overlap-save halo exchange (shard_map + ppermute).
+
+This implements the north-star's sequence-parallel analog (SURVEY.md §5 "long-context
+/ sequence parallelism"): one wideband estimation problem's frequency axis is split
+into contiguous PRB blocks across the mesh axis `sp`, and the only cross-shard data
+motion is
+
+  - a (K-1)/2-pilot halo exchange (two `lax.ppermute`s) feeding the raised-cosine
+    smoothing convolution — classic overlap-save; interior shards exchange *real*
+    neighbor taps, only the outermost shards synthesize virtual pilots
+    (ce_rule_baseline.py:661-676 is globally edge-aware; see SURVEY.md §7 hard parts),
+  - a 1-pilot halo for the linear grid interpolation across seam gaps,
+  - scalar psums (EPRE / noise / RSRP / CFO inner products),
+  - one tiny all_gather of the smoothed pilot estimates (<= ~26 KB) for the
+    4096-point IFFT time-alignment PDP, which is cheaper gathered than distributed.
+
+Geometry restrictions (asserted): single hop covering the whole grid, contiguous PRB
+mask, comb-uniform DM-RS RE masks (pilot every `comb` subcarriers — true for all
+standard DM-RS/SRS comb patterns), shard count dividing n_prbs, linear interpolation.
+The general/irregular geometries use the DP path (independent problems scale out
+embarrassingly); SP exists for wideband low-latency and for halo-exchange parity with
+the north-star benchmark config.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import NRE, EstimatorConfig, HopConfig
+from ..models import estimator as _est
+from ..models.plan import EstimatorPlan, make_plan
+from ..ops import dsp
+
+
+@dataclass(eq=False)
+class ShardPlan:
+    """Static per-shard geometry derived from (EstimatorPlan, n_sp)."""
+
+    plan: EstimatorPlan
+    n_sp: int
+    comb: int
+    offs: Tuple[int, ...]  # per-CDM first-pilot offset within the comb
+    L: int  # local subcarriers per shard
+    R: int  # local pilot REs per shard (per CDM)
+    hw: int  # conv halo width = (K-1)//2, 0 if smoothing != filter
+    local_re_idx: np.ndarray  # (n_cdm, R) local sc index of local pilots
+    interp_jl: np.ndarray  # (n_cdm, L) left anchor into halo-extended (R+2) array
+    interp_jr: np.ndarray
+    interp_alpha: np.ndarray  # (n_cdm, L)
+    first_zone: np.ndarray  # (n_cdm, L) bool: q <= off_c (global constant-extrap zone)
+    last_zone: np.ndarray  # (n_cdm, L) bool: q >= off_c + (R-1)*comb
+
+
+def _comb_structure(re_mask_col: np.ndarray) -> Tuple[int, int]:
+    """Return (comb, offset) of an arithmetic-progression RE mask column, or raise."""
+    pos = np.nonzero(re_mask_col)[0]
+    assert pos.size > 0, "empty DMRS RE mask column"
+    if pos.size == 1:
+        comb = NRE
+    else:
+        d = np.diff(pos)
+        assert np.all(d == d[0]), f"RE mask not comb-uniform: {pos}"
+        comb = int(d[0])
+    assert NRE % comb == 0 and pos[0] < comb, f"RE mask not a comb pattern: {pos}"
+    return comb, int(pos[0])
+
+
+def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
+    hp = plan.hop1
+    hop = hp.hop
+    assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
+    assert plan.config.interp == "linear", "sharded path supports linear interpolation"
+    assert plan.config.cnn_alpha == 0.0, "sharded path supports cnn_alpha == 0"
+    prb_mask = hop.prb_mask_np
+    assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
+        "subcarrier sharding requires a contiguous full-band hop"
+    )
+    assert hop.n_prbs % n_sp == 0, f"n_sp={n_sp} must divide n_prbs={hop.n_prbs}"
+
+    re_mask = hop.dmrs_re_mask_np
+    combs_offs = [_comb_structure(re_mask[:, c]) for c in range(hp.n_cdm)]
+    combs = {c for c, _ in combs_offs}
+    assert len(combs) == 1, "all CDM groups must share one comb"
+    comb = combs.pop()
+    offs = tuple(o for _, o in combs_offs)
+
+    L = hp.n_sc_hop // n_sp
+    R = hp.n_re // n_sp
+    assert L == R * comb
+    if hp.n_layers >= 2:
+        assert R % 2 == 0, "CDM pair averaging requires an even local pilot count"
+
+    hw = 0
+    if plan.config.smoothing == "filter":
+        hw = (hp.rc_taps.size - 1) // 2
+        assert R >= max(hw, hp.n_pils), (
+            f"local pilot block ({R}) must cover halo ({hw}) and virtual pilots ({hp.n_pils})"
+        )
+
+    local_re_idx = np.stack(
+        [offs[c] + comb * np.arange(R, dtype=np.int32) for c in range(hp.n_cdm)]
+    )
+
+    q = np.arange(L)
+    jl = np.empty((hp.n_cdm, L), np.int32)
+    jr = np.empty((hp.n_cdm, L), np.int32)
+    al = np.empty((hp.n_cdm, L), np.float64)
+    fz = np.empty((hp.n_cdm, L), bool)
+    lz = np.empty((hp.n_cdm, L), bool)
+    for c in range(hp.n_cdm):
+        off = offs[c]
+        # anchors into the halo-extended pilot array hh of length R+2
+        # (hh[0] = left neighbor's last pilot, hh[R+1] = right neighbor's first)
+        jl[c] = np.floor_divide(q - off, comb) + 1
+        jr[c] = jl[c] + 1
+        al[c] = np.mod(q - off, comb) / comb
+        fz[c] = q <= off
+        lz[c] = q >= off + (R - 1) * comb
+    return ShardPlan(
+        plan=plan,
+        n_sp=n_sp,
+        comb=comb,
+        offs=offs,
+        L=L,
+        R=R,
+        hw=hw,
+        local_re_idx=local_re_idx,
+        interp_jl=jl,
+        interp_jr=jr,
+        interp_alpha=al,
+        first_zone=fz,
+        last_zone=lz,
+    )
+
+
+def _psum_c(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """psum for complex values (summed as a real pair)."""
+    return jax.lax.complex(
+        jax.lax.psum(jnp.real(x), axis), jax.lax.psum(jnp.imag(x), axis)
+    )
+
+
+def _halo_exchange(x: jnp.ndarray, h: int, axis: str, n: int):
+    """Exchange size-h halos along the last axis over mesh axis `axis`.
+
+    Returns (left, right): left = left neighbor's last h entries (zeros on shard 0),
+    right = right neighbor's first h entries (zeros on the last shard) — the zero
+    fill matches the unsharded algorithm's zero padding at band edges.
+    """
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    left = jax.lax.ppermute(x[..., -h:], axis, fwd)
+    right = jax.lax.ppermute(x[..., :h], axis, bwd)
+    return left, right
+
+
+def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta):
+    """Per-shard body for ONE estimation problem.
+
+    rg_ri_loc: (2, L, n_sym) local subcarrier block of the received grid (real pair)
+    pil_ri_loc: (2, R, n_dsym, nL) local pilot block
+    Returns local EstimateResult with channel (2, L, n_sym, nL).
+    """
+    plan = sp.plan
+    hp = plan.hop1
+    config = plan.config
+    nL = hp.n_layers
+    n_sp = sp.n_sp
+
+    rg = _est._ri_to_complex(rg_ri_loc)  # (L, n_sym)
+    pil = _est._ri_to_complex(pil_ri_loc)  # (R, n_dsym, nL)
+    cdtype = rg.dtype
+    rdtype = jnp.zeros((), cdtype).real.dtype
+    beta = jnp.asarray(beta, rdtype)
+
+    my = jax.lax.axis_index(axis)
+    is_first = my == 0
+    is_last = my == n_sp - 1
+
+    # --- gather + LS de-spread (local) ---
+    rx = jnp.take(rg, jnp.asarray(sp.local_re_idx), axis=0)  # (n_cdm, R, n_sym)
+    rx = jnp.take(rx, jnp.asarray(hp.dmrs_sym_idx), axis=2)  # (n_cdm, R, n_dsym)
+    epre_loc = dsp.fro_norm_sq(rx)
+
+    cdm_of_layer = np.arange(nL) // 2
+    rx_l = jnp.take(rx, jnp.asarray(cdm_of_layer), axis=0)  # (nL, R, n_dsym)
+    pil_l = jnp.moveaxis(pil, -1, 0)  # (nL, R, n_dsym)
+    rec_x = rx_l * jnp.conj(pil_l)
+
+    # --- CFO (global inner products via psum) ---
+    sst = plan.symbol_start_time
+    cfo_hop = None
+    if hp.cfo_possible:
+        inner_loc = jnp.sum(jnp.conj(rec_x[:, :, 0]) * rec_x[:, :, 1], axis=1)  # (nL,)
+        inner = _psum_c(inner_loc, axis)
+        acc = jnp.zeros((), rdtype)
+        for c in range(hp.n_cdm):
+            pair = inner[2 * c] + (inner[2 * c + 1] if 2 * c + 1 < nL else 0.0)
+            acc = acc + jnp.angle(pair).astype(rdtype)
+        cfo_hop = acc / (2.0 * np.pi * hp.n_samples) / hp.n_cdm
+        if config.cfo_compensate:
+            sst_d = jnp.asarray(sst[hp.dmrs_sym_idx], dtype=rdtype)
+            rot = jnp.exp(-1j * (2.0 * np.pi * sst_d * cfo_hop)).astype(cdtype)
+            rec_x = rec_x * rot[None, None, :]
+
+    # --- time average + CDM pair average (local; R is even) ---
+    h_p = jnp.sum(rec_x, axis=-1) / beta.astype(cdtype) / hp.n_dsym  # (nL, R)
+    if nL >= 2:
+        m = sp.R // 2
+        pairs = h_p.reshape(nL, m, 2)
+        avg = jnp.mean(pairs, axis=-1, keepdims=True)
+        h_p = jnp.broadcast_to(avg, (nL, m, 2)).reshape(nL, sp.R)
+
+    # --- smoothing ---
+    if hp.smoothing == "mean":
+        mean = _psum_c(jnp.sum(h_p, axis=-1), axis) / hp.n_re  # (nL,)
+        h_p = jnp.broadcast_to(mean[:, None], h_p.shape)
+    elif hp.smoothing == "filter":
+        hw, n_pils = sp.hw, hp.n_pils
+        lh, rh = _halo_exchange(h_p, hw, axis, n_sp)
+        # Outermost shards synthesize virtual pilots; zero-fill beyond them matches
+        # the unsharded zero padding (n_pils = min(12, hw) <= hw).
+        vb = _est._virtual_pilots(h_p[:, :n_pils], hp.vp_matrix, n_pils)
+        ve = _est._virtual_pilots(jnp.flip(h_p[:, -n_pils:], axis=-1), hp.vp_matrix, n_pils)
+        zpad = jnp.zeros((nL, hw - n_pils), cdtype)
+        left_edge = jnp.concatenate([zpad, vb], axis=-1)  # (nL, hw)
+        right_edge = jnp.concatenate([jnp.flip(ve, axis=-1), zpad], axis=-1)
+        left = jnp.where(is_first, left_edge, lh)
+        right = jnp.where(is_last, right_edge, rh)
+        ext = jnp.concatenate([left, h_p, right], axis=-1)  # (nL, R + 2*hw)
+        h_p = dsp.conv_valid(ext, hp.rc_taps)  # (nL, R)
+
+    # --- time alignment: gather the (tiny) smoothed pilots, shared PDP ---
+    h_all = jax.lax.all_gather(h_p, axis, axis=1, tiled=True)  # (nL, n_re)
+    z = jnp.zeros((hp.fft_size, nL), dtype=cdtype)
+    z = z.at[jnp.asarray(hp.ta_scatter_idx), :].set(h_all[:, : hp.ta_scatter_idx.size].T)
+    ir = jnp.fft.ifft(z, axis=0)
+    pdp = jnp.sum(jnp.abs(ir) ** 2, axis=1)
+    head = pdp[: hp.half_cp_len]
+    tail = pdp[-hp.half_cp_len :]
+    i_delay = jnp.argmax(head)
+    i_adv = jnp.argmax(tail)
+    i_max = jnp.where(
+        head[i_delay] >= tail[i_adv],
+        i_delay.astype(rdtype),
+        -(hp.half_cp_len - i_adv).astype(rdtype),
+    )
+    ta = i_max / float(hp.fft_size) / float(config.scs_hz)
+
+    # --- reconstruction, noise, RSRP (local sums -> psum) ---
+    if config.cfo_compensate and cfo_hop is not None:
+        sst_d = jnp.asarray(sst[hp.dmrs_sym_idx], dtype=rdtype)
+        ph = jnp.exp(1j * (2.0 * np.pi * sst_d * cfo_hop)).astype(cdtype)
+    else:
+        ph = jnp.ones((hp.n_dsym,), dtype=cdtype)
+    contrib = beta.astype(cdtype) * pil_l * (h_p[:, :, None] * ph[None, None, :])
+    est_rx = jnp.stack(
+        [jnp.sum(contrib[l0:l1], axis=0) for (l0, l1) in hp.layer_slices], axis=0
+    )
+    noise_loc = dsp.fro_norm_sq(rx - est_rx)
+    rsrp_loc = (beta**2) * dsp.fro_norm_sq(h_p) * hp.n_dsym
+
+    # --- grid fill with 1-pilot halo ---
+    lh1, rh1 = _halo_exchange(h_p, 1, axis, n_sp)
+    hh = jnp.concatenate([lh1, h_p, rh1], axis=-1)  # (nL, R + 2)
+    outs = []
+    for c, (l0, l1) in enumerate(hp.layer_slices):
+        vals = hh[l0:l1]
+        base = dsp.lerp_gather(vals, sp.interp_jl[c], sp.interp_jr[c], sp.interp_alpha[c])
+        fz = jnp.asarray(sp.first_zone[c])
+        lz = jnp.asarray(sp.last_zone[c])
+        base = jnp.where(is_first & fz, vals[:, 1:2], base)
+        base = jnp.where(is_last & lz, vals[:, sp.R : sp.R + 1], base)
+        outs.append(base)
+    full = jnp.concatenate(outs, axis=0)  # (nL, L)
+    block = jnp.broadcast_to(full.T[:, None, :], (sp.L, hp.n_alloc_syms, nL))
+    channel = jnp.zeros((sp.L, rg.shape[1], nL), dtype=cdtype)
+    channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, 0))
+
+    # --- normalization + grid-wide CFO rotation ---
+    epre = jax.lax.psum(epre_loc, axis) / plan.n_pilots
+    noise = jax.lax.psum(noise_loc, axis) / plan.noise_den
+    rsrp = jax.lax.psum(rsrp_loc, axis) / plan.n_pilots / nL
+    if config.cfo_compensate and cfo_hop is not None:
+        rot = jnp.exp(
+            1j * (2.0 * np.pi * jnp.asarray(sst, dtype=rdtype) * cfo_hop)
+        ).astype(cdtype)
+        channel = channel * rot[None, :, None]
+    cfo_hz = (
+        (cfo_hop * config.scs_hz).astype(rdtype)
+        if cfo_hop is not None
+        else jnp.full((), jnp.nan, rdtype)
+    )
+
+    return _est.EstimateResult(
+        channel_est_rg=_est._complex_to_ri(channel),
+        noise_est=noise,
+        rsrp=rsrp,
+        epre=epre,
+        time_alignment=ta,
+        cfo_hz=cfo_hz,
+    )
+
+
+def build_sp_batched(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    sp_axis: str = "sp",
+):
+    """Jitted batched estimator sharded over BOTH problems (dp) and subcarriers (sp).
+
+    fn(rg_ri[B,2,n_sc,n_sym], pil_ri[B,2,n_re,n_dsym,L], beta[B]) -> EstimateResult;
+    channel output is sharded (dp over batch, sp over subcarriers), scalars dp-sharded.
+    B must be divisible by |dp|; geometry restrictions per make_shard_plan.
+    """
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    plan = make_plan(hop1, hop2, config, n_layers)
+    n_sp = mesh.shape[sp_axis]
+    sp = make_shard_plan(plan, n_sp)
+
+    in_specs = (
+        P(dp_axis, None, sp_axis, None),  # rg_ri (B, 2, n_sc, n_sym)
+        P(dp_axis, None, sp_axis, None, None),  # pil_ri (B, 2, n_re, n_dsym, nL)
+        P(dp_axis),  # beta (B,)
+    )
+    out_specs = _est.EstimateResult(
+        channel_est_rg=P(dp_axis, None, sp_axis, None, None),
+        noise_est=P(dp_axis),
+        rsrp=P(dp_axis),
+        epre=P(dp_axis),
+        time_alignment=P(dp_axis),
+        cfo_hz=P(dp_axis),
+    )
+
+    def body(rg_ri_loc, pil_ri_loc, beta_loc):
+        return jax.vmap(
+            lambda r, p, b: _sharded_problem(sp, sp_axis, r, p, b)
+        )(rg_ri_loc, pil_ri_loc, beta_loc)
+
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
+
+
+def build_sp(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    mesh: Mesh,
+    sp_axis: str = "sp",
+):
+    """Single-problem subcarrier-sharded estimator (wideband low-latency path).
+
+    fn(rg_ri[2,n_sc,n_sym], pil_ri[2,n_re,n_dsym,L], beta) -> EstimateResult with the
+    channel output sharded over subcarriers.
+    """
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    plan = make_plan(hop1, hop2, config, n_layers)
+    n_sp = mesh.shape[sp_axis]
+    sp = make_shard_plan(plan, n_sp)
+
+    in_specs = (
+        P(None, sp_axis, None),
+        P(None, sp_axis, None, None),
+        P(),
+    )
+    out_specs = _est.EstimateResult(
+        channel_est_rg=P(None, sp_axis, None, None),
+        noise_est=P(),
+        rsrp=P(),
+        epre=P(),
+        time_alignment=P(),
+        cfo_hz=P(),
+    )
+
+    def body(rg_ri_loc, pil_ri_loc, beta):
+        return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta)
+
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)

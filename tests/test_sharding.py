@@ -1,0 +1,123 @@
+"""Sharding correctness on the 8-virtual-device CPU mesh.
+
+The DP path must be bit-identical to the unsharded batched path; the SP
+(subcarrier + halo exchange) path must match the unsharded estimator at every
+shard seam — the halo-exchange bound in SURVEY.md §7 "hard parts".
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from srsran_ce_tpu.models import estimator
+from srsran_ce_tpu.parallel import mesh as mesh_lib
+from srsran_ce_tpu.parallel.data_parallel import build_dp_batched
+from srsran_ce_tpu.parallel.subcarrier import build_sp, build_sp_batched, make_shard_plan
+from srsran_ce_tpu.models.plan import make_plan
+from srsran_ce_tpu.utils import oracle, synthetic
+
+
+def _ri(x):
+    return estimator.split_ri(x)
+
+
+def _stack_cases(cases):
+    rg = np.stack([_ri(c.received_rg) for c in cases])
+    pil = np.stack([_ri(c.pilots) for c in cases])
+    beta = np.array([c.beta for c in cases])
+    return rg, pil, beta
+
+
+def test_dp_batched_matches_oracle():
+    mesh = mesh_lib.make_mesh((8, 1), ("dp", "sp"))
+    cases = [synthetic.make_case(seed=i, n_prbs=24, n_layers=2, snr_db=30.0) for i in range(8)]
+    c0 = cases[0]
+    fn = build_dp_batched(c0.hop1, c0.hop2, c0.config, 2, mesh)
+    rg, pil, beta = _stack_cases(cases)
+    out = fn(rg, pil, beta)
+    assert len(out.channel_est_rg.sharding.device_set) == 8
+    ch_all = np.asarray(out.channel_est_rg)
+    noise_all = np.asarray(out.noise_est)
+    for i, c in enumerate(cases):
+        res_o = oracle.estimate(c.received_rg, c.pilots, c.beta, c.hop1, c.hop2, c.config)
+        ch = estimator.merge_ri(ch_all[i])
+        nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(np.abs(res_o.channel_est_rg) ** 2)
+        assert nmse < 1e-18, (i, nmse)
+        np.testing.assert_allclose(noise_all[i], res_o.noise_est, rtol=1e-8)
+
+
+SP_CASES = [
+    ("1layer_filter", dict(n_prbs=32, n_layers=1, smoothing="filter")),
+    ("2layer_filter", dict(n_prbs=32, n_layers=2, smoothing="filter")),
+    ("4layer", dict(n_prbs=64, n_layers=4, smoothing="filter")),
+    ("mean", dict(n_prbs=32, n_layers=1, smoothing="mean")),
+    ("none", dict(n_prbs=32, n_layers=1, smoothing="none")),
+    ("comb4", dict(n_prbs=32, n_layers=1, comb=4)),
+    ("cfo_off", dict(n_prbs=32, n_layers=1, cfo_compensate=False)),
+    ("wideband_272", dict(n_prbs=272, n_layers=1)),
+]
+
+
+@pytest.mark.parametrize("name,kwargs", SP_CASES, ids=[c[0] for c in SP_CASES])
+def test_sp_matches_unsharded(name, kwargs):
+    n_sp = 4
+    mesh = mesh_lib.make_mesh((2, n_sp), ("dp", "sp"))
+    case = synthetic.make_case(seed=abs(hash(name)) % 2**31, snr_db=30.0, **kwargs)
+    nL = case.pilots.shape[2]
+    fn = build_sp(case.hop1, case.hop2, case.config, nL, mesh)
+    out = fn(_ri(case.received_rg), _ri(case.pilots), case.beta)
+    res_o = oracle.estimate(case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config)
+    ch = estimator.merge_ri(np.asarray(out.channel_est_rg))
+    err = np.abs(ch - res_o.channel_est_rg)
+    nmse = np.sum(err**2) / np.sum(np.abs(res_o.channel_est_rg) ** 2)
+    assert nmse < 1e-18, f"{name}: NMSE {nmse}, max err {err.max()}"
+    np.testing.assert_allclose(float(out.noise_est), res_o.noise_est, rtol=1e-8)
+    np.testing.assert_allclose(float(out.epre), res_o.epre, rtol=1e-9)
+    np.testing.assert_allclose(float(out.rsrp), res_o.rsrp, rtol=1e-9)
+    np.testing.assert_allclose(float(out.time_alignment), res_o.time_alignment, rtol=1e-9, atol=1e-15)
+    if res_o.cfo_hz is not None:
+        np.testing.assert_allclose(float(out.cfo_hz), res_o.cfo_hz, rtol=1e-8)
+
+
+def test_sp_seams_bitwise_vs_unsharded():
+    """Channel estimate at shard seams must equal the unsharded jitted path (same
+    dtype), not just the oracle: checks the halo construction exactly."""
+    n_sp = 8
+    mesh = mesh_lib.make_mesh((1, n_sp), ("dp", "sp"))
+    case = synthetic.make_case(seed=77, n_prbs=64, n_layers=2, snr_db=25.0)
+    fn_sp = build_sp(case.hop1, case.hop2, case.config, 2, mesh)
+    out_sp = fn_sp(_ri(case.received_rg), _ri(case.pilots), case.beta)
+    fn_1 = estimator.build(case.hop1, case.hop2, case.config, 2)
+    out_1 = fn_1(case.received_rg, case.pilots, case.beta)
+    ch_sp = estimator.merge_ri(np.asarray(out_sp.channel_est_rg))
+    ch_1 = out_1.channel_est_rg
+    # seam columns: +-2 subcarriers around each shard boundary
+    L = ch_1.shape[0] // n_sp
+    seams = np.concatenate([[s * L - 2, s * L - 1, s * L, s * L + 1] for s in range(1, n_sp)])
+    np.testing.assert_allclose(ch_sp[seams], ch_1[seams], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(ch_sp, ch_1, rtol=1e-12, atol=1e-14)
+
+
+def test_sp_batched_dp_combo():
+    mesh = mesh_lib.make_mesh((2, 4), ("dp", "sp"))
+    cases = [synthetic.make_case(seed=200 + i, n_prbs=32, n_layers=1, snr_db=30.0) for i in range(4)]
+    c0 = cases[0]
+    fn = build_sp_batched(c0.hop1, c0.hop2, c0.config, 1, mesh)
+    rg, pil, beta = _stack_cases(cases)
+    out = fn(rg, pil, beta)
+    for i, c in enumerate(cases):
+        res_o = oracle.estimate(c.received_rg, c.pilots, c.beta, c.hop1, c.hop2, c.config)
+        ch = estimator.merge_ri(np.asarray(out.channel_est_rg)[i])
+        nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(np.abs(res_o.channel_est_rg) ** 2)
+        assert nmse < 1e-18, (i, nmse)
+
+
+def test_shard_plan_rejects_bad_geometry():
+    case = synthetic.make_case(seed=1, n_prbs=24, n_layers=1, two_hops=True)
+    plan = make_plan(case.hop1, case.hop2, case.config, 1)
+    with pytest.raises(AssertionError):
+        make_shard_plan(plan, 4)
+    case2 = synthetic.make_case(seed=2, n_prbs=25, n_layers=1)
+    plan2 = make_plan(case2.hop1, case2.hop2, case2.config, 1)
+    with pytest.raises(AssertionError):
+        make_shard_plan(plan2, 4)  # 25 PRBs not divisible by 4
