@@ -43,6 +43,26 @@ class EstimateResult:
     cfo_hz: jnp.ndarray  # scalar real, Hz (NaN if not estimable)
 
 
+def prefetch_plan_constants(plan: EstimatorPlan) -> None:
+    """Eagerly compute device-resident plan constants (the CNN inpainting operators)
+    BEFORE tracing, so the jitted program captures them as baked constants instead of
+    re-deriving them inside the trace. Called by every builder."""
+    if plan.config.interp != "cnn":
+        return
+    dtypes = [np.float32]
+    if jax.config.jax_enable_x64:
+        dtypes.append(np.float64)
+    for hp in (plan.hop1, plan.hop2):
+        if hp is None or hp.inpaint_schedules is None:
+            continue
+        for c in range(hp.n_cdm):
+            transient, steady = hp.inpaint_schedules[c]
+            total = len(transient) + steady
+            if total > 16:
+                for dt in dtypes:
+                    dsp.inpaint_operator(hp.inpaint_known[c], total, dt)
+
+
 def _virtual_pilots(h: jnp.ndarray, vp_matrix: Optional[np.ndarray], n_pils: int) -> jnp.ndarray:
     """Extrapolate n_pils virtual pilots to the left of h[..., :n_pils].
 
@@ -101,10 +121,19 @@ def _grid_fill(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> j
             )
         else:  # "cnn"
             known = hp_plan.inpaint_known[c]
-            filled = np.nonzero(known)[0]
-            sparse = jnp.zeros((vals.shape[0], hp_plan.n_sc_hop), dtype=vals.dtype)
-            sparse = sparse.at[:, filled].set(vals)
-            full = dsp.cnn_inpaint(sparse, known, 0, schedule=hp_plan.inpaint_schedules[c])
+            transient, steady = hp_plan.inpaint_schedules[c]
+            total_iters = len(transient) + steady
+            if total_iters > 16:
+                # Deep iteration counts (e.g. 409 at 273 PRB): apply the exact
+                # precomputed linear operator as one MXU matmul instead of a
+                # sequential conv chain (see dsp.inpaint_operator).
+                w = dsp.inpaint_operator(known, total_iters, jnp.real(vals).dtype)
+                full = dsp.inpaint_matmul(vals, w)
+            else:
+                filled = np.nonzero(known)[0]
+                sparse = jnp.zeros((vals.shape[0], hp_plan.n_sc_hop), dtype=vals.dtype)
+                sparse = sparse.at[:, filled].set(vals)
+                full = dsp.cnn_inpaint(sparse, known, 0, schedule=hp_plan.inpaint_schedules[c])
         outs.append(full)
     return jnp.concatenate(outs, axis=0)  # (n_layers, n_sc_hop)
 
@@ -307,6 +336,7 @@ def merge_ri(x_ri: np.ndarray) -> np.ndarray:
 def _build_ri_cached(plan_key, batched: bool):
     hop1, hop2, config, n_layers = plan_key
     plan = make_plan(hop1, hop2, config, n_layers)
+    prefetch_plan_constants(plan)
 
     def single(rg_ri, pil_ri, beta):
         res = _estimate_impl(plan, _ri_to_complex(rg_ri), _ri_to_complex(pil_ri), beta)

@@ -10,6 +10,7 @@ so the same code path serves single problems, vmapped batches, and sharded block
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -192,6 +193,48 @@ def cnn_inpaint(
         )
     x_lp = cnn_lowpass(x, passes=2)
     return jnp.where(known_j, x0, x_lp)
+
+
+@functools.lru_cache(maxsize=64)
+def _inpaint_operator_cached(known_key: bytes, n: int, n_iters: int, dtype_str: str):
+    """Exact linear operator of the full inpainting chain as an (n_re, n_sc) matrix.
+
+    The partial-conv inpainting is linear in the seeded pilot values (the mask
+    schedule, denominators, and pinning selects are all static — see
+    make_inpaint_schedule), so T iterations + the final low-pass collapse into ONE
+    matrix W with full[sc] = sum_j W[j, sc] * pilot[j]. We build W by pushing the
+    n_re scatter-identity basis vectors through the *identical* cnn_inpaint code
+    path (so parity is exact up to float reassociation), once per geometry, on
+    device. Applying it is a single MXU matmul — this replaces the 400-deep
+    sequential conv loop of the 273-PRB case with ~1 GFLOP of dense matmul.
+    """
+    known = np.frombuffer(known_key, dtype=bool)
+    filled = np.nonzero(known)[0]
+    n_re = filled.size
+    dtype = jnp.dtype(dtype_str)
+    eye = np.zeros((n_re, n), dtype=dtype)
+    eye[np.arange(n_re), filled] = 1.0
+    schedule = make_inpaint_schedule(known, n_iters)
+    w = jax.jit(lambda e: cnn_inpaint(e, known, n_iters, schedule=schedule))(
+        jnp.asarray(eye)
+    )
+    return jax.block_until_ready(w)  # (n_re, n_sc) real
+
+
+def inpaint_operator(known_mask: np.ndarray, n_iters: int, real_dtype) -> jnp.ndarray:
+    """Cached (n_re, n_sc) inpainting operator for a static mask (see above)."""
+    known = np.ascontiguousarray(np.asarray(known_mask, dtype=bool).reshape(-1))
+    return _inpaint_operator_cached(
+        known.tobytes(), known.size, int(n_iters), np.dtype(real_dtype).name
+    )
+
+
+def inpaint_matmul(values: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Apply the inpainting operator: (..., n_re) complex -> (..., n_sc) complex."""
+    wr = w.astype(jnp.real(values).dtype)
+    re = jnp.real(values) @ wr
+    im = jnp.imag(values) @ wr
+    return jax.lax.complex(re, im)
 
 
 def lerp_gather(values: jnp.ndarray, left: np.ndarray, right: np.ndarray, alpha: np.ndarray) -> jnp.ndarray:

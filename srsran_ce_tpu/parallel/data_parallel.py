@@ -36,6 +36,7 @@ def build_dp_batched(
     if hop2 is not None and hop2.is_empty:
         hop2 = None
     plan = make_plan(hop1, hop2, config, n_layers)
+    _est.prefetch_plan_constants(plan)
 
     batch = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
