@@ -1,0 +1,135 @@
+"""ctypes binding for the native vector-I/O library, built on demand with g++.
+
+Falls back cleanly (ImportError from this module) when no compiler is available;
+callers (utils/vectors.py) then use the vectorized numpy path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "vector_io.cpp"
+_SO = _DIR / "libvector_io.so"
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++",
+        "-O3",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        str(_SRC),
+        "-o",
+        str(_SO),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_SO))
+        lib.parse_entries.restype = None
+        lib.parse_entries.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.entries_to_grid.restype = ctypes.c_int64
+        lib.entries_to_grid.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        for name in ("complex_to_ri", "ri_to_complex"):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+        _lib = lib
+        return _lib
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def parse_entries(raw: bytes) -> np.ndarray:
+    """Parse expected_entry_t records via the native library."""
+    lib = _get_lib()
+    n = len(raw) // 12
+    out = np.empty(
+        n, dtype=[("sym", np.int32), ("port", np.int32), ("sc", np.int32), ("value", np.complex64)]
+    )
+    sym = np.empty(n, np.int32)
+    port = np.empty(n, np.int32)
+    sc = np.empty(n, np.int32)
+    val = np.empty(n, np.complex64)
+    lib.parse_entries(raw, n, _i32p(sym), _i32p(port), _i32p(sc), _f32p(val.view(np.float32)))
+    out["sym"] = sym
+    out["port"] = port
+    out["sc"] = sc
+    out["value"] = val
+    return out
+
+
+def entries_to_grid(raw: bytes, n_sc: int, n_sym: int, n_layers: int) -> np.ndarray:
+    """Parse + scatter records straight into a dense complex64 grid (fused path)."""
+    lib = _get_lib()
+    n = len(raw) // 12
+    grid = np.zeros((n_sc, n_sym, n_layers), dtype=np.complex64)
+    oob = lib.entries_to_grid(raw, n, _f32p(grid.view(np.float32)), n_sc, n_sym, n_layers)
+    if oob:
+        raise ValueError(f"{oob} records outside the ({n_sc},{n_sym},{n_layers}) grid")
+    return grid
+
+
+def complex_to_ri(x: np.ndarray) -> np.ndarray:
+    """(B, ...) complex64 -> (B, 2, ...) float32 planar, native speed."""
+    lib = _get_lib()
+    x = np.ascontiguousarray(x, dtype=np.complex64)
+    b = x.shape[0]
+    n = x.size // b
+    out = np.empty((b, 2) + x.shape[1:], np.float32)
+    lib.complex_to_ri(_f32p(x.view(np.float32)), _f32p(out), b, n)
+    return out
+
+
+def ri_to_complex(x: np.ndarray) -> np.ndarray:
+    """(B, 2, ...) float32 planar -> (B, ...) complex64, native speed."""
+    lib = _get_lib()
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    b = x.shape[0]
+    n = x.size // (2 * b)
+    out = np.empty((b,) + x.shape[2:], np.complex64)
+    lib.ri_to_complex(_f32p(x), _f32p(out.view(np.float32)), b, n)
+    return out
