@@ -83,7 +83,9 @@ def _virtual_pilots(h: jnp.ndarray, vp_matrix: Optional[np.ndarray], n_pils: int
     return (v_amp * jnp.exp(1j * v_ph)).astype(h.dtype)
 
 
-def _smooth(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> jnp.ndarray:
+def _smooth(
+    hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray, kernels: str = "xla"
+) -> jnp.ndarray:
     """Frequency-domain smoothing switch (ce_rule_baseline.py:645-680; CNN alpha
     blend from ce_dl_cnn.py:690-717). h_p: (n_layers, n_re)."""
     smoothing = hp_plan.smoothing
@@ -97,8 +99,20 @@ def _smooth(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> jnp.
     tail_rev = jnp.flip(h_p[:, -n_pils:], axis=-1)
     v_end = _virtual_pilots(tail_rev, hp_plan.vp_matrix, n_pils)
     x_ext = jnp.concatenate([v_begin, h_p, jnp.flip(v_end, axis=-1)], axis=-1)
-    y = dsp.conv_same_zero(x_ext, hp_plan.rc_taps)
-    out = y[:, n_pils : y.shape[-1] - n_pils]
+    K = hp_plan.rc_taps.size
+    hw = (K - 1) // 2
+    if kernels == "pallas":
+        from ..ops.pallas import kernels as _plk
+
+        nL = h_p.shape[0]
+        if hw > n_pils:  # zero padding beyond the virtual pilots (stride-1 filters)
+            x_ext = jnp.pad(x_ext, ((0, 0), (hw - n_pils, hw - n_pils)))
+        xr = jnp.concatenate([jnp.real(x_ext), jnp.imag(x_ext)], axis=0)[None]
+        y = _plk.rc_smooth(xr, hp_plan.rc_taps)[0]
+        out = jax.lax.complex(y[:nL], y[nL:])
+    else:
+        y = dsp.conv_same_zero(x_ext, hp_plan.rc_taps)
+        out = y[:, n_pils : y.shape[-1] - n_pils]
     if config.cnn_alpha > 0.0:
         alpha = min(1.0, max(0.0, config.cnn_alpha))
         out = out + alpha * (dsp.cnn_lowpass(out, passes=1) - out)
@@ -116,9 +130,13 @@ def _grid_fill(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> j
     for c, (l0, l1) in enumerate(hp_plan.layer_slices):
         vals = h_p[l0:l1]  # (n_l_c, n_re)
         if config.interp == "linear":
-            full = dsp.lerp_gather(
-                vals, hp_plan.interp_left[c], hp_plan.interp_right[c], hp_plan.interp_alpha[c]
-            )
+            if hp_plan.interp_matrix is not None:
+                w = jnp.asarray(hp_plan.interp_matrix[c], dtype=jnp.real(vals).dtype)
+                full = dsp.inpaint_matmul(vals, w)  # one MXU matmul vs three gathers
+            else:
+                full = dsp.lerp_gather(
+                    vals, hp_plan.interp_left[c], hp_plan.interp_right[c], hp_plan.interp_alpha[c]
+                )
         else:  # "cnn"
             known = hp_plan.inpaint_known[c]
             transient, steady = hp_plan.inpaint_schedules[c]
@@ -138,6 +156,53 @@ def _grid_fill(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> j
     return jnp.concatenate(outs, axis=0)  # (n_layers, n_sc_hop)
 
 
+def _grid_fill_rotate_pallas(
+    hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray, rot_slice: jnp.ndarray
+) -> jnp.ndarray:
+    """Pallas fused tier: interp-operator matmul + symbol broadcast + CFO rotation +
+    block write in ONE pass over the output (ops/pallas/kernels.fused_fill_rotate).
+
+    h_p: (n_layers, n_re) complex; rot_slice: (n_alloc_syms,) complex.
+    Returns (n_sc_hop, n_alloc_syms, n_layers) complex.
+
+    NOTE (measured on v5e): with the user-facing (sc, sym, layer) grid layout the
+    last two output dims are tiny (14, n_layers<=4), which starves the VPU lanes —
+    XLA's fusion of matmul+broadcast+rotate currently beats this kernel by a wide
+    margin. The kernel is kept as the exact-parity Pallas tier and becomes the fast
+    path once the serving layout flips to subcarrier-last; builders default to
+    kernels="xla".
+    """
+    from ..ops.pallas import kernels as _plk
+
+    # VMEM guard: the operator tile must fit on-chip (16 MB/core); deep-wideband
+    # operators (e.g. 273-PRB CNN: 1638x3276 f32 = 21 MB) fall back to the XLA tier.
+    max_w_bytes = 6 * 1024 * 1024
+    if any(
+        (hp_plan.n_re * hp_plan.n_sc_hop * np.dtype(np.float32).itemsize) > max_w_bytes
+        for _ in hp_plan.layer_slices
+    ):
+        full = _grid_fill(hp_plan, config, h_p)
+        return full.T[:, None, :] * rot_slice[None, :, None]
+
+    rdtype = jnp.real(h_p).dtype
+    rot_ri = jnp.stack([jnp.real(rot_slice), jnp.imag(rot_slice)])[None]  # (1, 2, n_alloc)
+    blocks = []
+    for c, (l0, l1) in enumerate(hp_plan.layer_slices):
+        if config.interp == "linear":
+            w = jnp.asarray(hp_plan.interp_matrix[c], dtype=rdtype)
+        else:
+            transient, steady = hp_plan.inpaint_schedules[c]
+            w = dsp.inpaint_operator(
+                hp_plan.inpaint_known[c], len(transient) + steady, rdtype
+            )
+        vals = h_p[l0:l1]
+        h_ri = jnp.stack([jnp.real(vals), jnp.imag(vals)])[None]  # (1, 2, n_l_c, n_re)
+        out = _plk.fused_fill_rotate(h_ri, w, rot_ri)[0]  # (2, n_sc_hop, n_alloc, n_l_c)
+        blocks.append(out)
+    blk = jnp.concatenate(blocks, axis=-1)  # (2, n_sc_hop, n_alloc, nL)
+    return jax.lax.complex(blk[0], blk[1])
+
+
 def _process_hop(
     hp: HopPlan,
     config: EstimatorConfig,
@@ -145,11 +210,13 @@ def _process_hop(
     pilots_h: jnp.ndarray,  # (n_re, n_dsym, n_layers) complex
     beta: jnp.ndarray,
     sst: Optional[np.ndarray],
+    kernels: str = "xla",
 ):
     """One hop of the estimator (reference process_hop, ce_rule_baseline.py:507-755).
 
-    Returns (epre_inc, cfo_hop|None, ta_inc, noise_inc, rsrp_inc, grid_block) where
-    grid_block is (n_sc_hop, n_alloc_syms, n_layers) ready for a dynamic_update_slice.
+    Returns (epre_inc, cfo_hop|None, ta_inc, noise_inc, rsrp_inc, h_p) — the grid
+    fill happens in _estimate_impl after the cross-hop CFO combine, so the rotation
+    fuses into the single block write.
     """
     cdtype = received_rg.dtype
     rdtype = jnp.zeros((), cdtype).real.dtype
@@ -157,9 +224,22 @@ def _process_hop(
     beta_r = beta.astype(rdtype)
 
     # --- Pilot RE gather + LS de-spread (ce_rule_baseline.py:583-605) ---
-    # rx: (n_cdm, n_re, n_dsym) received pilot REs
-    rx = jnp.take(received_rg, jnp.asarray(hp.re_idx), axis=0)  # (n_cdm, n_re, n_sym)
-    rx = jnp.take(rx, jnp.asarray(hp.dmrs_sym_idx), axis=2)
+    # rx: (n_cdm, n_re, n_dsym) received pilot REs. For contiguous comb allocations
+    # (the common case) this is pure reshape + static slices — TPU has no gather
+    # hardware, so avoiding jnp.take here is a large win.
+    if hp.fast_sel is not None:
+        sc0, offsets = hp.fast_sel
+        n_prbs_sel = hp.n_re // len(offsets[0])
+        blk = received_rg[sc0 : sc0 + n_prbs_sel * 12].reshape(n_prbs_sel, 12, -1)
+        rx = jnp.stack(
+            [
+                jnp.stack([blk[:, o, :] for o in offs], axis=1).reshape(hp.n_re, -1)
+                for offs in offsets
+            ]
+        )  # (n_cdm, n_re, n_sym)
+    else:
+        rx = jnp.take(received_rg, jnp.asarray(hp.re_idx), axis=0)
+    rx = jnp.stack([rx[:, :, int(i)] for i in hp.dmrs_sym_idx], axis=2)  # static slices
     epre_inc = dsp.fro_norm_sq(rx)
 
     cdm_of_layer = np.arange(nL) // 2
@@ -195,15 +275,30 @@ def _process_hop(
         )
 
     # --- Smoothing (ce_rule_baseline.py:645-680) ---
-    h_p = _smooth(hp, config, h_p)
+    h_p = _smooth(hp, config, h_p, kernels)
 
-    # --- Time alignment from IFFT power-delay profile (ce_rule_baseline.py:684-710) ---
-    z = jnp.zeros((hp.fft_size, nL), dtype=cdtype)
-    z = z.at[jnp.asarray(hp.ta_scatter_idx), :].set(h_p[:, : hp.ta_scatter_idx.size].T)
-    ir = jnp.fft.ifft(z, axis=0)
-    pdp = jnp.sum(jnp.abs(ir) ** 2, axis=1)
-    head = pdp[: hp.half_cp_len]
-    tail = pdp[-hp.half_cp_len :]
+    # --- Time alignment from the IFFT power-delay profile (ce_rule_baseline.py:684-710).
+    # Only the first/last half_cp_len bins feed the argmax, so evaluate exactly those
+    # via a direct DFT: two small MXU matmuls instead of scattering into a
+    # (4096, nL) buffer (which costs ~4 MB of HBM traffic per problem) and a full FFT.
+    if hp.ta_dft_cos is not None:
+        k = hp.ta_scatter_idx.size
+        C = jnp.asarray(hp.ta_dft_cos, dtype=rdtype)
+        S = jnp.asarray(hp.ta_dft_sin, dtype=rdtype)
+        hr = jnp.real(h_p[:, :k])
+        hi = jnp.imag(h_p[:, :k])
+        re = hr @ C - hi @ S  # (nL, 2*half_cp_len)
+        im = hr @ S + hi @ C
+        pdp = jnp.sum(re**2 + im**2, axis=0)  # (2*half_cp_len,)
+        head = pdp[: hp.half_cp_len]
+        tail = pdp[hp.half_cp_len :]
+    else:
+        z = jnp.zeros((hp.fft_size, nL), dtype=cdtype)
+        z = z.at[jnp.asarray(hp.ta_scatter_idx), :].set(h_p[:, : hp.ta_scatter_idx.size].T)
+        ir = jnp.fft.ifft(z, axis=0)
+        pdp = jnp.sum(jnp.abs(ir) ** 2, axis=1)
+        head = pdp[: hp.half_cp_len]
+        tail = pdp[-hp.half_cp_len :]
     i_delay = jnp.argmax(head)
     i_adv = jnp.argmax(tail)
     i_max = jnp.where(
@@ -227,13 +322,7 @@ def _process_hop(
     noise_inc = dsp.fro_norm_sq(rx - est_rx)
     rsrp_inc = (beta_r**2) * dsp.fro_norm_sq(h_p) * hp.n_dsym
 
-    # --- Grid fill (ce_rule_baseline.py:237-360 / ce_dl_cnn.py:233-322) ---
-    full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
-    grid_block = jnp.broadcast_to(
-        full.T[:, None, :], (hp.n_sc_hop, hp.n_alloc_syms, nL)
-    )
-
-    return epre_inc, cfo_hop, ta_inc, noise_inc, rsrp_inc, grid_block
+    return epre_inc, cfo_hop, ta_inc, noise_inc, rsrp_inc, h_p
 
 
 def _estimate_impl(
@@ -241,6 +330,7 @@ def _estimate_impl(
     received_rg: jnp.ndarray,
     pilots: jnp.ndarray,
     beta: jnp.ndarray,
+    kernels: str = "xla",
 ) -> EstimateResult:
     cdtype = received_rg.dtype
     rdtype = jnp.zeros((), cdtype).real.dtype
@@ -261,8 +351,11 @@ def _estimate_impl(
     if plan.has_hop2:
         hops.append((plan.hop2, pilots[:, plan.n_dsym1 :, :]))
 
+    h_ps = []
     for hp, pil in hops:
-        e_i, cfo_h, ta_i, n_i, r_i, block = _process_hop(hp, config, received_rg, pil, beta, sst)
+        e_i, cfo_h, ta_i, n_i, r_i, h_p = _process_hop(
+            hp, config, received_rg, pil, beta, sst, kernels
+        )
         epre = epre + e_i
         noise = noise + n_i
         rsrp = rsrp + r_i
@@ -271,7 +364,7 @@ def _estimate_impl(
             # Reference combine rule (ce_rule_baseline.py:617-621): average when both
             # hops estimate a CFO.
             cfo = cfo_h if cfo is None else (cfo + cfo_h) / 2.0
-        channel = jax.lax.dynamic_update_slice(channel, block, (hp.sc_start, hp.sym_start, 0))
+        h_ps.append(h_p)
 
     # --- Normalization (ce_rule_baseline.py:914-935) ---
     rsrp = rsrp / plan.n_pilots / nL
@@ -280,14 +373,26 @@ def _estimate_impl(
     if plan.has_hop2:
         ta = ta / 2.0
 
-    # --- Grid-wide CFO phase rotation (ce_rule_baseline.py:938-945) ---
+    # --- Grid-wide CFO phase rotation (ce_rule_baseline.py:938-945), folded into the
+    # hop-block writes: the grid is zero outside the hop allocations, so rotating
+    # only the blocks is identical and saves a full read+write pass over the grid.
     if config.cfo_compensate and cfo is not None:
         sst_j = jnp.asarray(sst, dtype=rdtype)  # (14,)
         rot = jnp.exp(1j * (2.0 * np.pi * sst_j * cfo)).astype(cdtype)
         # Reference broadcasts a length-14 vector over the symbol axis (assumes a
         # 14-symbol slot, ce_rule_baseline.py:944); preserve that contract.
         assert n_sym == rot.shape[0], "CFO grid rotation assumes a 14-symbol slot"
-        channel = channel * rot[None, :, None]
+    else:
+        rot = jnp.ones((n_sym,), dtype=cdtype)
+
+    for (hp, _), h_p in zip(hops, h_ps):
+        rot_slice = jax.lax.slice_in_dim(rot, hp.sym_start, hp.sym_start + hp.n_alloc_syms, axis=0)
+        if kernels == "pallas":
+            block = _grid_fill_rotate_pallas(hp, config, h_p, rot_slice)
+        else:
+            full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
+            block = full.T[:, None, :] * rot_slice[None, :, None]  # (n_sc_hop, n_alloc, nL)
+        channel = jax.lax.dynamic_update_slice(channel, block, (hp.sc_start, hp.sym_start, 0))
 
     cfo_hz = (
         (cfo * config.scs_hz).astype(rdtype)
@@ -333,13 +438,21 @@ def merge_ri(x_ri: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
-def _build_ri_cached(plan_key, batched: bool):
+def _build_ri_cached(plan_key, batched: bool, kernels: str):
     hop1, hop2, config, n_layers = plan_key
     plan = make_plan(hop1, hop2, config, n_layers)
     prefetch_plan_constants(plan)
+    if kernels == "pallas" and config.interp == "cnn":
+        # the Pallas fill kernel always applies the exact inpainting operator
+        for hp in (plan.hop1, plan.hop2):
+            if hp is not None and hp.inpaint_schedules is not None:
+                for c in range(hp.n_cdm):
+                    transient, steady = hp.inpaint_schedules[c]
+                    for dt in ([np.float32, np.float64] if jax.config.jax_enable_x64 else [np.float32]):
+                        dsp.inpaint_operator(hp.inpaint_known[c], len(transient) + steady, dt)
 
     def single(rg_ri, pil_ri, beta):
-        res = _estimate_impl(plan, _ri_to_complex(rg_ri), _ri_to_complex(pil_ri), beta)
+        res = _estimate_impl(plan, _ri_to_complex(rg_ri), _ri_to_complex(pil_ri), beta, kernels)
         return EstimateResult(
             channel_est_rg=_complex_to_ri(res.channel_est_rg),
             noise_est=res.noise_est,
@@ -362,6 +475,7 @@ def build_ri(
     config: EstimatorConfig,
     n_layers: int,
     batched: bool = False,
+    kernels: str = "xla",
 ):
     """Jitted `fn(rg_ri, pil_ri, beta) -> EstimateResult` in ri layout.
 
@@ -373,7 +487,8 @@ def build_ri(
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
-    return _build_ri_cached((hop1, hop2, config, n_layers), batched)
+    assert kernels in ("xla", "pallas")
+    return _build_ri_cached((hop1, hop2, config, n_layers), batched, kernels)
 
 
 def build(

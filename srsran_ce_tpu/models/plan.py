@@ -79,6 +79,17 @@ class HopPlan:
     ta_scatter_idx: np.ndarray  # (n_re,) int32 positions of LAST CDM group, clipped to fft
     half_cp_len: int
     fft_size: int
+    # TPU fast paths (math-identical reformulations picked at plan time):
+    # PDP via direct DFT on only the +-half_cp_len bins of interest — one MXU matmul
+    # instead of scattering into a (fft_size, nL) buffer and running a full IFFT.
+    ta_dft_cos: Optional[np.ndarray] = None  # (n_re_ta, 2*half_cp_len) float64
+    ta_dft_sin: Optional[np.ndarray] = None
+    # Contiguous-PRB comb geometry: pilot REs selectable by reshape+slice instead of
+    # a gather ((sc_base, re_offsets_within_prb) per CDM), None when irregular.
+    fast_sel: Optional[Tuple[int, Tuple[Tuple[int, ...], ...]]] = None
+    # Linear grid interpolation as a (n_re, n_sc_hop) matrix per CDM (2 nonzeros per
+    # column) — one MXU matmul instead of three gathers, which TPUs lower poorly.
+    interp_matrix: Optional[np.ndarray] = None  # (n_cdm, n_re, n_sc_hop) float64
 
 
 def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> HopPlan:
@@ -131,6 +142,7 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
     interp_alpha = np.zeros((n_cdm, n_sc_hop), dtype=np.float64)
     inpaint_schedules = None
     inpaint_known = None
+    interp_matrix = None
     if config.interp == "cnn":
         inpaint_schedules, inpaint_known = [], []
     for c in range(n_cdm):
@@ -156,6 +168,10 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
         interp_left[c] = left_ord
         interp_right[c] = right_ord
         interp_alpha[c] = alpha
+        if interp_matrix is None:
+            interp_matrix = np.zeros((n_cdm, n_re, n_sc_hop), dtype=np.float64)
+        np.add.at(interp_matrix[c], (left_ord, pos), 1.0 - alpha)
+        np.add.at(interp_matrix[c], (right_ord, pos), alpha)
         if config.interp == "cnn":
             known = np.zeros(n_sc_hop, dtype=bool)
             known[filled] = True
@@ -167,6 +183,26 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
     half_cp_len = int(math.floor((144 / 2) * fft_size / 2048))
     ta_idx = re_idx[n_cdm - 1]
     ta_idx = ta_idx[ta_idx < fft_size].astype(np.int32)
+
+    # Direct-DFT PDP matrices: ifft bin t of the scattered spectrum is
+    # (1/N) * sum_j h[j] * exp(+2i*pi*k_j*t/N); only bins [0, hcl) and [N-hcl, N)
+    # feed the argmax, so evaluate exactly those via two real matmuls.
+    bins = np.concatenate(
+        [np.arange(half_cp_len), fft_size - half_cp_len + np.arange(half_cp_len)]
+    )
+    theta = 2.0 * np.pi * ta_idx[:, None].astype(np.float64) * bins[None, :] / fft_size
+    ta_dft_cos = np.cos(theta) / fft_size
+    ta_dft_sin = np.sin(theta) / fft_size
+
+    # Reshape-based pilot selection for contiguous PRB allocations.
+    fast_sel = None
+    prb_idx = np.nonzero(prb_mask)[0]
+    if prb_idx.size > 0 and np.all(np.diff(prb_idx) == 1):
+        offsets = tuple(
+            tuple(int(p) for p in np.nonzero(re_mask[:, c])[0]) for c in range(n_cdm)
+        )
+        if len({len(o) for o in offsets}) == 1:
+            fast_sel = (int(prb_idx[0]) * NRE, offsets)
 
     layer_slices = tuple((c * 2, min(n_layers, (c + 1) * 2)) for c in range(n_cdm))
 
@@ -197,6 +233,10 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
         ta_scatter_idx=ta_idx,
         half_cp_len=half_cp_len,
         fft_size=fft_size,
+        ta_dft_cos=ta_dft_cos,
+        ta_dft_sin=ta_dft_sin,
+        fast_sel=fast_sel,
+        interp_matrix=interp_matrix,
     )
 
 

@@ -1,0 +1,219 @@
+"""Pallas TPU kernels — the fused perf tier of the estimator.
+
+The XLA tier (ops/dsp.py + models/estimator.py) is the default and the correctness
+reference; these kernels fuse the memory-bound tail of the pipeline so each output
+byte is written exactly once from VMEM:
+
+  fused_fill_rotate : interp-matmul (MXU) + symbol broadcast + CFO phase rotation +
+                      grid write, one pass. Replaces matmul -> broadcast ->
+                      dynamic_update_slice -> complex multiply (2-3 HBM passes).
+  rc_smooth         : batched K-tap RC FIR over the pilot axis in VMEM (the
+                      reference's per-layer python conv loop, ce_rule_baseline.py:
+                      661-676, as one vectorized stencil).
+  inpaint_stack     : the CNN denoiser's partial-conv iteration stack (ce_dl_cnn.py:
+                      473-508) run entirely in VMEM — the "jitted Pallas conv stack"
+                      tier for moderate iteration counts (deep counts use the exact
+                      linear-operator matmul, see ops/dsp.inpaint_operator).
+
+All kernels operate on ri-layout real arrays (complex never crosses a kernel
+boundary) and run in interpret mode on CPU for tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# fused interp + broadcast + rotate + write
+# ---------------------------------------------------------------------------
+
+
+def _fill_rotate_kernel(h_ref, w_ref, rot_ref, out_ref, *, n_sym: int, n_layers: int):
+    """One (batch, sc-tile) program.
+
+    h_ref:   (2, n_layers, n_re)      pilot-position estimates (ri)
+    w_ref:   (n_re, TILE_SC)          interpolation operator tile
+    rot_ref: (2, n_sym)               per-symbol CFO rotation (ri)
+    out_ref: (2, TILE_SC, n_sym, n_layers)
+    """
+    hr = h_ref[0, 0]  # (nL, n_re)
+    hi = h_ref[0, 1]
+    w = w_ref[:]  # (n_re, T)
+    # Precision.HIGHEST keeps the MXU in multi-pass f32 mode — default bf16 passes
+    # cost ~1e-2 relative error, far outside the estimator's conformance bounds.
+    fr = jnp.dot(hr, w, preferred_element_type=hr.dtype, precision=jax.lax.Precision.HIGHEST)
+    fi = jnp.dot(hi, w, preferred_element_type=hr.dtype, precision=jax.lax.Precision.HIGHEST)
+    rr = rot_ref[0, 0]  # (n_sym,)
+    ri = rot_ref[0, 1]
+    # out[s, t, y, l] = full[l, t] * rot[y]  (complex multiply), laid out ri-first
+    fr_t = fr.T  # (T, nL)
+    fi_t = fi.T
+    out_re = fr_t[:, None, :] * rr[None, :, None] - fi_t[:, None, :] * ri[None, :, None]
+    out_im = fr_t[:, None, :] * ri[None, :, None] + fi_t[:, None, :] * rr[None, :, None]
+    out_ref[0, 0] = out_re
+    out_ref[0, 1] = out_im
+
+
+def fused_fill_rotate(
+    h_ri: jnp.ndarray,  # (B, 2, n_layers, n_re)
+    w: jnp.ndarray,  # (n_re, n_sc)
+    rot_ri: jnp.ndarray,  # (B, 2, n_sym)
+    tile_sc: int = 256,
+) -> jnp.ndarray:
+    """(B, 2, n_sc, n_sym, n_layers) interpolated, symbol-broadcast, CFO-rotated
+    channel block, written in a single pass."""
+    B, _, nL, n_re = h_ri.shape
+    n_sc = w.shape[1]
+    n_sym = rot_ri.shape[2]
+    tile_sc = min(tile_sc, n_sc)
+    # pad n_sc to a tile multiple; caller slices back
+    n_tiles = -(-n_sc // tile_sc)
+    pad = n_tiles * tile_sc - n_sc
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+
+    out = pl.pallas_call(
+        functools.partial(_fill_rotate_kernel, n_sym=n_sym, n_layers=nL),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, nL, n_re), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_re, tile_sc), lambda b, t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_sym), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, tile_sc, n_sym, nL), lambda b, t: (b, 0, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 2, n_tiles * tile_sc, n_sym, nL), h_ri.dtype),
+        interpret=_interpret(),
+    )(h_ri, w, rot_ri)
+    return out[:, :, :n_sc]
+
+
+# ---------------------------------------------------------------------------
+# batched RC smoothing FIR
+# ---------------------------------------------------------------------------
+
+
+def _rc_smooth_kernel(x_ref, out_ref, *, taps: Tuple[float, ...]):
+    """x_ref: (2*nL, n_ext); out_ref: (2*nL, n_out) valid convolution."""
+    K = len(taps)
+    n_out = out_ref.shape[-1]
+    x = x_ref[0]
+    acc = taps[K - 1] * jax.lax.slice_in_dim(x, 0, n_out, axis=-1)
+    for k in range(1, K):
+        acc = acc + taps[K - 1 - k] * jax.lax.slice_in_dim(x, k, k + n_out, axis=-1)
+    out_ref[0] = acc
+
+
+def rc_smooth(x_ext_ri: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Valid K-tap convolution along the last axis.
+
+    x_ext_ri: (B, C, n_ext) real (the caller stacks re/im and layers into C).
+    Returns (B, C, n_ext - K + 1).
+    """
+    B, C, n_ext = x_ext_ri.shape
+    K = int(np.asarray(taps).size)
+    n_out = n_ext - K + 1
+    out = pl.pallas_call(
+        functools.partial(_rc_smooth_kernel, taps=tuple(float(t) for t in np.asarray(taps))),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, C, n_ext), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, C, n_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, n_out), x_ext_ri.dtype),
+        interpret=_interpret(),
+    )(x_ext_ri)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CNN partial-conv inpainting stack
+# ---------------------------------------------------------------------------
+
+
+def _inpaint_kernel(x_ref, known_ref, trans_ref, out_ref, *, n_transient: int, steady: int):
+    """x_ref/out_ref: (1, C, n) — C = 2*n_layers ri channels; whole chain in VMEM.
+
+    known_ref: (1, n) 0/1 pinning mask; trans_ref: (n_transient, 2, n) per-iteration
+    (validity mask, reciprocal denominator) pairs — Pallas kernels cannot capture
+    array constants, so the static schedule rides in as inputs.
+
+    Follows dsp.cnn_inpaint exactly: unrolled transient iterations, then `steady`
+    fixed-point iterations, then a 2-pass low-pass, with known positions pinned.
+    """
+    eps = 1e-12
+    n = x_ref.shape[-1]
+    known_j = known_ref[0][None, :] > 0.5
+    x0 = x_ref[0]
+    x = x0
+
+    def conv3(v):
+        # reflect padding: v[:, 1], v, v[:, -2]
+        left = v[:, 1:2]
+        right = v[:, n - 2 : n - 1]
+        vp = jnp.concatenate([left, v, right], axis=-1)
+        return (
+            0.25 * jax.lax.slice_in_dim(vp, 0, n, axis=-1)
+            + 0.5 * jax.lax.slice_in_dim(vp, 1, n + 1, axis=-1)
+            + 0.25 * jax.lax.slice_in_dim(vp, 2, n + 2, axis=-1)
+        )
+
+    for t in range(n_transient):
+        m_j = trans_ref[t, 0][None, :]
+        inv = trans_ref[t, 1][None, :]
+        x = jnp.where(known_j, x0, conv3(x * m_j) * inv)
+    if steady > 0:
+        inv_c = jnp.asarray(1.0 / (1.0 + eps), dtype=x0.dtype)
+        x = jax.lax.fori_loop(
+            0, steady, lambda _, xc: jnp.where(known_j, x0, conv3(xc) * inv_c), x
+        )
+    # final low-pass, 2 passes, applied to unknowns only
+    x_lp = conv3(conv3(x))
+    out_ref[0] = jnp.where(known_j, x0, x_lp)
+
+
+def inpaint_stack(
+    x_ri: jnp.ndarray,  # (B, C, n) sparse ri values (zeros at unknown)
+    known_mask: np.ndarray,
+    n_iters: int,
+    schedule=None,
+) -> jnp.ndarray:
+    """Pallas conv-stack inpainting; exact parity with dsp.cnn_inpaint."""
+    from .. import dsp
+
+    known = np.asarray(known_mask, dtype=bool).reshape(-1)
+    if schedule is None:
+        schedule = dsp.make_inpaint_schedule(known, n_iters)
+    transient, steady = schedule
+    B, C, n = x_ri.shape
+    eps = 1e-12
+    n_transient = len(transient)
+    trans = np.stack(
+        [np.stack([m, 1.0 / (d + eps)]) for m, d in transient]
+    ).astype(x_ri.dtype) if n_transient else np.zeros((0, 2, n), x_ri.dtype)
+    known_f = known.astype(x_ri.dtype)[None, :]
+    out = pl.pallas_call(
+        functools.partial(_inpaint_kernel, n_transient=n_transient, steady=int(steady)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, C, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(n_transient, 1), 2, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, n), x_ri.dtype),
+        interpret=_interpret(),
+    )(x_ri, jnp.asarray(known_f), jnp.asarray(trans if n_transient else np.zeros((1, 2, n), x_ri.dtype)))
+    return out

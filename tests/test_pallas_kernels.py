@@ -1,0 +1,92 @@
+"""Pallas kernel parity tests (interpret mode on the CPU test platform).
+
+Each kernel must match its XLA-tier equivalent exactly (same math, VMEM-fused);
+SURVEY.md §5 prescribes interpret-mode Pallas tests as the kernel sanitizer.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from srsran_ce_tpu.ops import dsp
+from srsran_ce_tpu.ops.pallas import kernels
+
+
+def test_fused_fill_rotate_matches_reference_math():
+    rng = np.random.default_rng(0)
+    B, nL, n_re, n_sc, n_sym = 3, 2, 48, 96, 14
+    h = rng.standard_normal((B, nL, n_re)) + 1j * rng.standard_normal((B, nL, n_re))
+    rot = np.exp(1j * rng.standard_normal((B, n_sym)))
+    # simple interp operator: 2 nnz per column
+    w = np.zeros((n_re, n_sc))
+    for j in range(n_sc):
+        a = min(j // 2, n_re - 1)
+        b = min(a + 1, n_re - 1)
+        al = (j / 2) - a
+        w[a, j] += 1 - al
+        w[b, j] += al
+
+    h_ri = np.stack([h.real, h.imag], axis=1)  # (B, 2, nL, n_re)
+    rot_ri = np.stack([rot.real, rot.imag], axis=1)  # (B, 2, n_sym)
+    out = np.asarray(kernels.fused_fill_rotate(jnp.asarray(h_ri), jnp.asarray(w), jnp.asarray(rot_ri), tile_sc=32))
+    got = out[:, 0] + 1j * out[:, 1]  # (B, n_sc, n_sym, nL)
+
+    full = np.einsum("blr,rs->bls", h, w)  # (B, nL, n_sc)
+    want = np.transpose(full, (0, 2, 1))[:, :, None, :] * rot[:, None, :, None]
+    np.testing.assert_allclose(got, np.transpose(want, (0, 1, 2, 3)), atol=1e-10)
+
+
+def test_rc_smooth_matches_conv_valid():
+    rng = np.random.default_rng(1)
+    B, C, n_ext, K = 4, 6, 80, 15
+    taps = rng.standard_normal(K)
+    x = rng.standard_normal((B, C, n_ext))
+    got = np.asarray(kernels.rc_smooth(jnp.asarray(x), taps))
+    want = np.asarray(dsp.conv_valid(jnp.asarray(x), taps))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("n,comb", [(48, 2), (96, 4)])
+def test_inpaint_stack_matches_dsp(n, comb):
+    rng = np.random.default_rng(n)
+    known = np.zeros(n, dtype=bool)
+    known[::comb] = True
+    n_iters = max(6, n // 8)
+    B, nL = 2, 2
+    vals = rng.standard_normal((B, nL, n)) + 1j * rng.standard_normal((B, nL, n))
+    sparse = np.where(known[None, None, :], vals, 0.0)
+
+    # XLA tier
+    want = np.asarray(dsp.cnn_inpaint(jnp.asarray(sparse), known, n_iters))
+
+    # Pallas tier on ri channels
+    x_ri = np.concatenate([sparse.real, sparse.imag], axis=1)  # (B, 2*nL, n)
+    out = np.asarray(kernels.inpaint_stack(jnp.asarray(x_ri), known, n_iters))
+    got = out[:, :nL] + 1j * out[:, nL:]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_pallas_tier_estimator_end_to_end():
+    """Full estimator with kernels='pallas' (interpret mode) matches the XLA tier."""
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.utils import synthetic
+
+    for kwargs in (
+        dict(n_prbs=24, n_layers=2, comb=2),
+        dict(n_prbs=24, n_layers=1, comb=2, interp="cnn"),
+    ):
+        case = synthetic.make_case(seed=55, snr_db=30.0, **kwargs)
+        nL = case.pilots.shape[2]
+        rg = estimator.split_ri(case.received_rg)
+        pil = estimator.split_ri(case.pilots)
+        out_x = estimator.build_ri(case.hop1, case.hop2, case.config, nL, kernels="xla")(
+            rg, pil, case.beta
+        )
+        out_p = estimator.build_ri(case.hop1, case.hop2, case.config, nL, kernels="pallas")(
+            rg, pil, case.beta
+        )
+        ch_x = np.asarray(out_x.channel_est_rg)
+        ch_p = np.asarray(out_p.channel_est_rg)
+        scale = np.abs(ch_x).max() + 1e-30
+        assert np.max(np.abs(ch_x - ch_p)) / scale < 1e-10, kwargs
+        np.testing.assert_allclose(float(out_p.noise_est), float(out_x.noise_est), rtol=1e-10)
