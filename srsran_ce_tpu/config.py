@@ -114,7 +114,9 @@ class EstimatorConfig:
     duck-typed extras (ce_dl_cnn.py:864-867):
       scs_hz          <-> scs (Hz)
       cp_durations_ms <-> CyclicPrefixDurations (>=14,) ms
-      smoothing       <-> Smoothing in {"filter", "mean", "none"}
+      smoothing       <-> Smoothing in {"filter", "mean", "none"} plus "learned"
+                          (trainable denoiser, models/denoiser.py — no reference
+                          counterpart; the built function takes a params pytree)
       cfo_compensate  <-> CFOCompensate
       cnn_alpha       <-> CNNSmoothingAlpha (0 disables CNN residual blending)
       interp          : "linear" (baseline/tensorized behavior, ce_rule_baseline.py:303-320)
@@ -129,7 +131,7 @@ class EstimatorConfig:
     cnn_alpha: float = 0.0
 
     def __post_init__(self):
-        if self.smoothing not in ("filter", "mean", "none"):
+        if self.smoothing not in ("filter", "mean", "none", "learned"):
             raise ValueError(f"Unknown smoothing strategy {self.smoothing}.")
         if self.interp not in ("linear", "cnn"):
             raise ValueError(f"Unknown interpolation strategy {self.interp}.")

@@ -1,0 +1,108 @@
+"""Trainable pilot-estimate denoiser — the learned upgrade of the reference's CNN.
+
+The reference's "CNN" variant is an untrained, fixed-weight [0.25, 0.5, 0.25]
+iterative smoother (ce_dl_cnn.py:454-508; SURVEY.md §2 notes "no nn.Module, no
+parameters, no training loop ... room for a trainable-weights extension"). This
+module provides that extension as a proper flax model: a small residual 1-D CNN over
+the frequency axis of the per-pilot LS estimates, trained on synthetic channels to
+minimize NMSE against ground truth.
+
+Integration: `smoothing="learned"` in EstimatorConfig routes the estimator's
+smoothing stage through this network (the built function then takes a `params`
+pytree as an extra argument). Everything stays ri-layout / static-shape, so the
+denoiser runs inside the same single jitted XLA program as the rest of the chain.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PilotDenoiser(nn.Module):
+    """Residual 1-D CNN over the pilot/frequency axis.
+
+    Input/output: (..., n_re, 2) — re/im channels last. The residual connection
+    makes the identity (raw LS estimate) the zero-init fixed point, so an untrained
+    network degrades gracefully to smoothing="none".
+    """
+
+    features: Sequence[int] = (32, 32)
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = x
+        for f in self.features:
+            h = nn.Conv(f, (self.kernel_size,), padding="SAME")(h)
+            h = nn.relu(h)
+        # zero-init output conv: the residual starts exactly at identity, so an
+        # untrained network reproduces smoothing="none" bit-for-bit
+        delta = nn.Conv(
+            2, (self.kernel_size,), padding="SAME", kernel_init=nn.initializers.zeros
+        )(h)
+        return x + delta
+
+
+def init_params(rng_key, n_re: int = 128):
+    model = PilotDenoiser()
+    return model.init(rng_key, jnp.zeros((1, n_re, 2), jnp.float32))
+
+
+def apply_complex(params, h_p: jnp.ndarray) -> jnp.ndarray:
+    """Denoise (n_layers, n_re) complex pilot estimates; returns same shape/dtype."""
+    rdtype = jnp.real(h_p).dtype
+    x = jnp.stack([jnp.real(h_p), jnp.imag(h_p)], axis=-1).astype(jnp.float32)
+    y = PilotDenoiser().apply(params, x)
+    y = y.astype(rdtype)
+    return jax.lax.complex(y[..., 0], y[..., 1]).astype(h_p.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic training data: noisy LS estimates + ground truth at pilot REs
+# ---------------------------------------------------------------------------
+
+
+def make_training_batch(
+    rng: np.random.Generator,
+    batch: int,
+    n_re: int,
+    snr_db_range: Tuple[float, float] = (0.0, 30.0),
+    n_taps: int = 6,
+    max_delay_frac: float = 0.02,
+):
+    """(noisy_ls, truth): (B, n_re, 2) float32 pairs.
+
+    Physics matches utils/synthetic._tdl_frequency_response: multipath frequency
+    responses sampled at comb-spaced pilot positions, pilot-despread LS estimates
+    corrupted by AWGN at a per-sample random SNR.
+    """
+    nfft = 2048.0
+    delays = rng.uniform(0.0, max_delay_frac * nfft, size=(batch, n_taps))
+    delays[:, 0] = 0.0
+    power = np.exp(-delays / (max_delay_frac * nfft / 3.0 + 1e-9))
+    power /= power.sum(axis=1, keepdims=True)
+    gains = (rng.standard_normal((batch, n_taps)) + 1j * rng.standard_normal((batch, n_taps)))
+    gains *= np.sqrt(power / 2.0)
+    k = np.arange(n_re, dtype=np.float64) * 2.0  # comb-2 pilot spacing
+    phase = np.exp(-2j * np.pi * k[None, :, None] * delays[:, None, :] / nfft)
+    truth = np.einsum("brt,bt->br", phase, gains)
+
+    snr_db = rng.uniform(*snr_db_range, size=(batch, 1))
+    noise_std = 10.0 ** (-snr_db / 20.0)
+    noisy = truth + noise_std * (
+        rng.standard_normal((batch, n_re)) + 1j * rng.standard_normal((batch, n_re))
+    ) / np.sqrt(2.0)
+
+    to_ri = lambda z: np.stack([z.real, z.imag], axis=-1).astype(np.float32)
+    return to_ri(noisy), to_ri(truth)
+
+
+def nmse_loss(params, noisy_ri: jnp.ndarray, truth_ri: jnp.ndarray) -> jnp.ndarray:
+    pred = PilotDenoiser().apply(params, noisy_ri)
+    err = jnp.sum((pred - truth_ri) ** 2)
+    ref = jnp.sum(truth_ri**2) + 1e-12
+    return err / ref

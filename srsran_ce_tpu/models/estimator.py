@@ -84,13 +84,23 @@ def _virtual_pilots(h: jnp.ndarray, vp_matrix: Optional[np.ndarray], n_pils: int
 
 
 def _smooth(
-    hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray, kernels: str = "xla"
+    hp_plan: HopPlan,
+    config: EstimatorConfig,
+    h_p: jnp.ndarray,
+    kernels: str = "xla",
+    params=None,
 ) -> jnp.ndarray:
     """Frequency-domain smoothing switch (ce_rule_baseline.py:645-680; CNN alpha
-    blend from ce_dl_cnn.py:690-717). h_p: (n_layers, n_re)."""
+    blend from ce_dl_cnn.py:690-717; trainable path via models/denoiser.py).
+    h_p: (n_layers, n_re)."""
     smoothing = hp_plan.smoothing
     if smoothing == "none":
         return h_p
+    if smoothing == "learned":
+        from . import denoiser as _dn
+
+        assert params is not None, "smoothing='learned' needs denoiser params"
+        return _dn.apply_complex(params, h_p)
     if smoothing == "mean":
         return jnp.broadcast_to(jnp.mean(h_p, axis=-1, keepdims=True), h_p.shape)
     # "filter"
@@ -211,6 +221,7 @@ def _process_hop(
     beta: jnp.ndarray,
     sst: Optional[np.ndarray],
     kernels: str = "xla",
+    params=None,
 ):
     """One hop of the estimator (reference process_hop, ce_rule_baseline.py:507-755).
 
@@ -275,7 +286,7 @@ def _process_hop(
         )
 
     # --- Smoothing (ce_rule_baseline.py:645-680) ---
-    h_p = _smooth(hp, config, h_p, kernels)
+    h_p = _smooth(hp, config, h_p, kernels, params)
 
     # --- Time alignment from the IFFT power-delay profile (ce_rule_baseline.py:684-710).
     # Only the first/last half_cp_len bins feed the argmax, so evaluate exactly those
@@ -331,6 +342,7 @@ def _estimate_impl(
     pilots: jnp.ndarray,
     beta: jnp.ndarray,
     kernels: str = "xla",
+    params=None,
 ) -> EstimateResult:
     cdtype = received_rg.dtype
     rdtype = jnp.zeros((), cdtype).real.dtype
@@ -354,7 +366,7 @@ def _estimate_impl(
     h_ps = []
     for hp, pil in hops:
         e_i, cfo_h, ta_i, n_i, r_i, h_p = _process_hop(
-            hp, config, received_rg, pil, beta, sst, kernels
+            hp, config, received_rg, pil, beta, sst, kernels, params
         )
         epre = epre + e_i
         noise = noise + n_i
@@ -451,8 +463,7 @@ def _build_ri_cached(plan_key, batched: bool, kernels: str):
                     for dt in ([np.float32, np.float64] if jax.config.jax_enable_x64 else [np.float32]):
                         dsp.inpaint_operator(hp.inpaint_known[c], len(transient) + steady, dt)
 
-    def single(rg_ri, pil_ri, beta):
-        res = _estimate_impl(plan, _ri_to_complex(rg_ri), _ri_to_complex(pil_ri), beta, kernels)
+    def to_ri(res):
         return EstimateResult(
             channel_est_rg=_complex_to_ri(res.channel_est_rg),
             noise_est=res.noise_est,
@@ -460,6 +471,26 @@ def _build_ri_cached(plan_key, batched: bool, kernels: str):
             epre=res.epre,
             time_alignment=res.time_alignment,
             cfo_hz=res.cfo_hz,
+        )
+
+    if config.smoothing == "learned":
+        # params pytree rides along as a replicated (non-batched) argument
+        def single_p(rg_ri, pil_ri, beta, params):
+            return to_ri(
+                _estimate_impl(
+                    plan, _ri_to_complex(rg_ri), _ri_to_complex(pil_ri), beta, kernels, params
+                )
+            )
+
+        if batched:
+            fn = jax.jit(jax.vmap(single_p, in_axes=(0, 0, 0, None)))
+        else:
+            fn = jax.jit(single_p)
+        return fn
+
+    def single(rg_ri, pil_ri, beta):
+        return to_ri(
+            _estimate_impl(plan, _ri_to_complex(rg_ri), _ri_to_complex(pil_ri), beta, kernels)
         )
 
     if batched:

@@ -1,0 +1,117 @@
+"""Training loop for the pilot denoiser: optax + dp-sharded steps + orbax checkpoints.
+
+The reference has no training loop or checkpointing at all (SURVEY.md §5
+"Checkpoint/resume: not present — there is no trained state anywhere"); this module
+supplies the TPU-native equivalents: a jitted optax train step sharded over the
+mesh's `dp` axis (gradients all-reduced by XLA from the sharding annotations — no
+hand-written collectives), and orbax save/restore for elastic resume.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import denoiser
+
+
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: optax.OptState
+    step: int
+
+
+def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-5):
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def init_state(seed: int = 0, n_re: int = 128, lr: float = 1e-3) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = denoiser.init_params(jax.random.key(seed), n_re)
+    tx = make_optimizer(lr)
+    return TrainState(params, tx.init(params), 0), tx
+
+
+def build_train_step(tx, mesh: Optional[Mesh] = None, dp_axis: str = "dp"):
+    """Jitted `(params, opt_state, noisy, truth) -> (params, opt_state, loss)`.
+
+    With a mesh, the batch is sharded over `dp_axis` and parameters are replicated;
+    XLA inserts the gradient all-reduce automatically (psum over dp).
+    """
+
+    def step(params, opt_state, noisy, truth):
+        loss, grads = jax.value_and_grad(denoiser.nmse_loss)(params, noisy, truth)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(dp_axis))
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data, data),
+        out_shardings=(repl, repl, repl),
+    )
+
+
+def train(
+    n_steps: int = 200,
+    batch: int = 256,
+    n_re: int = 128,
+    seed: int = 0,
+    lr: float = 1e-3,
+    mesh: Optional[Mesh] = None,
+    log_every: int = 50,
+    state: Optional[TrainState] = None,
+) -> Tuple[TrainState, float]:
+    """Train the denoiser on streamed synthetic batches; returns (state, last_loss)."""
+    rng = np.random.default_rng(seed)
+    if state is None:
+        state, tx = init_state(seed, n_re, lr)
+    else:
+        tx = make_optimizer(lr)
+    step_fn = build_train_step(tx, mesh)
+    params, opt_state = state.params, state.opt_state
+    loss = float("nan")
+    for i in range(n_steps):
+        noisy, truth = denoiser.make_training_batch(rng, batch, n_re)
+        params, opt_state, loss_j = step_fn(params, opt_state, noisy, truth)
+        if log_every and (i % log_every == 0 or i == n_steps - 1):
+            loss = float(loss_j)
+            print(f"step {state.step + i:5d}  nmse {loss:.4e}", flush=True)
+    return TrainState(params, opt_state, state.step + n_steps), float(loss_j)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": state.params, "opt_state": state.opt_state, "step": state.step})
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path, seed: int = 0, n_re: int = 128, lr: float = 1e-3) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    template, _ = init_state(seed, n_re, lr)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        {"params": template.params, "opt_state": template.opt_state, "step": 0},
+    )
+    return TrainState(restored["params"], restored["opt_state"], int(restored["step"]))

@@ -78,6 +78,7 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hop = hp.hop
     assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
     assert plan.config.interp == "linear", "sharded path supports linear interpolation"
+    assert plan.config.smoothing != "learned", "sharded path: learned smoothing TBD"
     assert plan.config.cnn_alpha == 0.0, "sharded path supports cnn_alpha == 0"
     prb_mask = hop.prb_mask_np
     assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
