@@ -34,7 +34,11 @@ def make_mesh(
     if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
     assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
-    return jax.make_mesh(shape, tuple(axis_names), devices=devices)
+    # Auto axis types: classic sharding propagation (zeros/intermediates created
+    # inside jit pick up shardings from consumers instead of demanding explicit
+    # out_sharding annotations on every scatter/creation op).
+    axis_types = (jax.sharding.AxisType.Auto,) * len(axis_names)
+    return jax.make_mesh(shape, tuple(axis_names), devices=devices, axis_types=axis_types)
 
 
 def multihost_initialize():

@@ -1,0 +1,112 @@
+"""Tracing / profiling / throughput measurement (SURVEY.md §5 'Tracing/profiling').
+
+The reference's only introspection was Dynamo graph accounting
+(diagnose_furiosa_backend.py:169-188). TPU-native equivalents here:
+
+  trace()            — context manager around jax.profiler for TensorBoard traces
+  hlo_op_stats()     — per-op counts from the lowered StableHLO (cost visibility)
+  chained_throughput — the slope-based device-time measurement used by bench.py,
+                       packaged as a library utility (robust to async-ack runtimes)
+  StructuredReport   — JSON-able run reports (per-config metrics)
+"""
+from __future__ import annotations
+
+import collections
+import contextlib
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/srsce_trace"):
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def hlo_op_stats(lowered) -> Dict[str, int]:
+    """Count StableHLO ops in a lowered (pre-compile) computation."""
+    ops = collections.Counter()
+    for line in lowered.as_text().splitlines():
+        line = line.strip()
+        if "=" in line and not line.startswith(("//", "module", "func", "}")):
+            rhs = line.split("=", 1)[1].strip()
+            op = rhs.split(" ", 1)[0].split("(")[0]
+            if op.startswith(("stablehlo.", "mhlo.", "chlo.")) or "." not in op:
+                ops[op] += 1
+    return dict(ops)
+
+
+def chained_throughput(
+    step_fn: Callable,
+    feedback_fn: Callable,
+    args: tuple,
+    carry_index: int = 0,
+    reps_lo: int = 8,
+    reps_hi: int = 72,
+    trials: int = 3,
+) -> float:
+    """Seconds per step_fn call, measured as the REPS-scaling slope of a strictly
+    serial lax.scan chain (next input depends on previous output via feedback_fn).
+
+    Robust to runtimes whose async completion acks fire before execution: constant
+    per-call overhead and fetch latency cancel in the slope. A scalar fetch after
+    warmup forces materialization.
+
+    step_fn(*args) -> output pytree; feedback_fn(carry, output) -> new carry for
+    args[carry_index].
+    """
+
+    def make(reps):
+        @jax.jit
+        def many(*a):
+            def body(carry, _):
+                cur = list(a)
+                cur[carry_index] = carry
+                out = step_fn(*cur)
+                return feedback_fn(carry, out), 0.0
+            final, _ = jax.lax.scan(body, a[carry_index], None, length=reps)
+            return jnp.sum(final)
+
+        return many
+
+    times = {}
+    for reps in (reps_lo, reps_hi):
+        fn = make(reps)
+        r = fn(*args)
+        float(r)  # force
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.time()
+            r = fn(*args)
+            jax.block_until_ready(r)
+            best = min(best, time.time() - t0)
+        times[reps] = best
+    return max((times[reps_hi] - times[reps_lo]) / (reps_hi - reps_lo), 1e-12)
+
+
+@dataclass
+class StructuredReport:
+    """JSON-able run report: the framework's structured observability output
+    (replacing the reference's print-based reporting, SURVEY.md §5)."""
+
+    kind: str  # "bench" | "conformance" | "scaling"
+    device: str
+    entries: List[dict] = field(default_factory=list)
+    meta: dict = field(default_factory=dict)
+
+    def add(self, **kv) -> None:
+        self.entries.append(kv)
+
+    def write(self, path) -> None:
+        with open(path, "w") as f:
+            json.dump(asdict(self), f, indent=2)
