@@ -107,6 +107,37 @@ def cmd_diagnose(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Train the pilot denoiser on streamed synthetic channels and checkpoint it."""
+    from ..models import training
+
+    state = None
+    if args.resume:
+        state = training.load_checkpoint(args.resume, n_re=args.n_re, lr=args.lr)
+        print(f"resumed from {args.resume} at step {state.step}")
+    state, loss = training.train(
+        n_steps=args.steps, batch=args.batch, n_re=args.n_re, lr=args.lr, state=state
+    )
+    print(f"final nmse {loss:.4e} after {state.step} total steps")
+    if args.checkpoint:
+        training.save_checkpoint(args.checkpoint, state)
+        print(f"checkpoint saved to {args.checkpoint}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    """Run the throughput benchmark (same as `python bench.py`)."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[2]
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="srsran-ce-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -126,6 +157,18 @@ def main(argv=None) -> int:
     d.add_argument("--n-prbs", default=52)
     d.add_argument("--n-layers", default=2)
     d.set_defaults(fn=cmd_diagnose)
+
+    t = sub.add_parser("train", help="train the pilot denoiser (smoothing='learned')")
+    t.add_argument("--steps", type=int, default=500)
+    t.add_argument("--batch", type=int, default=256)
+    t.add_argument("--n-re", type=int, default=128)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--checkpoint", help="orbax checkpoint output dir")
+    t.add_argument("--resume", help="orbax checkpoint dir to resume from")
+    t.set_defaults(fn=cmd_train)
+
+    b = sub.add_parser("bench", help="single-chip throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -123,3 +123,37 @@ def test_batched_matches_single():
         nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(np.abs(res_o.channel_est_rg) ** 2)
         assert nmse < 1e-18, (i, nmse)
         np.testing.assert_allclose(float(out.noise_est[i]), res_o.noise_est, rtol=1e-8)
+
+
+def test_beta_dmrs_scaling():
+    """Non-unit DMRS amplitude (the srsRAN vectors use beta=1.4125) matches oracle."""
+    case = synthetic.make_case(seed=31, n_prbs=24, n_layers=2, beta=1.4125, snr_db=30.0)
+    res_j, res_o = run_both(case)
+    assert_match(res_j, res_o)
+
+
+def test_plan_bucketing_shares_executable():
+    """Identical configurations must return the identical compiled callable."""
+    c1 = synthetic.make_case(seed=1, n_prbs=24, n_layers=1)
+    c2 = synthetic.make_case(seed=2, n_prbs=24, n_layers=1)
+    f1 = estimator.build_ri(c1.hop1, c1.hop2, c1.config, 1)
+    f2 = estimator.build_ri(c2.hop1, c2.hop2, c2.config, 1)
+    assert f1 is f2
+
+
+def test_checked_wrapper_catches_nan():
+    from srsran_ce_tpu.utils import debug
+
+    case = synthetic.make_case(seed=3, n_prbs=8, n_layers=1)
+    fn = estimator.build_ri(case.hop1, case.hop2, case.config, 1)
+    rg = estimator.split_ri(case.received_rg)
+    bad = rg.copy()
+    bad[0, 0, 0] = np.nan
+    checked = debug.checked(lambda r, p, b: fn(r, p, b).noise_est)
+    err, _ = checked(rg, estimator.split_ri(case.pilots), case.beta)
+    err.throw()  # clean input -> no error
+    err, _ = checked(bad, estimator.split_ri(case.pilots), case.beta)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        err.throw()
