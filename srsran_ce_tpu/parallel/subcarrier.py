@@ -16,7 +16,9 @@ motion is
 
 Geometry restrictions (asserted): single hop covering the whole grid, contiguous PRB
 mask, comb-uniform DM-RS RE masks (pilot every `comb` subcarriers — true for all
-standard DM-RS/SRS comb patterns), shard count dividing n_prbs, linear interpolation.
+standard DM-RS/SRS comb patterns), shard count dividing n_prbs. Interpolation may be
+linear (1-pilot halos) or CNN inpainting (each shard applies its column block of the
+exact linear operator to the all_gathered pilots — no halos needed).
 The general/irregular geometries use the DP path (independent problems scale out
 embarrassingly); SP exists for wideband low-latency and for halo-exchange parity with
 the north-star benchmark config.
@@ -77,7 +79,7 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hp = plan.hop1
     hop = hp.hop
     assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
-    assert plan.config.interp == "linear", "sharded path supports linear interpolation"
+    assert plan.config.interp in ("linear", "cnn"), "unknown interpolation"
     assert plan.config.smoothing != "learned", "sharded path: learned smoothing TBD"
     assert plan.config.cnn_alpha == 0.0, "sharded path supports cnn_alpha == 0"
     prb_mask = hop.prb_mask_np
@@ -98,6 +100,14 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     assert L == R * comb
     if hp.n_layers >= 2:
         assert R % 2 == 0, "CDM pair averaging requires an even local pilot count"
+
+    if plan.config.interp == "cnn":
+        # Prefetch the exact inpainting operators eagerly (outside any trace).
+        dtypes = [np.float32] + ([np.float64] if jax.config.jax_enable_x64 else [])
+        for c in range(hp.n_cdm):
+            transient, steady = hp.inpaint_schedules[c]
+            for dt in dtypes:
+                dsp.inpaint_operator(hp.inpaint_known[c], len(transient) + steady, dt)
 
     hw = 0
     if plan.config.smoothing == "filter":
@@ -269,19 +279,35 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta):
     noise_loc = dsp.fro_norm_sq(rx - est_rx)
     rsrp_loc = (beta**2) * dsp.fro_norm_sq(h_p) * hp.n_dsym
 
-    # --- grid fill with 1-pilot halo ---
-    lh1, rh1 = _halo_exchange(h_p, 1, axis, n_sp)
-    hh = jnp.concatenate([lh1, h_p, rh1], axis=-1)  # (nL, R + 2)
-    outs = []
-    for c, (l0, l1) in enumerate(hp.layer_slices):
-        vals = hh[l0:l1]
-        base = dsp.lerp_gather(vals, sp.interp_jl[c], sp.interp_jr[c], sp.interp_alpha[c])
-        fz = jnp.asarray(sp.first_zone[c])
-        lz = jnp.asarray(sp.last_zone[c])
-        base = jnp.where(is_first & fz, vals[:, 1:2], base)
-        base = jnp.where(is_last & lz, vals[:, sp.R : sp.R + 1], base)
-        outs.append(base)
-    full = jnp.concatenate(outs, axis=0)  # (nL, L)
+    # --- grid fill ---
+    if config.interp == "cnn":
+        # Exact inpainting linear operator (ops/dsp.inpaint_operator): each shard
+        # multiplies the all_gathered pilot estimates (already needed for the PDP)
+        # by its own column block of the global operator — no halos required.
+        outs = []
+        for c, (l0, l1) in enumerate(hp.layer_slices):
+            transient, steady = hp.inpaint_schedules[c]
+            w = dsp.inpaint_operator(
+                hp.inpaint_known[c], len(transient) + steady, rdtype
+            )  # (n_re, n_sc_hop)
+            start = (my * sp.L).astype(jnp.int32)
+            w_local = jax.lax.dynamic_slice(w, (jnp.int32(0), start), (hp.n_re, sp.L))
+            outs.append(dsp.inpaint_matmul(h_all[l0:l1], w_local))
+        full = jnp.concatenate(outs, axis=0)  # (nL, L)
+    else:
+        # linear interp with a 1-pilot halo across seams
+        lh1, rh1 = _halo_exchange(h_p, 1, axis, n_sp)
+        hh = jnp.concatenate([lh1, h_p, rh1], axis=-1)  # (nL, R + 2)
+        outs = []
+        for c, (l0, l1) in enumerate(hp.layer_slices):
+            vals = hh[l0:l1]
+            base = dsp.lerp_gather(vals, sp.interp_jl[c], sp.interp_jr[c], sp.interp_alpha[c])
+            fz = jnp.asarray(sp.first_zone[c])
+            lz = jnp.asarray(sp.last_zone[c])
+            base = jnp.where(is_first & fz, vals[:, 1:2], base)
+            base = jnp.where(is_last & lz, vals[:, sp.R : sp.R + 1], base)
+            outs.append(base)
+        full = jnp.concatenate(outs, axis=0)  # (nL, L)
     block = jnp.broadcast_to(full.T[:, None, :], (sp.L, hp.n_alloc_syms, nL))
     channel = jnp.zeros((sp.L, rg.shape[1], nL), dtype=cdtype)
     channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, 0))

@@ -55,6 +55,8 @@ SP_CASES = [
     ("comb4", dict(n_prbs=32, n_layers=1, comb=4)),
     ("cfo_off", dict(n_prbs=32, n_layers=1, cfo_compensate=False)),
     ("wideband_272", dict(n_prbs=272, n_layers=1)),
+    ("cnn_inpaint", dict(n_prbs=32, n_layers=1, interp="cnn")),
+    ("cnn_inpaint_2layer_wide", dict(n_prbs=272, n_layers=2, interp="cnn")),
 ]
 
 
