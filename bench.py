@@ -44,18 +44,18 @@ def log(*a):
 
 
 BENCH_CONFIGS = {
-    # name -> (case kwargs, batch size)
-    "c0_baseline_52prb": (dict(n_prbs=52, n_layers=1, comb=2, scs_hz=15e3), 128),
-    "c1_tensorized_52prb": (dict(n_prbs=52, n_layers=1, comb=2, scs_hz=30e3), 64),
-    "c2_mmse_4port_106prb": (dict(n_prbs=106, n_layers=4, comb=2, scs_hz=30e3), 128),
-    "c3_cnn_273prb": (dict(n_prbs=273, n_layers=1, comb=2, scs_hz=30e3, interp="cnn"), 64),
-    "c4_hopped_24prb": (dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, two_hops=True), 128),
+    # name -> (case kwargs, batch sizes to sweep)
+    "c0_baseline_52prb": (dict(n_prbs=52, n_layers=1, comb=2, scs_hz=15e3), (128, 256)),
+    "c1_tensorized_52prb": (dict(n_prbs=52, n_layers=1, comb=2, scs_hz=30e3), (64, 256)),
+    "c2_mmse_4port_106prb": (dict(n_prbs=106, n_layers=4, comb=2, scs_hz=30e3), (128, 256)),
+    "c3_cnn_273prb": (dict(n_prbs=273, n_layers=1, comb=2, scs_hz=30e3, interp="cnn"), (64, 128)),
+    "c4_hopped_24prb": (dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, two_hops=True), (128, 256)),
 }
 
 HEADLINE = "c2_mmse_4port_106prb"
 REPS_LO = 8
 REPS_HI = 72
-TRIALS = 3
+TRIALS = 4
 
 
 def _chained_runner(plan, n_layers, reps):
@@ -79,6 +79,29 @@ def _chained_runner(plan, n_layers, reps):
     return many
 
 
+def _nmse_vs_oracle(case, nL) -> float:
+    """Correctness self-check: one f32 evaluation against the float64 oracle."""
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.utils import oracle
+
+    res = estimator.estimate(
+        case.received_rg.astype(np.complex64),
+        case.pilots.astype(np.complex64),
+        np.float32(case.beta),
+        case.hop1,
+        case.hop2,
+        case.config,
+    )
+    res_o = oracle.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    ch = np.asarray(res.channel_est_rg).astype(np.complex128)
+    return float(
+        np.sum(np.abs(ch - res_o.channel_est_rg) ** 2)
+        / (np.sum(np.abs(res_o.channel_est_rg) ** 2) + 1e-30)
+    )
+
+
 def bench_config(name, kwargs, batch):
     case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
     nL = case.pilots.shape[2]
@@ -92,21 +115,30 @@ def bench_config(name, kwargs, batch):
     beta = jax.device_put(np.ones(batch, np.float32))
 
     t_compile = time.time()
-    times = {}
-    for reps in (REPS_LO, REPS_HI):
-        fn = _chained_runner(plan, nL, reps)
-        r = fn(rg_b, pil_b, beta)
-        float(r)  # warmup fetch: forces materialization through the relay
-        best = float("inf")
-        for _ in range(TRIALS):
-            t0 = time.time()
-            r = fn(rg_b, pil_b, beta)
-            jax.block_until_ready(r)
-            best = min(best, time.time() - t0)
-        times[reps] = best
-    compile_s = time.time() - t_compile
 
-    per_batch = (times[REPS_HI] - times[REPS_LO]) / (REPS_HI - REPS_LO)
+    def measure(rep_points):
+        times = {}
+        for reps in rep_points:
+            fn = _chained_runner(plan, nL, reps)
+            r = fn(rg_b, pil_b, beta)
+            float(r)  # warmup fetch: forces materialization through the relay
+            best = float("inf")
+            for _ in range(TRIALS):
+                t0 = time.time()
+                r = fn(rg_b, pil_b, beta)
+                jax.block_until_ready(r)
+                best = min(best, time.time() - t0)
+            times[reps] = best
+        xs = np.array(rep_points, float)
+        ys = np.array([times[r] for r in rep_points])
+        slope = float(np.polyfit(xs, ys, 1)[0])
+        return slope, times
+
+    per_batch, times = measure((REPS_LO, (REPS_LO + REPS_HI) // 2, REPS_HI))
+    if per_batch <= 0.15 * times[REPS_HI] / REPS_HI:
+        # slope buried in relay-latency noise: re-measure with a 4x longer chain
+        per_batch, times = measure((REPS_LO, 2 * REPS_HI, 4 * REPS_HI))
+    compile_s = time.time() - t_compile
     per_batch = max(per_batch, 1e-9)
     grid_res = case.received_rg.size * nL
     return {
@@ -115,8 +147,7 @@ def bench_config(name, kwargs, batch):
         "problems_per_s": batch / per_batch,
         "res_per_s": batch * grid_res / per_batch,
         "grid_res_per_problem": grid_res,
-        "t_lo_s": times[REPS_LO],
-        "t_hi_s": times[REPS_HI],
+        "times_s": {str(k): v for k, v in times.items()},
         "setup_s": compile_s,
     }
 
@@ -132,15 +163,23 @@ def main():
             baseline = json.load(f).get("results", {})
 
     details = {}
-    for name, (kwargs, batch) in BENCH_CONFIGS.items():
+    for name, (kwargs, batches) in BENCH_CONFIGS.items():
         try:
-            r = bench_config(name, kwargs, batch)
+            best = None
+            for batch in batches:
+                r = bench_config(name, kwargs, batch)
+                if best is None or r["res_per_s"] > best["res_per_s"]:
+                    best = r
+            r = best
+            case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
+            r["nmse_vs_oracle"] = _nmse_vs_oracle(case, case.pilots.shape[2])
+            assert r["nmse_vs_oracle"] < 1e-6, f"bench correctness gate: {r['nmse_vs_oracle']}"
             bl = baseline.get(name, {}).get("res_per_s")
             r["vs_reference_cpu"] = (r["res_per_s"] / bl) if bl else None
             details[name] = r
             log(
-                f"{name}: {r['latency_ms_per_batch']:.3f} ms/batch{batch} -> "
-                f"{r['res_per_s']:.3e} REs/s"
+                f"{name}: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "
+                f"{r['res_per_s']:.3e} REs/s, nmse {r['nmse_vs_oracle']:.1e}"
                 + (f" ({r['vs_reference_cpu']:.0f}x reference)" if bl else "")
             )
         except Exception as e:  # keep the bench robust; report what ran
@@ -157,7 +196,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "channel-estimate REs/s/chip (106PRB 4-port MMSE, batch 128)",
+                "metric": "channel-estimate REs/s/chip (106PRB 4-port MMSE)",
                 "value": value,
                 "unit": "REs/s",
                 "vs_baseline": vs,

@@ -78,8 +78,9 @@ def _virtual_pilots(h: jnp.ndarray, vp_matrix: Optional[np.ndarray], n_pils: int
     M = jnp.asarray(vp_matrix.T, dtype=rdtype)  # (n_pils_in, n_virt)
     amp = jnp.abs(h)
     ph = dsp.unwrap_phase(jnp.angle(h))
-    v_amp = amp @ M
-    v_ph = ph @ M
+    prec = jax.lax.Precision.HIGHEST
+    v_amp = jnp.matmul(amp, M, precision=prec)
+    v_ph = jnp.matmul(ph, M, precision=prec)
     return (v_amp * jnp.exp(1j * v_ph)).astype(h.dtype)
 
 
@@ -298,8 +299,10 @@ def _process_hop(
         S = jnp.asarray(hp.ta_dft_sin, dtype=rdtype)
         hr = jnp.real(h_p[:, :k])
         hi = jnp.imag(h_p[:, :k])
-        re = hr @ C - hi @ S  # (nL, 2*half_cp_len)
-        im = hr @ S + hi @ C
+        prec = jax.lax.Precision.HIGHEST  # TPU matmul defaults to bf16 passes
+        mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+        re = mm(hr, C) - mm(hi, S)  # (nL, 2*half_cp_len)
+        im = mm(hr, S) + mm(hi, C)
         pdp = jnp.sum(re**2 + im**2, axis=0)  # (2*half_cp_len,)
         head = pdp[: hp.half_cp_len]
         tail = pdp[hp.half_cp_len :]

@@ -230,10 +230,15 @@ def inpaint_operator(known_mask: np.ndarray, n_iters: int, real_dtype) -> jnp.nd
 
 
 def inpaint_matmul(values: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Apply the inpainting operator: (..., n_re) complex -> (..., n_sc) complex."""
+    """Apply the inpainting operator: (..., n_re) complex -> (..., n_sc) complex.
+
+    Precision.HIGHEST: TPU matmuls default to bf16 passes, which would degrade the
+    channel estimate to ~1e-3 relative error — far outside conformance bounds.
+    """
     wr = w.astype(jnp.real(values).dtype)
-    re = jnp.real(values) @ wr
-    im = jnp.imag(values) @ wr
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(jnp.real(values), wr, precision=hi)
+    im = jnp.matmul(jnp.imag(values), wr, precision=hi)
     return jax.lax.complex(re, im)
 
 
