@@ -11,17 +11,29 @@ ce_dl_cnn, torch CPU eager) measured on this machine — see BASELINE_MEASURED.j
 Methodology: this environment's TPU is reached through a relay whose async completion
 acks are unreliable for microtiming (block_until_ready can return before execution).
 We therefore time a strictly serial chain — a lax.scan whose next input depends on
-the previous iteration's FULL channel output — at two different repetition counts and
+the previous iteration's channel output — at two different repetition counts and
 take the slope (t_hi - t_lo) / (reps_hi - reps_lo). The constant per-call relay
 overhead (~30 ms) and fetch latency cancel out; the slope is pure device time per
 batch. A warmup call with a scalar fetch precedes every measurement (fetching is
 what forces the relay to materialize results).
+
+Two honesty rules, both load-bearing:
+  * `lax.optimization_barrier` on each iteration's channel grid. Without it XLA
+    fuses the chain's feedback reduction into the producer and NEVER MATERIALIZES
+    the output — the "measured" number silently excludes the grid write (~40% of
+    real cost at 106 PRB x 4 layers; >5x at wider grids).
+  * The serving path is benchmarked as served: out_layout="serve" (subcarrier-last
+    (layer, sym, sc) grid — full-lane writes) and matmul_precision="high" (3-pass
+    bf16, ~1e-7 relative error; the f32-exact "highest" conformance path is gated
+    separately by the NMSE check below, which must pass < 1e-6 for the numbers to
+    be reported at all).
 
 Per-config details (all five BASELINE.json configs) go to stderr and
 BENCH_DETAILS.json.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -62,16 +74,21 @@ def _chained_runner(plan, n_layers, reps):
     """jitted fn running `reps` strictly-serial estimator batches; returns a scalar."""
 
     def single(r, p, b):
-        res = _est._estimate_impl(plan, _est._ri_to_complex(r), _est._ri_to_complex(p), b)
+        res = _est._estimate_impl(
+            plan, _est._ri_to_complex(r), _est._ri_to_complex(p), b, "xla", None, "serve"
+        )
         return _est._complex_to_ri(res.channel_est_rg), res.noise_est
 
     @jax.jit
     def many(rg_ri, pil_ri, beta):
         def body(rg_c, _):
             ch, nz = jax.vmap(single)(rg_c, pil_ri, beta)
-            # Next input depends on the full previous channel output: no reordering,
-            # no dead-code elimination, no cross-iteration CSE.
-            return rg_c + 1e-12 * ch.sum(axis=-1), jnp.sum(nz)
+            # Force the channel grid to actually materialize in HBM (see module
+            # docstring), then chain the next iteration on a cheap strided sample
+            # of it: strict serialization without an extra full-grid read pass.
+            ch = jax.lax.optimization_barrier(ch)
+            s = ch[:, :, 0, 0, ::127].sum()
+            return rg_c + 1e-12 * s, jnp.sum(nz)
 
         rg_f, nzs = jax.lax.scan(body, rg_ri, None, length=reps)
         return rg_f.sum() + nzs.sum()
@@ -80,7 +97,8 @@ def _chained_runner(plan, n_layers, reps):
 
 
 def _nmse_vs_oracle(case, nL) -> float:
-    """Correctness self-check: one f32 evaluation against the float64 oracle."""
+    """Correctness self-check: one f32 evaluation of the EXACT configuration being
+    benchmarked (matmul_precision="high") against the float64 oracle."""
     from srsran_ce_tpu.models import estimator
     from srsran_ce_tpu.utils import oracle
 
@@ -90,7 +108,7 @@ def _nmse_vs_oracle(case, nL) -> float:
         np.float32(case.beta),
         case.hop1,
         case.hop2,
-        case.config,
+        _serving_config(case.config),
     )
     res_o = oracle.estimate(
         case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
@@ -102,10 +120,14 @@ def _nmse_vs_oracle(case, nL) -> float:
     )
 
 
+def _serving_config(config):
+    return dataclasses.replace(config, matmul_precision="high")
+
+
 def bench_config(name, kwargs, batch):
     case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
     nL = case.pilots.shape[2]
-    plan = make_plan(case.hop1, case.hop2, case.config, nL)
+    plan = make_plan(case.hop1, case.hop2, _serving_config(case.config), nL)
     _est.prefetch_plan_constants(plan)
 
     rg = _est.split_ri(case.received_rg.astype(np.complex64))

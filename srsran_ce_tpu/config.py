@@ -121,6 +121,10 @@ class EstimatorConfig:
       cnn_alpha       <-> CNNSmoothingAlpha (0 disables CNN residual blending)
       interp          : "linear" (baseline/tensorized behavior, ce_rule_baseline.py:303-320)
                         or "cnn" (partial-conv inpainting, ce_dl_cnn.py:292-295)
+      matmul_precision: f32 matmul passes on TPU (no reference counterpart — torch
+                        CPU is always full f32). "highest" = 6-pass bf16 (bit-true
+                        f32, conformance default), "high" = 3-pass (~1e-7 relative,
+                        ~2x faster serving), "default" = 1-pass (~4e-3, out of bound)
     """
 
     scs_hz: float
@@ -129,12 +133,15 @@ class EstimatorConfig:
     cfo_compensate: bool = True
     interp: str = "linear"
     cnn_alpha: float = 0.0
+    matmul_precision: str = "highest"
 
     def __post_init__(self):
         if self.smoothing not in ("filter", "mean", "none", "learned"):
             raise ValueError(f"Unknown smoothing strategy {self.smoothing}.")
         if self.interp not in ("linear", "cnn"):
             raise ValueError(f"Unknown interpolation strategy {self.interp}.")
+        if self.matmul_precision not in ("default", "high", "highest"):
+            raise ValueError(f"Unknown matmul precision {self.matmul_precision}.")
         object.__setattr__(self, "cp_durations_ms", tuple(float(v) for v in self.cp_durations_ms))
 
     @property
@@ -166,6 +173,7 @@ def make_config(
     interp: str = "linear",
     cnn_alpha: float = 0.0,
     n_symbols: int = 14,
+    matmul_precision: str = "highest",
 ) -> EstimatorConfig:
     return EstimatorConfig(
         scs_hz=float(scs_hz),
@@ -174,4 +182,5 @@ def make_config(
         cfo_compensate=cfo_compensate,
         interp=interp,
         cnn_alpha=float(cnn_alpha),
+        matmul_precision=matmul_precision,
     )

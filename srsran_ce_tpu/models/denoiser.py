@@ -52,6 +52,56 @@ def init_params(rng_key, n_re: int = 128):
     return model.init(rng_key, jnp.zeros((1, n_re, 2), jnp.float32))
 
 
+def halo_width(model: PilotDenoiser | None = None) -> int:
+    """Receptive-field half-width of the conv stack: the number of neighbor pilots
+    each output depends on. This sizes the overlap-save halo exchange when the
+    denoiser runs inside the subcarrier-sharded estimator (parallel/subcarrier.py):
+    each conv layer (len(features) hidden + 1 output) sees kernel_size//2 on each
+    side."""
+    m = model or PilotDenoiser()
+    return (m.kernel_size // 2) * (len(m.features) + 1)
+
+
+def apply_sharded(params, h_p: jnp.ndarray, exchange) -> jnp.ndarray:
+    """Subcarrier-sharded denoiser: layer-wise overlap-save halo exchange.
+
+    h_p: (n_layers, R) complex local pilot block. `exchange(x, h)` must return
+    (left, right) = the h-wide neighbor halos of x along its LAST axis, zero-filled
+    at the outermost shards (parallel.subcarrier._halo_exchange semantics).
+
+    Why layer-wise: nn.Conv SAME-pads *each layer's input* with zeros at the true
+    band edges. A single pre-padded apply would instead propagate relu(bias)
+    activations from the halo region into edge outputs. Exchanging a
+    kernel_size//2 halo before every conv and running it VALID reproduces the
+    unsharded stack exactly at every output position (zero halos at the extremes
+    == that layer's SAME padding).
+    """
+    p = params["params"]
+    names = sorted(p.keys(), key=lambda s: int(s.rsplit("_", 1)[1]))
+    rdtype = jnp.real(h_p).dtype
+    x = jnp.stack([jnp.real(h_p), jnp.imag(h_p)], axis=-1).astype(jnp.float32)
+    x0 = x
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, (1, 1, 1), ("NWC", "WIO", "NWC")
+    )
+    for i, name in enumerate(names):
+        k = jnp.asarray(p[name]["kernel"], jnp.float32)  # (ksize, c_in, c_out)
+        b = jnp.asarray(p[name]["bias"], jnp.float32)
+        hw = k.shape[0] // 2
+        # exchange along the spatial axis (axis 1 of (nL, R, C))
+        xm = jnp.moveaxis(x, 1, -1)  # (nL, C, R)
+        left, right = exchange(xm, hw)
+        ext = jnp.concatenate([left, xm, right], axis=-1)
+        ext = jnp.moveaxis(ext, -1, 1)  # (nL, R + 2*hw, C)
+        x = jax.lax.conv_general_dilated(
+            ext, k, window_strides=(1,), padding="VALID", dimension_numbers=dn
+        ) + b[None, None, :]
+        if i < len(names) - 1:
+            x = jax.nn.relu(x)
+    y = (x0 + x).astype(rdtype)
+    return jax.lax.complex(y[..., 0], y[..., 1]).astype(h_p.dtype)
+
+
 def apply_complex(params, h_p: jnp.ndarray) -> jnp.ndarray:
     """Denoise (n_layers, n_re) complex pilot estimates; returns same shape/dtype."""
     rdtype = jnp.real(h_p).dtype

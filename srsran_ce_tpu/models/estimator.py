@@ -63,7 +63,9 @@ def prefetch_plan_constants(plan: EstimatorPlan) -> None:
                     dsp.inpaint_operator(hp.inpaint_known[c], total, dt)
 
 
-def _virtual_pilots(h: jnp.ndarray, vp_matrix: Optional[np.ndarray], n_pils: int) -> jnp.ndarray:
+def _virtual_pilots(
+    h: jnp.ndarray, vp_matrix: Optional[np.ndarray], n_pils: int, precision
+) -> jnp.ndarray:
     """Extrapolate n_pils virtual pilots to the left of h[..., :n_pils].
 
     h: (..., n_pils) complex — the first n_pils pilot estimates (pass a flipped tail
@@ -78,9 +80,8 @@ def _virtual_pilots(h: jnp.ndarray, vp_matrix: Optional[np.ndarray], n_pils: int
     M = jnp.asarray(vp_matrix.T, dtype=rdtype)  # (n_pils_in, n_virt)
     amp = jnp.abs(h)
     ph = dsp.unwrap_phase(jnp.angle(h))
-    prec = jax.lax.Precision.HIGHEST
-    v_amp = jnp.matmul(amp, M, precision=prec)
-    v_ph = jnp.matmul(ph, M, precision=prec)
+    v_amp = jnp.matmul(amp, M, precision=precision)
+    v_ph = jnp.matmul(ph, M, precision=precision)
     return (v_amp * jnp.exp(1j * v_ph)).astype(h.dtype)
 
 
@@ -105,10 +106,11 @@ def _smooth(
     if smoothing == "mean":
         return jnp.broadcast_to(jnp.mean(h_p, axis=-1, keepdims=True), h_p.shape)
     # "filter"
+    prec = dsp.precision_of(config.matmul_precision)
     n_pils = hp_plan.n_pils
-    v_begin = _virtual_pilots(h_p[:, :n_pils], hp_plan.vp_matrix, n_pils)
+    v_begin = _virtual_pilots(h_p[:, :n_pils], hp_plan.vp_matrix, n_pils, prec)
     tail_rev = jnp.flip(h_p[:, -n_pils:], axis=-1)
-    v_end = _virtual_pilots(tail_rev, hp_plan.vp_matrix, n_pils)
+    v_end = _virtual_pilots(tail_rev, hp_plan.vp_matrix, n_pils, prec)
     x_ext = jnp.concatenate([v_begin, h_p, jnp.flip(v_end, axis=-1)], axis=-1)
     K = hp_plan.rc_taps.size
     hw = (K - 1) // 2
@@ -137,13 +139,14 @@ def _grid_fill(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> j
     FMA per CDM group (replacing ce_rule_baseline.py:303-320); CNN path = fixed-point
     partial-conv inpainting with a precomputed mask schedule (ce_dl_cnn.py:473-508).
     """
+    prec = dsp.precision_of(config.matmul_precision)
     outs = []
     for c, (l0, l1) in enumerate(hp_plan.layer_slices):
         vals = h_p[l0:l1]  # (n_l_c, n_re)
         if config.interp == "linear":
             if hp_plan.interp_matrix is not None:
                 w = jnp.asarray(hp_plan.interp_matrix[c], dtype=jnp.real(vals).dtype)
-                full = dsp.inpaint_matmul(vals, w)  # one MXU matmul vs three gathers
+                full = dsp.inpaint_matmul(vals, w, prec)  # one MXU matmul vs three gathers
             else:
                 full = dsp.lerp_gather(
                     vals, hp_plan.interp_left[c], hp_plan.interp_right[c], hp_plan.interp_alpha[c]
@@ -157,7 +160,7 @@ def _grid_fill(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> j
                 # precomputed linear operator as one MXU matmul instead of a
                 # sequential conv chain (see dsp.inpaint_operator).
                 w = dsp.inpaint_operator(known, total_iters, jnp.real(vals).dtype)
-                full = dsp.inpaint_matmul(vals, w)
+                full = dsp.inpaint_matmul(vals, w, prec)
             else:
                 filled = np.nonzero(known)[0]
                 sparse = jnp.zeros((vals.shape[0], hp_plan.n_sc_hop), dtype=vals.dtype)
@@ -236,34 +239,43 @@ def _process_hop(
     beta_r = beta.astype(rdtype)
 
     # --- Pilot RE gather + LS de-spread (ce_rule_baseline.py:583-605) ---
-    # rx: (n_cdm, n_re, n_dsym) received pilot REs. For contiguous comb allocations
-    # (the common case) this is pure reshape + static slices — TPU has no gather
-    # hardware, so avoiding jnp.take here is a large win.
+    # rx: (n_cdm, n_dsym, n_re) received pilot REs, *time-major*: the long frequency
+    # axis stays minor-most so batched tensors tile the full 128-lane width. (With
+    # the n_dsym axis minor, every elementwise pass pads a length-2 lane to 128 —
+    # ~64x wasted VPU/VMEM traffic.) For contiguous comb allocations (the common
+    # case) the gather is pure static slices + reshape — TPU has no gather hardware,
+    # so avoiding jnp.take here is a large win.
     if hp.fast_sel is not None:
         sc0, offsets = hp.fast_sel
         n_prbs_sel = hp.n_re // len(offsets[0])
-        blk = received_rg[sc0 : sc0 + n_prbs_sel * 12].reshape(n_prbs_sel, 12, -1)
+        blk = received_rg[sc0 : sc0 + n_prbs_sel * 12]  # (12*n_prbs, n_sym)
+        sym_sl = jnp.stack([blk[:, int(i)] for i in hp.dmrs_sym_idx], axis=0)
+        b3 = sym_sl.reshape(hp.n_dsym, n_prbs_sel, 12)
         rx = jnp.stack(
             [
-                jnp.stack([blk[:, o, :] for o in offs], axis=1).reshape(hp.n_re, -1)
+                jnp.stack([b3[:, :, o] for o in offs], axis=2).reshape(hp.n_dsym, hp.n_re)
                 for offs in offsets
             ]
-        )  # (n_cdm, n_re, n_sym)
+        )  # (n_cdm, n_dsym, n_re)
     else:
-        rx = jnp.take(received_rg, jnp.asarray(hp.re_idx), axis=0)
-    rx = jnp.stack([rx[:, :, int(i)] for i in hp.dmrs_sym_idx], axis=2)  # static slices
+        rx_f = jnp.take(received_rg, jnp.asarray(hp.re_idx), axis=0)  # (n_cdm, n_re, n_sym)
+        rx = jnp.stack([rx_f[:, :, int(i)] for i in hp.dmrs_sym_idx], axis=1)
     epre_inc = dsp.fro_norm_sq(rx)
 
+    # Static row replication (NOT jnp.take: with a traced gather, vmap lowers this
+    # tiny 4-row lookup to multi-MB gather+transpose shuffles on TPU).
     cdm_of_layer = np.arange(nL) // 2
-    rx_l = jnp.take(rx, jnp.asarray(cdm_of_layer), axis=0)  # (nL, n_re, n_dsym)
-    pil_l = jnp.moveaxis(pilots_h, -1, 0)  # (nL, n_re, n_dsym)
+    rx_l = jnp.concatenate(
+        [rx[int(c) : int(c) + 1] for c in cdm_of_layer], axis=0
+    )  # (nL, n_dsym, n_re)
+    pil_l = jnp.transpose(pilots_h, (2, 1, 0))  # (nL, n_dsym, n_re)
     rec_x = rx_l * jnp.conj(pil_l)
 
     # --- CFO estimate / compensation (ce_rule_baseline.py:363-463) ---
     cfo_hop = None
     rec_x_nocfo = rec_x
     if hp.cfo_possible:
-        inner = jnp.sum(jnp.conj(rec_x[:, :, 0]) * rec_x[:, :, 1], axis=1)  # (nL,)
+        inner = jnp.sum(jnp.conj(rec_x[:, 0, :]) * rec_x[:, 1, :], axis=-1)  # (nL,)
         acc = jnp.zeros((), rdtype)
         for c in range(hp.n_cdm):
             pair = inner[2 * c] + (inner[2 * c + 1] if 2 * c + 1 < nL else 0.0)
@@ -272,10 +284,10 @@ def _process_hop(
         if config.cfo_compensate:
             sst_d = jnp.asarray(sst[hp.dmrs_sym_idx], dtype=rdtype)
             rot = jnp.exp(-1j * (2.0 * np.pi * sst_d * cfo_hop)).astype(cdtype)
-            rec_x_nocfo = rec_x * rot[None, None, :]
+            rec_x_nocfo = rec_x * rot[None, :, None]
 
     # --- Time average (ce_rule_baseline.py:625) ---
-    h_p = jnp.sum(rec_x_nocfo, axis=-1) / beta.astype(cdtype) / hp.n_dsym  # (nL, n_re)
+    h_p = jnp.sum(rec_x_nocfo, axis=1) / beta.astype(cdtype) / hp.n_dsym  # (nL, n_re)
 
     # --- CDM interference removal: adjacent-RE pair average (ce_rule_baseline.py:632-640) ---
     if nL >= 2:
@@ -299,7 +311,7 @@ def _process_hop(
         S = jnp.asarray(hp.ta_dft_sin, dtype=rdtype)
         hr = jnp.real(h_p[:, :k])
         hi = jnp.imag(h_p[:, :k])
-        prec = jax.lax.Precision.HIGHEST  # TPU matmul defaults to bf16 passes
+        prec = dsp.precision_of(config.matmul_precision)  # TPU matmul defaults to bf16
         mm = lambda a, b: jnp.matmul(a, b, precision=prec)
         re = mm(hr, C) - mm(hi, S)  # (nL, 2*half_cp_len)
         im = mm(hr, S) + mm(hi, C)
@@ -328,11 +340,11 @@ def _process_hop(
         ph = jnp.exp(1j * (2.0 * np.pi * sst_d * cfo_hop)).astype(cdtype)  # (n_dsym,)
     else:
         ph = jnp.ones((hp.n_dsym,), dtype=cdtype)
-    contrib = beta.astype(cdtype) * pil_l * (h_p[:, :, None] * ph[None, None, :])  # (nL, n_re, n_dsym)
+    contrib = beta.astype(cdtype) * pil_l * (h_p[:, None, :] * ph[None, :, None])  # (nL, n_dsym, n_re)
     est_rx_parts = []
     for c, (l0, l1) in enumerate(hp.layer_slices):
         est_rx_parts.append(jnp.sum(contrib[l0:l1], axis=0))
-    est_rx = jnp.stack(est_rx_parts, axis=0)  # (n_cdm, n_re, n_dsym)
+    est_rx = jnp.stack(est_rx_parts, axis=0)  # (n_cdm, n_dsym, n_re)
     noise_inc = dsp.fro_norm_sq(rx - est_rx)
     rsrp_inc = (beta_r**2) * dsp.fro_norm_sq(h_p) * hp.n_dsym
 
@@ -346,6 +358,7 @@ def _estimate_impl(
     beta: jnp.ndarray,
     kernels: str = "xla",
     params=None,
+    out_layout: str = "ref",
 ) -> EstimateResult:
     cdtype = received_rg.dtype
     rdtype = jnp.zeros((), cdtype).real.dtype
@@ -355,7 +368,16 @@ def _estimate_impl(
     sst = plan.symbol_start_time
     beta = jnp.asarray(beta, dtype=rdtype)
 
-    channel = jnp.zeros((n_sc, n_sym, nL), dtype=cdtype)
+    # Output layout. "ref" = the reference's user-facing (sc, sym, layer) grid
+    # (ce_rule_baseline.py:806). "serve" = TPU-native subcarrier-last
+    # (layer, sym, sc): the minor-most axis is the long frequency axis, so block
+    # writes tile the full 128-lane width instead of padding a length-nL lane
+    # (for nL<=4 the ref layout wastes ~97% of write bandwidth on tile padding).
+    assert out_layout in ("ref", "serve")
+    if out_layout == "serve":
+        channel = jnp.zeros((nL, n_sym, n_sc), dtype=cdtype)
+    else:
+        channel = jnp.zeros((n_sc, n_sym, nL), dtype=cdtype)
     epre = jnp.zeros((), rdtype)
     noise = jnp.zeros((), rdtype)
     rsrp = jnp.zeros((), rdtype)
@@ -402,6 +424,11 @@ def _estimate_impl(
 
     for (hp, _), h_p in zip(hops, h_ps):
         rot_slice = jax.lax.slice_in_dim(rot, hp.sym_start, hp.sym_start + hp.n_alloc_syms, axis=0)
+        if out_layout == "serve":
+            full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
+            block = full[:, None, :] * rot_slice[None, :, None]  # (nL, n_alloc, n_sc_hop)
+            channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, hp.sc_start))
+            continue
         if kernels == "pallas":
             block = _grid_fill_rotate_pallas(hp, config, h_p, rot_slice)
         else:
@@ -453,7 +480,7 @@ def merge_ri(x_ri: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
-def _build_ri_cached(plan_key, batched: bool, kernels: str):
+def _build_ri_cached(plan_key, batched: bool, kernels: str, out_layout: str = "ref"):
     hop1, hop2, config, n_layers = plan_key
     plan = make_plan(hop1, hop2, config, n_layers)
     prefetch_plan_constants(plan)
@@ -481,7 +508,13 @@ def _build_ri_cached(plan_key, batched: bool, kernels: str):
         def single_p(rg_ri, pil_ri, beta, params):
             return to_ri(
                 _estimate_impl(
-                    plan, _ri_to_complex(rg_ri), _ri_to_complex(pil_ri), beta, kernels, params
+                    plan,
+                    _ri_to_complex(rg_ri),
+                    _ri_to_complex(pil_ri),
+                    beta,
+                    kernels,
+                    params,
+                    out_layout,
                 )
             )
 
@@ -493,7 +526,15 @@ def _build_ri_cached(plan_key, batched: bool, kernels: str):
 
     def single(rg_ri, pil_ri, beta):
         return to_ri(
-            _estimate_impl(plan, _ri_to_complex(rg_ri), _ri_to_complex(pil_ri), beta, kernels)
+            _estimate_impl(
+                plan,
+                _ri_to_complex(rg_ri),
+                _ri_to_complex(pil_ri),
+                beta,
+                kernels,
+                None,
+                out_layout,
+            )
         )
 
     if batched:
@@ -510,6 +551,7 @@ def build_ri(
     n_layers: int,
     batched: bool = False,
     kernels: str = "xla",
+    out_layout: str = "ref",
 ):
     """Jitted `fn(rg_ri, pil_ri, beta) -> EstimateResult` in ri layout.
 
@@ -518,11 +560,17 @@ def build_ri(
     leading problem axis B follows the ri axis on inputs ((B, 2, ...)) and outputs.
     This is the fast path for TPU serving: no complex arrays ever cross the device
     boundary.
+
+    out_layout="serve" returns channel_est_rg as (2, n_layers, n_sym, n_sc) —
+    subcarrier-last, the TPU-native serving layout (block writes tile the full lane
+    width; with the "ref" (sc, sym, layer) layout the minor-most axis is n_layers<=4
+    and every (8,128) output tile is ~97% padding). Identical values, transposed.
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
     assert kernels in ("xla", "pallas")
-    return _build_ri_cached((hop1, hop2, config, n_layers), batched, kernels)
+    assert out_layout in ("ref", "serve")
+    return _build_ri_cached((hop1, hop2, config, n_layers), batched, kernels, out_layout)
 
 
 def build(

@@ -229,16 +229,33 @@ def inpaint_operator(known_mask: np.ndarray, n_iters: int, real_dtype) -> jnp.nd
     )
 
 
-def inpaint_matmul(values: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+#: f32-operand matmul precision on TPU. "default" = single bf16 pass (~4e-3 relative
+#: error — outside conformance bounds), "high" = 3-pass bf16 (~1e-7 relative),
+#: "highest" = 6-pass (full f32). Selected per-config via
+#: EstimatorConfig.matmul_precision so precision keys the jit cache.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def precision_of(name: str) -> jax.lax.Precision:
+    return _PRECISIONS[name]
+
+
+def inpaint_matmul(
+    values: jnp.ndarray, w: jnp.ndarray, precision=jax.lax.Precision.HIGHEST
+) -> jnp.ndarray:
     """Apply the inpainting operator: (..., n_re) complex -> (..., n_sc) complex.
 
-    Precision.HIGHEST: TPU matmuls default to bf16 passes, which would degrade the
-    channel estimate to ~1e-3 relative error — far outside conformance bounds.
+    TPU matmuls default to a single bf16 pass, which would degrade the channel
+    estimate to ~1e-3 relative error — far outside conformance bounds. Default to
+    HIGHEST; callers thread EstimatorConfig.matmul_precision through.
     """
     wr = w.astype(jnp.real(values).dtype)
-    hi = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(jnp.real(values), wr, precision=hi)
-    im = jnp.matmul(jnp.imag(values), wr, precision=hi)
+    re = jnp.matmul(jnp.real(values), wr, precision=precision)
+    im = jnp.matmul(jnp.imag(values), wr, precision=precision)
     return jax.lax.complex(re, im)
 
 

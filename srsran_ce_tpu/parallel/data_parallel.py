@@ -26,12 +26,14 @@ def build_dp_batched(
     n_layers: int,
     mesh: Mesh,
     axis: str = "dp",
+    out_layout: str = "ref",
 ):
     """Jitted ri-layout batched estimator with the batch axis sharded over `axis`.
 
     fn(rg_ri[B,2,n_sc,n_sym], pil_ri[B,2,n_re,n_dsym,L], beta[B]) -> EstimateResult
     with every output sharded on its leading batch axis. B must be divisible by the
-    mesh axis size.
+    mesh axis size. out_layout as in estimator.build_ri ("serve" = subcarrier-last
+    (layer, sym, sc) channel grid — the fast production layout).
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
@@ -43,7 +45,8 @@ def build_dp_batched(
 
     def single(rg_ri, pil_ri, beta):
         res = _est._estimate_impl(
-            plan, _est._ri_to_complex(rg_ri), _est._ri_to_complex(pil_ri), beta
+            plan, _est._ri_to_complex(rg_ri), _est._ri_to_complex(pil_ri), beta,
+            "xla", None, out_layout
         )
         return _est.EstimateResult(
             channel_est_rg=_est._complex_to_ri(res.channel_est_rg),

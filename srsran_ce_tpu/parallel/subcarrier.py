@@ -18,7 +18,11 @@ Geometry restrictions (asserted): single hop covering the whole grid, contiguous
 mask, comb-uniform DM-RS RE masks (pilot every `comb` subcarriers — true for all
 standard DM-RS/SRS comb patterns), shard count dividing n_prbs. Interpolation may be
 linear (1-pilot halos) or CNN inpainting (each shard applies its column block of the
-exact linear operator to the all_gathered pilots — no halos needed).
+exact linear operator to the all_gathered pilots — no halos needed). All smoothing
+modes are supported: "filter" (RC-FIR halo exchange + cnn_alpha 1-halo reflect
+blend), "mean" (psum), "none", and "learned" (the trainable denoiser with
+layer-wise conv halo exchange — models/denoiser.apply_sharded; the built function
+then takes the params pytree as a trailing replicated argument).
 The general/irregular geometries use the DP path (independent problems scale out
 embarrassingly); SP exists for wideband low-latency and for halo-exchange parity with
 the north-star benchmark config.
@@ -80,8 +84,6 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hop = hp.hop
     assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
     assert plan.config.interp in ("linear", "cnn"), "unknown interpolation"
-    assert plan.config.smoothing != "learned", "sharded path: learned smoothing TBD"
-    assert plan.config.cnn_alpha == 0.0, "sharded path supports cnn_alpha == 0"
     prb_mask = hop.prb_mask_np
     assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
         "subcarrier sharding requires a contiguous full-band hop"
@@ -115,6 +117,13 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
         assert R >= max(hw, hp.n_pils), (
             f"local pilot block ({R}) must cover halo ({hw}) and virtual pilots ({hp.n_pils})"
         )
+        if plan.config.cnn_alpha > 0.0:
+            assert R >= 2, "cnn_alpha reflect padding needs >= 2 local pilots"
+    elif plan.config.smoothing == "learned":
+        from ..models import denoiser as _dn
+
+        hw = _dn.halo_width()
+        assert R >= hw, f"local pilot block ({R}) must cover the denoiser halo ({hw})"
 
     local_re_idx = np.stack(
         [offs[c] + comb * np.arange(R, dtype=np.int32) for c in range(hp.n_cdm)]
@@ -173,11 +182,12 @@ def _halo_exchange(x: jnp.ndarray, h: int, axis: str, n: int):
     return left, right
 
 
-def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta):
+def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, params=None):
     """Per-shard body for ONE estimation problem.
 
     rg_ri_loc: (2, L, n_sym) local subcarrier block of the received grid (real pair)
     pil_ri_loc: (2, R, n_dsym, nL) local pilot block
+    params: denoiser pytree, required iff config.smoothing == "learned"
     Returns local EstimateResult with channel (2, L, n_sym, nL).
     """
     plan = sp.plan
@@ -239,8 +249,9 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta):
         lh, rh = _halo_exchange(h_p, hw, axis, n_sp)
         # Outermost shards synthesize virtual pilots; zero-fill beyond them matches
         # the unsharded zero padding (n_pils = min(12, hw) <= hw).
-        vb = _est._virtual_pilots(h_p[:, :n_pils], hp.vp_matrix, n_pils)
-        ve = _est._virtual_pilots(jnp.flip(h_p[:, -n_pils:], axis=-1), hp.vp_matrix, n_pils)
+        prec = dsp.precision_of(config.matmul_precision)
+        vb = _est._virtual_pilots(h_p[:, :n_pils], hp.vp_matrix, n_pils, prec)
+        ve = _est._virtual_pilots(jnp.flip(h_p[:, -n_pils:], axis=-1), hp.vp_matrix, n_pils, prec)
         zpad = jnp.zeros((nL, hw - n_pils), cdtype)
         left_edge = jnp.concatenate([zpad, vb], axis=-1)  # (nL, hw)
         right_edge = jnp.concatenate([jnp.flip(ve, axis=-1), zpad], axis=-1)
@@ -248,6 +259,25 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta):
         right = jnp.where(is_last, right_edge, rh)
         ext = jnp.concatenate([left, h_p, right], axis=-1)  # (nL, R + 2*hw)
         h_p = dsp.conv_valid(ext, hp.rc_taps)  # (nL, R)
+        if config.cnn_alpha > 0.0:
+            # Alpha blend with the 3-tap low-pass (ce_dl_cnn.py:712-715). Interior
+            # seams use real neighbor taps; outermost shards reflect locally —
+            # identical to the unsharded global reflect padding because the global
+            # reflection of element 0 is element 1, which lives on shard 0.
+            alpha = min(1.0, max(0.0, config.cnn_alpha))
+            lh2, rh2 = _halo_exchange(h_p, 1, axis, n_sp)
+            left2 = jnp.where(is_first, h_p[:, 1:2], lh2)
+            right2 = jnp.where(is_last, h_p[:, -2:-1], rh2)
+            ext2 = jnp.concatenate([left2, h_p, right2], axis=-1)  # (nL, R + 2)
+            lp = dsp.conv_valid(ext2, np.asarray([0.25, 0.5, 0.25]))
+            h_p = h_p + alpha * (lp - h_p)
+    elif hp.smoothing == "learned":
+        from ..models import denoiser as _dn
+
+        assert params is not None, "smoothing='learned' needs denoiser params"
+        h_p = _dn.apply_sharded(
+            params, h_p, lambda x, h: _halo_exchange(x, h, axis, n_sp)
+        )
 
     # --- time alignment: gather the (tiny) smoothed pilots, shared PDP ---
     h_all = jax.lax.all_gather(h_p, axis, axis=1, tiled=True)  # (nL, n_re)
@@ -292,7 +322,9 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta):
             )  # (n_re, n_sc_hop)
             start = (my * sp.L).astype(jnp.int32)
             w_local = jax.lax.dynamic_slice(w, (jnp.int32(0), start), (hp.n_re, sp.L))
-            outs.append(dsp.inpaint_matmul(h_all[l0:l1], w_local))
+            outs.append(
+                dsp.inpaint_matmul(h_all[l0:l1], w_local, dsp.precision_of(config.matmul_precision))
+            )
         full = jnp.concatenate(outs, axis=0)  # (nL, L)
     else:
         # linear interp with a 1-pilot halo across seams
@@ -372,6 +404,21 @@ def build_sp_batched(
         cfo_hz=P(dp_axis),
     )
 
+    if config.smoothing == "learned":
+        def body_p(rg_ri_loc, pil_ri_loc, beta_loc, params):
+            return jax.vmap(
+                lambda r, p, b: _sharded_problem(sp, sp_axis, r, p, b, params)
+            )(rg_ri_loc, pil_ri_loc, beta_loc)
+
+        fn = shard_map(
+            body_p,
+            mesh=mesh,
+            in_specs=in_specs + (P(),),  # params replicated
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
     def body(rg_ri_loc, pil_ri_loc, beta_loc):
         return jax.vmap(
             lambda r, p, b: _sharded_problem(sp, sp_axis, r, p, b)
@@ -413,6 +460,16 @@ def build_sp(
         time_alignment=P(),
         cfo_hz=P(),
     )
+
+    if config.smoothing == "learned":
+        def body_p(rg_ri_loc, pil_ri_loc, beta, params):
+            return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta, params)
+
+        fn = shard_map(
+            body_p, mesh=mesh, in_specs=in_specs + (P(),), out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(fn)
 
     def body(rg_ri_loc, pil_ri_loc, beta):
         return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta)

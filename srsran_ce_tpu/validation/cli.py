@@ -55,6 +55,7 @@ def cmd_selftest(args) -> int:
         dict(n_prbs=24, n_layers=1, comb=4, scs_hz=30e3, smoothing="mean"),
         dict(n_prbs=16, n_layers=4, comb=2, scs_hz=30e3),
         dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, cfo_compensate=False, smoothing="none"),
+        dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, n_rx_ports=2),
     ]
     with tempfile.TemporaryDirectory() as td:
         header = synth_vectors.generate_suite(td, specs)

@@ -139,10 +139,8 @@ def run_case(
         int(ch_entries["sym"].max()) + 1 if ch_entries.size else 0,
         14,
     )
-    rg = vectors.entries_to_grid(rg_entries, n_sc, n_sym)
-    if rg.shape[2] != 1:
-        raise ValueError(f"case {case.idx}: multi-port input grids unsupported")
-    rg = rg[:, :, 0]
+    rg_all = vectors.entries_to_grid(rg_entries, n_sc, n_sym)  # (n_sc, n_sym, n_rx)
+    n_rx = rg_all.shape[2]
 
     hops = _group_hops(case)
     hop1 = build_hop_config(*hops[0], case.start_symbol, case.n_alloc_syms)
@@ -167,6 +165,14 @@ def run_case(
             f"{n_dsym_total * n_re}"
         )
     n_layers = pilots_flat.size // (n_dsym_total * n_re)
+    if n_rx > 1 and n_layers != 1:
+        # With several RX ports AND several TX layers, the entry port code is
+        # ambiguous (layer vs RX port) — srsRAN's port_channel_estimator vectors
+        # never mix the two. (The reference harness rejected multi-port input
+        # grids entirely, validate_all.py:480-483.)
+        raise ValueError(
+            f"case {case.idx}: multi-RX-port grids supported for single-layer cases only"
+        )
 
     dtype = np.complex128 if use_x64 else np.complex64
     best: Optional[CaseResult] = None
@@ -175,8 +181,14 @@ def run_case(
 
     fn = estimator.build(hop1, hop2, config, int(n_layers))
     for ordering, pil in vectors.pilot_candidates(pilots_flat, int(n_dsym_total), int(n_re), int(n_layers)):
-        res = fn(rg.astype(dtype), pil.astype(dtype), case.beta_dmrs)
-        ch = res.channel_est_rg
+        # One estimate per RX port (the estimator is srsRAN's per-port channel
+        # estimator); for n_rx == 1 the output port axis indexes TX layers, for
+        # n_rx > 1 it indexes RX ports.
+        ch_ports = [
+            fn(rg_all[:, :, p].astype(dtype), pil.astype(dtype), case.beta_dmrs).channel_est_rg
+            for p in range(n_rx)
+        ]
+        ch = ch_ports[0] if n_rx == 1 else np.concatenate(ch_ports, axis=2)
         est_vals = ch[ch_entries["sc"], ch_entries["sym"], ch_entries["port"]].astype(
             np.complex128
         )

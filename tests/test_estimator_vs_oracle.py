@@ -157,3 +157,44 @@ def test_checked_wrapper_catches_nan():
 
     with _pytest.raises(Exception):
         err.throw()
+
+
+@pytest.mark.parametrize("two_hops", [False, True])
+def test_serve_layout_is_transposed_ref(two_hops):
+    """out_layout="serve" returns (layer, sym, sc) — exactly the transpose of the
+    reference-layout (sc, sym, layer) grid, scalars identical."""
+    case = synthetic.make_case(seed=7, n_prbs=24, n_layers=2, snr_db=30.0, two_hops=two_hops)
+    f_ref = estimator.build_ri(case.hop1, case.hop2, case.config, 2, out_layout="ref")
+    f_srv = estimator.build_ri(case.hop1, case.hop2, case.config, 2, out_layout="serve")
+    rg = estimator.split_ri(case.received_rg)
+    pil = estimator.split_ri(case.pilots)
+    beta = jnp.asarray(case.beta)
+    r_ref = f_ref(rg, pil, beta)
+    r_srv = f_srv(rg, pil, beta)
+    ch_ref = np.asarray(r_ref.channel_est_rg)  # (2, sc, sym, layer)
+    ch_srv = np.asarray(r_srv.channel_est_rg)  # (2, layer, sym, sc)
+    np.testing.assert_array_equal(np.moveaxis(ch_srv, (1, 2, 3), (3, 2, 1)), ch_ref)
+    np.testing.assert_array_equal(np.asarray(r_srv.noise_est), np.asarray(r_ref.noise_est))
+    np.testing.assert_array_equal(np.asarray(r_srv.cfo_hz), np.asarray(r_ref.cfo_hz))
+
+
+def test_matmul_precision_config():
+    """matmul_precision threads through (distinct executables, near-identical numerics
+    on CPU) and rejects unknown values."""
+    import dataclasses
+
+    case = synthetic.make_case(seed=11, n_prbs=24, n_layers=2, snr_db=30.0)
+    cfg_hi = case.config
+    cfg_h = dataclasses.replace(cfg_hi, matmul_precision="high")
+    f_hi = estimator.build_ri(case.hop1, case.hop2, cfg_hi, 2)
+    f_h = estimator.build_ri(case.hop1, case.hop2, cfg_h, 2)
+    assert f_hi is not f_h  # precision keys the jit cache
+    rg = estimator.split_ri(case.received_rg)
+    pil = estimator.split_ri(case.pilots)
+    a = np.asarray(f_hi(rg, pil, jnp.asarray(case.beta)).channel_est_rg)
+    b = np.asarray(f_h(rg, pil, jnp.asarray(case.beta)).channel_est_rg)
+    denom = np.sum(a[0] ** 2 + a[1] ** 2)
+    nmse = np.sum((a - b) ** 2) / denom
+    assert nmse < 1e-10, nmse
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg_hi, matmul_precision="fast")

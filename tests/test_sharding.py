@@ -57,6 +57,7 @@ SP_CASES = [
     ("wideband_272", dict(n_prbs=272, n_layers=1)),
     ("cnn_inpaint", dict(n_prbs=32, n_layers=1, interp="cnn")),
     ("cnn_inpaint_2layer_wide", dict(n_prbs=272, n_layers=2, interp="cnn")),
+    ("filter_alpha_blend", dict(n_prbs=32, n_layers=2, cnn_alpha=0.4)),
 ]
 
 
@@ -123,3 +124,50 @@ def test_shard_plan_rejects_bad_geometry():
     plan2 = make_plan(case2.hop1, case2.hop2, case2.config, 1)
     with pytest.raises(AssertionError):
         make_shard_plan(plan2, 4)  # 25 PRBs not divisible by 4
+
+
+def test_sp_learned_smoothing_matches_unsharded():
+    """Sharded learned smoothing (layer-wise conv halo exchange) must reproduce the
+    unsharded denoiser path exactly — including at band edges, where each conv
+    layer's SAME zero padding must not be contaminated by halo activations."""
+    from srsran_ce_tpu.models import denoiser
+
+    n_sp = 4
+    mesh = mesh_lib.make_mesh((2, n_sp), ("dp", "sp"))
+    case = synthetic.make_case(seed=5, n_prbs=32, n_layers=2, smoothing="learned", snr_db=25.0)
+    params = denoiser.init_params(jax.random.PRNGKey(0), n_re=case.pilots.shape[0])
+    # perturb: a zero-init output conv would make the denoiser the identity and
+    # mask edge bugs
+    params = jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(1), x.shape, x.dtype),
+        params,
+    )
+    fn_sp = build_sp(case.hop1, case.hop2, case.config, 2, mesh)
+    out_sp = fn_sp(_ri(case.received_rg), _ri(case.pilots), case.beta, params)
+    fn_1 = estimator.build_ri(case.hop1, case.hop2, case.config, 2)
+    out_1 = fn_1(_ri(case.received_rg), _ri(case.pilots), jnp.asarray(case.beta), params)
+    ch_sp = estimator.merge_ri(np.asarray(out_sp.channel_est_rg))
+    ch_1 = estimator.merge_ri(np.asarray(out_1.channel_est_rg))
+    np.testing.assert_allclose(ch_sp, ch_1, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(float(out_sp.noise_est), float(out_1.noise_est), rtol=1e-9)
+
+
+def test_apply_sharded_single_shard_equals_apply():
+    """apply_sharded with zero halos (n_sp=1) == the flax apply, bitwise-ish."""
+    from srsran_ce_tpu.models import denoiser
+
+    params = denoiser.init_params(jax.random.PRNGKey(2), n_re=48)
+    params = jax.tree.map(
+        lambda x: x + 0.1 * jax.random.normal(jax.random.PRNGKey(3), x.shape, x.dtype),
+        params,
+    )
+    rng = np.random.default_rng(9)
+    h = (rng.standard_normal((3, 48)) + 1j * rng.standard_normal((3, 48))).astype(np.complex64)
+
+    def zero_exchange(x, hw):
+        z = jnp.zeros(x.shape[:-1] + (hw,), x.dtype)
+        return z, z
+
+    a = np.asarray(denoiser.apply_sharded(params, jnp.asarray(h), zero_exchange))
+    b = np.asarray(denoiser.apply_complex(params, jnp.asarray(h)))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

@@ -68,17 +68,18 @@ def test_header_parse_and_suite(tmp_path):
         dict(n_prbs=24, n_layers=1, comb=2, scs_hz=15e3),
         dict(n_prbs=12, n_layers=2, comb=2, scs_hz=30e3),
         dict(n_prbs=12, n_layers=1, comb=2, scs_hz=30e3, two_hops=True),
+        dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, n_rx_ports=2),
     ]
     header = synth_vectors.generate_suite(tmp_path, specs)
     cases = vectors.parse_test_header(header)
-    assert len(cases) == 3
+    assert len(cases) == 4
     assert cases[0].scs_hz == 15e3
     assert cases[0].grid_size_prbs == 52
     assert len(cases[2].hops) == 2
     assert cases[2].hops[0].hop_symbol is not None
 
     report = conformance.run_suite(header, tmp_path, nmse_bound_db=-40.0)
-    assert report["n_pass"] == report["n_cases"] == 3, report
+    assert report["n_pass"] == report["n_cases"] == 4, report
 
 
 def test_pilot_candidate_search_finds_true_layout():
