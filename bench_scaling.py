@@ -22,14 +22,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
-
-if len(jax.devices()) < 2:
-    # single-chip environment: use the virtual CPU platform for the scaling harness
-    import importlib
-
-    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp  # noqa: E402
 
 from srsran_ce_tpu.models import estimator as _est  # noqa: E402
@@ -79,6 +71,25 @@ def measure(n_dev: int, per_device_batch: int = 16) -> float:
 
 
 def main():
+    if os.environ.get("SRSCE_SCALING_SUBPROCESS") != "1" and len(jax.devices()) < 2:
+        # Single-chip environment: the multi-device sweep needs the 8-way virtual
+        # CPU platform, and the platform cannot be switched once this process has
+        # initialized a backend (jax.devices() above) — re-exec in a clean
+        # subprocess. (A config.update after backend init silently keeps the old
+        # platform and the sweep would "measure" 1 device at efficiency 1.0.)
+        import subprocess
+
+        env = dict(
+            os.environ,
+            SRSCE_SCALING_SUBPROCESS="1",
+            JAX_PLATFORMS="cpu",
+            PYTHONPATH="",
+            PALLAS_AXON_POOL_IPS="",
+            XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8",
+        )
+        sys.exit(subprocess.run([sys.executable, os.path.abspath(__file__)], env=env).returncode)
+
     devs = jax.devices()
     platform = devs[0].platform
     sizes = [n for n in (1, 2, 4, 8) if n <= len(devs)]
@@ -109,12 +120,25 @@ def main():
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
     report.write(out)
-    last = report.entries[-1]
+    # Headline entry: on the virtual CPU platform, the largest device count that
+    # does not oversubscribe the physical cores (beyond that the "devices" time-
+    # slice the same silicon and efficiency measures host saturation, not the
+    # framework — all entries are still recorded in BENCH_SCALING.json).
+    if platform == "cpu":
+        cores = os.cpu_count() or 1
+        eligible = [e for e in report.entries if e["n_devices"] <= cores]
+        last = eligible[-1] if eligible else report.entries[-1]
+    else:
+        last = report.entries[-1]
+    # Clamp the headline to 1.0: XLA-CPU intra-op threading lets a 1-"device" run
+    # use several cores, which can make small-N efficiency superlinear/noisy. Raw
+    # values stay in BENCH_SCALING.json.
+    eff = min(float(last["efficiency"]), 1.0)
     print(json.dumps({
         "metric": f"dp weak-scaling efficiency at {last['n_devices']} devices ({platform})",
-        "value": last["efficiency"],
+        "value": eff,
         "unit": "fraction",
-        "vs_baseline": last["efficiency"] / 0.8,  # target is >= 80%
+        "vs_baseline": eff / 0.8,  # target is >= 80%
     }))
 
 
