@@ -126,6 +126,43 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """Channel-NMSE-vs-ground-truth sweep across SNR and smoothing strategies.
+
+    Trains the denoiser briefly (or loads --checkpoint) so the table demonstrates
+    the learned smoother against the reference's fixed RC-filter chain."""
+    from . import quality
+    from ..models import training
+
+    if args.checkpoint:
+        state = training.load_checkpoint(args.checkpoint, n_re=args.n_re)
+        print(f"loaded denoiser checkpoint {args.checkpoint} (step {state.step})")
+    else:
+        print(f"training denoiser for {args.steps} steps ...")
+        state, loss = training.train(n_steps=args.steps, batch=128, n_re=args.n_re, lr=2e-3)
+        print(f"train nmse {loss:.4e}")
+
+    snrs = tuple(float(s) for s in args.snr)
+    table = quality.sweep(
+        snrs_db=snrs,
+        smoothings=("filter", "learned", "mean", "none"),
+        params=state.params,
+        n_cases=args.cases,
+        n_prbs=args.n_prbs,
+        n_layers=1,
+    )
+    hdr = "smoothing " + "".join(f"  {s:>6.1f}dB" for s in snrs)
+    print(hdr + "\n" + "-" * len(hdr))
+    for sm, row in table.items():
+        tag = " (reference chain)" if sm == "filter" else (" (trainable, ours)" if sm == "learned" else "")
+        print(f"{sm:9s} " + "".join(f"  {row[s]:7.2f}" for s in snrs) + tag)
+    if args.report:
+        Path(args.report).write_text(json.dumps(table, indent=2))
+    gain = {s: table["filter"][s] - table["learned"][s] for s in snrs}
+    print("learned-vs-filter gain (dB): " + ", ".join(f"{s:.0f}dB SNR: {g:+.2f}" for s, g in gain.items()))
+    return 0
+
+
 def cmd_bench(args) -> int:
     """Run the throughput benchmark (same as `python bench.py`)."""
     import importlib.util
@@ -167,6 +204,16 @@ def main(argv=None) -> int:
     t.add_argument("--checkpoint", help="orbax checkpoint output dir")
     t.add_argument("--resume", help="orbax checkpoint dir to resume from")
     t.set_defaults(fn=cmd_train)
+
+    q = sub.add_parser("quality", help="channel NMSE vs ground truth across SNR / smoothing")
+    q.add_argument("--steps", type=int, default=300, help="denoiser training steps")
+    q.add_argument("--checkpoint", default=None, help="load denoiser checkpoint instead of training")
+    q.add_argument("--n-re", type=int, default=104)
+    q.add_argument("--n-prbs", type=int, default=26)
+    q.add_argument("--cases", type=int, default=12)
+    q.add_argument("--snr", nargs="*", default=[0.0, 5.0, 10.0, 20.0])
+    q.add_argument("--report", default=None, help="write JSON table here")
+    q.set_defaults(fn=cmd_quality)
 
     b = sub.add_parser("bench", help="single-chip throughput benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -1,0 +1,81 @@
+"""Estimation-quality evaluation: channel NMSE vs ground truth across SNR.
+
+The reference can only be validated against srsRAN's dumped estimates (its own
+output), so it has no way to ask "which smoothing strategy estimates the channel
+*better*?". The synthetic generator carries the true channel
+(utils/synthetic.SyntheticCase.true_channel), so this module measures end-to-end
+estimation quality directly — and demonstrates the trainable denoiser
+(smoothing="learned", no reference counterpart) beating the reference's fixed
+RC-filter chain at low SNR.
+
+Used by `python -m srsran_ce_tpu.validation.cli quality`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import NRE
+from ..models import estimator
+from ..utils import synthetic
+
+
+def channel_nmse_vs_truth(
+    smoothing: str,
+    snr_db: float,
+    params=None,
+    n_cases: int = 12,
+    seed0: int = 900,
+    **case_kwargs,
+) -> float:
+    """Mean channel NMSE (linear) vs ground truth over `n_cases` synthetic problems.
+
+    Compares only the allocated block (the estimate is defined as zero outside the
+    hop allocation, reference ce_rule_baseline.py:806).
+    """
+    errs = []
+    for i in range(n_cases):
+        case = synthetic.make_case(
+            seed=seed0 + i, snr_db=snr_db, smoothing=smoothing, **case_kwargs
+        )
+        nL = case.pilots.shape[2]
+        fn = estimator.build_ri(case.hop1, case.hop2, case.config, nL)
+        rg = estimator.split_ri(case.received_rg)
+        pil = estimator.split_ri(case.pilots)
+        if smoothing == "learned":
+            assert params is not None, "smoothing='learned' needs denoiser params"
+            res = fn(rg, pil, jnp.asarray(case.beta), params)
+        else:
+            res = fn(rg, pil, jnp.asarray(case.beta))
+        ch = estimator.merge_ri(np.asarray(res.channel_est_rg))
+        err = den = 0.0
+        for hop in [case.hop1] + ([case.hop2] if case.hop2 is not None else []):
+            sc = slice(NRE * hop.prb_start, NRE * (hop.prb_start + hop.n_prbs))
+            sy = slice(hop.start_symbol, hop.start_symbol + hop.n_allocated_symbols)
+            est = ch[sc, sy, :]
+            tru = case.true_channel[sc, sy, :]
+            err += float(np.sum(np.abs(est - tru) ** 2))
+            den += float(np.sum(np.abs(tru) ** 2))
+        errs.append(err / (den + 1e-300))
+    return float(np.mean(errs))
+
+
+def sweep(
+    snrs_db: Sequence[float] = (0.0, 5.0, 10.0, 20.0),
+    smoothings: Sequence[str] = ("filter", "learned", "mean", "none"),
+    params=None,
+    n_cases: int = 12,
+    **case_kwargs,
+) -> Dict[str, Dict[float, float]]:
+    """NMSE (dB) table {smoothing: {snr_db: nmse_db}}."""
+    out: Dict[str, Dict[float, float]] = {}
+    for sm in smoothings:
+        row = {}
+        for snr in snrs_db:
+            nmse = channel_nmse_vs_truth(sm, snr, params=params, n_cases=n_cases, **case_kwargs)
+            row[float(snr)] = 10.0 * float(np.log10(nmse + 1e-300))
+        out[sm] = row
+    return out

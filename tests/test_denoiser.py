@@ -91,3 +91,20 @@ def test_trained_denoiser_beats_raw_ls_at_low_snr():
     den = np.asarray(denoiser.PilotDenoiser().apply(state.params, jnp.asarray(noisy)))
     den_nmse = float(np.sum((den - truth) ** 2) / np.sum(truth**2))
     assert den_nmse < 0.7 * raw_nmse, (raw_nmse, den_nmse)
+
+
+def test_quality_sweep_learned_beats_filter_at_low_snr():
+    """The trained denoiser must beat the reference's fixed RC-filter chain on
+    channel NMSE vs ground truth at 0 dB SNR (validation/quality.py; deterministic
+    seeds, CPU)."""
+    from srsran_ce_tpu.models import training
+    from srsran_ce_tpu.validation import quality
+
+    state, _ = training.train(n_steps=250, batch=128, n_re=64, seed=0, lr=2e-3, log_every=10**9)
+    kw = dict(n_cases=6, n_prbs=16, n_layers=1)
+    f = quality.channel_nmse_vs_truth("filter", 0.0, **kw)
+    l = quality.channel_nmse_vs_truth("learned", 0.0, params=state.params, **kw)
+    n = quality.channel_nmse_vs_truth("none", 0.0, **kw)
+    assert np.isfinite(f) and np.isfinite(l) and np.isfinite(n)
+    assert f < n, "RC filter must beat no smoothing at 0 dB"
+    assert l < f, f"learned ({l:.4f}) must beat filter ({f:.4f}) at 0 dB SNR"
