@@ -85,6 +85,39 @@ def _virtual_pilots(
     return (v_amp * jnp.exp(1j * v_ph)).astype(h.dtype)
 
 
+def _use_fused_smooth(hp_plan: HopPlan, kernels: str) -> bool:
+    """True when the filter chain runs as the fused plan matrices (XLA tier): the
+    CDM pair-average is then folded into the matrices and _process_hop must NOT
+    apply it explicitly."""
+    return kernels == "xla" and hp_plan.smoothing == "filter" and hp_plan.smooth_mat is not None
+
+
+def _smooth_fused(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> jnp.ndarray:
+    """Fused filter smoothing: pair-average + RC conv (+ alpha blend) as plan
+    matrices on the MXU; only the virtual-pilot fit stays nonlinear.
+    h_p: (n_layers, n_re) RAW (pre pair-average)."""
+    prec = dsp.precision_of(config.matmul_precision)
+    rdtype = jnp.real(h_p).dtype
+
+    def cmm(x, m):
+        mr = jnp.asarray(m, dtype=rdtype)
+        return jax.lax.complex(
+            jnp.matmul(jnp.real(x), mr, precision=prec),
+            jnp.matmul(jnp.imag(x), mr, precision=prec),
+        )
+
+    n_pils = hp_plan.n_pils
+    e_l = cmm(h_p, hp_plan.pair_l_mat)  # == h_avg[:, :n_pils]
+    e_r = cmm(h_p, hp_plan.pair_r_mat)
+    vb = _virtual_pilots(e_l, hp_plan.vp_matrix, n_pils, prec)
+    ve = _virtual_pilots(jnp.flip(e_r, axis=-1), hp_plan.vp_matrix, n_pils, prec)
+    return (
+        cmm(h_p, hp_plan.smooth_mat)
+        + cmm(vb, hp_plan.smooth_vb_mat)
+        + cmm(jnp.flip(ve, axis=-1), hp_plan.smooth_ve_mat)
+    )
+
+
 def _smooth(
     hp_plan: HopPlan,
     config: EstimatorConfig,
@@ -94,7 +127,8 @@ def _smooth(
 ) -> jnp.ndarray:
     """Frequency-domain smoothing switch (ce_rule_baseline.py:645-680; CNN alpha
     blend from ce_dl_cnn.py:690-717; trainable path via models/denoiser.py).
-    h_p: (n_layers, n_re)."""
+    h_p: (n_layers, n_re) — RAW when _use_fused_smooth (the pair-average lives in
+    the fused matrices), pair-averaged otherwise."""
     smoothing = hp_plan.smoothing
     if smoothing == "none":
         return h_p
@@ -106,6 +140,8 @@ def _smooth(
     if smoothing == "mean":
         return jnp.broadcast_to(jnp.mean(h_p, axis=-1, keepdims=True), h_p.shape)
     # "filter"
+    if _use_fused_smooth(hp_plan, kernels):
+        return _smooth_fused(hp_plan, config, h_p)
     prec = dsp.precision_of(config.matmul_precision)
     n_pils = hp_plan.n_pils
     v_begin = _virtual_pilots(h_p[:, :n_pils], hp_plan.vp_matrix, n_pils, prec)
@@ -289,8 +325,9 @@ def _process_hop(
     # --- Time average (ce_rule_baseline.py:625) ---
     h_p = jnp.sum(rec_x_nocfo, axis=1) / beta.astype(cdtype) / hp.n_dsym  # (nL, n_re)
 
-    # --- CDM interference removal: adjacent-RE pair average (ce_rule_baseline.py:632-640) ---
-    if nL >= 2:
+    # --- CDM interference removal: adjacent-RE pair average (ce_rule_baseline.py:632-640).
+    # Folded into the fused smoothing matrices when they run (see _smooth_fused).
+    if nL >= 2 and not _use_fused_smooth(hp, kernels):
         m = hp.n_re // 2
         pairs = h_p[:, : 2 * m].reshape(nL, m, 2)
         avg = jnp.mean(pairs, axis=-1, keepdims=True)

@@ -90,6 +90,17 @@ class HopPlan:
     # Linear grid interpolation as a (n_re, n_sc_hop) matrix per CDM (2 nonzeros per
     # column) — one MXU matmul instead of three gathers, which TPUs lower poorly.
     interp_matrix: Optional[np.ndarray] = None  # (n_cdm, n_re, n_sc_hop) float64
+    # Fused smoothing operator (filter mode, XLA tier): CDM pair-average + RC
+    # "same" convolution (+ optional cnn_alpha low-pass blend) collapsed into ONE
+    # (n_re, n_re) matrix, with small edge matrices for the (nonlinear) virtual
+    # pilots:  h_s = h @ smooth_mat + vb @ smooth_vb_mat + flip(ve) @ smooth_ve_mat,
+    # where vb/ve are fit from h @ pair_l_mat / flip(h @ pair_r_mat). Replaces the
+    # pair-avg reshape/concat chain and K shifted-add conv passes with MXU work.
+    smooth_mat: Optional[np.ndarray] = None  # (n_re, n_re) float64
+    smooth_vb_mat: Optional[np.ndarray] = None  # (n_pils, n_re)
+    smooth_ve_mat: Optional[np.ndarray] = None  # (n_pils, n_re)
+    pair_l_mat: Optional[np.ndarray] = None  # (n_re, n_pils)
+    pair_r_mat: Optional[np.ndarray] = None  # (n_re, n_pils)
 
 
 def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> HopPlan:
@@ -129,12 +140,57 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
     rc_taps = None
     n_pils = 0
     vp_matrix = None
+    smooth_mat = smooth_vb_mat = smooth_ve_mat = pair_l_mat = pair_r_mat = None
     if config.smoothing == "filter":
         stride = NRE // dmrs_per_prb
         rc_taps, _ = _oracle.get_rc_filter(stride, min(3, n_prbs_masked))
         n_pils = min(12, rc_taps.size // 2) if n_prbs_masked > 1 else dmrs_per_prb
         if n_pils > 1:
             vp_matrix = _virtual_pilot_matrix(n_pils, n_pils)
+        if n_pils <= n_re:
+            # Fused smoothing operator (see HopPlan docstring above). Banded conv
+            # matrix built directly from the taps: 'same' conv response of ext-basis
+            # i at center output j' is taps[j' + n_pils + hw - i] (zero outside).
+            n_ext = n_re + 2 * n_pils
+            K = rc_taps.size
+            hw = (K - 1) // 2
+            tap_idx = (np.arange(n_re)[None, :] + n_pils + hw) - np.arange(n_ext)[:, None]
+            valid = (tap_idx >= 0) & (tap_idx < K)
+            b_ext = np.where(valid, rc_taps[np.clip(tap_idx, 0, K - 1)], 0.0)
+            if config.cnn_alpha > 0.0 and n_re > 2:
+                # ce_dl_cnn.py:712-715 alpha blend with a reflect-padded 3-tap
+                # low-pass of the *sliced* output — also linear, fold it in.
+                alpha = min(1.0, max(0.0, config.cnn_alpha))
+                lp_idx = np.arange(n_re)[None, :] - np.arange(n_re)[:, None] + 1
+                lp = np.where(
+                    (lp_idx >= 0) & (lp_idx < 3),
+                    np.asarray([0.25, 0.5, 0.25])[np.clip(lp_idx, 0, 2)],
+                    0.0,
+                )
+                lp[1, 0] += 0.25  # reflect at the left edge (pad = x[1])
+                lp[n_re - 2, n_re - 1] += 0.25  # reflect at the right edge
+                b_ext = (1.0 - alpha) * b_ext + alpha * (b_ext @ lp)
+            b_h = b_ext[n_pils : n_pils + n_re]
+            smooth_vb_mat = b_ext[:n_pils]
+            smooth_ve_mat = b_ext[n_pils + n_re :]
+            if n_layers >= 2:
+                # pair @ b_h without the O(n^3) matmul: rows 2k and 2k+1 both
+                # become the average of b_h rows 2k and 2k+1.
+                m = n_re // 2
+                smooth_mat = b_h.copy()
+                avg_rows = 0.5 * (b_h[0 : 2 * m : 2] + b_h[1 : 2 * m : 2])
+                smooth_mat[0 : 2 * m : 2] = avg_rows
+                smooth_mat[1 : 2 * m : 2] = avg_rows
+                pair = np.eye(n_re)
+                idx = np.arange(2 * m)
+                pair[idx, idx] = 0.5
+                pair[idx, idx ^ 1] = 0.5
+                pair_l_mat = pair[:, :n_pils]
+                pair_r_mat = pair[:, -n_pils:]
+            else:
+                smooth_mat = b_h
+                pair_l_mat = np.eye(n_re)[:, :n_pils]
+                pair_r_mat = np.eye(n_re)[:, -n_pils:]
 
     # Interpolation anchor tables per CDM group
     interp_left = np.zeros((n_cdm, n_sc_hop), dtype=np.int32)
@@ -237,6 +293,11 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
         ta_dft_sin=ta_dft_sin,
         fast_sel=fast_sel,
         interp_matrix=interp_matrix,
+        smooth_mat=smooth_mat,
+        smooth_vb_mat=smooth_vb_mat,
+        smooth_ve_mat=smooth_ve_mat,
+        pair_l_mat=pair_l_mat,
+        pair_r_mat=pair_r_mat,
     )
 
 
