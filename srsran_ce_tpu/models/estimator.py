@@ -396,6 +396,7 @@ def _estimate_impl(
     kernels: str = "xla",
     params=None,
     out_layout: str = "ref",
+    out_dtype=None,
 ) -> EstimateResult:
     cdtype = received_rg.dtype
     rdtype = jnp.zeros((), cdtype).real.dtype
@@ -411,10 +412,15 @@ def _estimate_impl(
     # writes tile the full 128-lane width instead of padding a length-nL lane
     # (for nL<=4 the ref layout wastes ~97% of write bandwidth on tile padding).
     assert out_layout in ("ref", "serve")
-    if out_layout == "serve":
-        channel = jnp.zeros((nL, n_sym, n_sc), dtype=cdtype)
+    # out_dtype (e.g. bfloat16): reduced-precision serving output. The grid buffer
+    # is then ri-layout REAL (2, ...) from the start — complex bf16 does not exist,
+    # and casting at the write point is what halves the dominant HBM write cost.
+    assert out_dtype is None or out_layout == "serve", "out_dtype requires serve layout"
+    grid_shape = (nL, n_sym, n_sc) if out_layout == "serve" else (n_sc, n_sym, nL)
+    if out_dtype is not None:
+        channel = jnp.zeros((2,) + grid_shape, dtype=out_dtype)
     else:
-        channel = jnp.zeros((n_sc, n_sym, nL), dtype=cdtype)
+        channel = jnp.zeros(grid_shape, dtype=cdtype)
     epre = jnp.zeros((), rdtype)
     noise = jnp.zeros((), rdtype)
     rsrp = jnp.zeros((), rdtype)
@@ -464,7 +470,15 @@ def _estimate_impl(
         if out_layout == "serve":
             full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
             block = full[:, None, :] * rot_slice[None, :, None]  # (nL, n_alloc, n_sc_hop)
-            channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, hp.sc_start))
+            if out_dtype is not None:
+                blk_ri = _complex_to_ri(block).astype(out_dtype)
+                channel = jax.lax.dynamic_update_slice(
+                    channel, blk_ri, (0, 0, hp.sym_start, hp.sc_start)
+                )
+            else:
+                channel = jax.lax.dynamic_update_slice(
+                    channel, block, (0, hp.sym_start, hp.sc_start)
+                )
             continue
         if kernels == "pallas":
             block = _grid_fill_rotate_pallas(hp, config, h_p, rot_slice)
@@ -517,7 +531,9 @@ def merge_ri(x_ri: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
-def _build_ri_cached(plan_key, batched: bool, kernels: str, out_layout: str = "ref"):
+def _build_ri_cached(
+    plan_key, batched: bool, kernels: str, out_layout: str = "ref", out_dtype=None
+):
     hop1, hop2, config, n_layers = plan_key
     plan = make_plan(hop1, hop2, config, n_layers)
     prefetch_plan_constants(plan)
@@ -531,8 +547,10 @@ def _build_ri_cached(plan_key, batched: bool, kernels: str, out_layout: str = "r
                         dsp.inpaint_operator(hp.inpaint_known[c], len(transient) + steady, dt)
 
     def to_ri(res):
+        ch = res.channel_est_rg
+        # with out_dtype the impl already produced the (2, ...) real ri buffer
         return EstimateResult(
-            channel_est_rg=_complex_to_ri(res.channel_est_rg),
+            channel_est_rg=ch if out_dtype is not None else _complex_to_ri(ch),
             noise_est=res.noise_est,
             rsrp=res.rsrp,
             epre=res.epre,
@@ -552,6 +570,7 @@ def _build_ri_cached(plan_key, batched: bool, kernels: str, out_layout: str = "r
                     kernels,
                     params,
                     out_layout,
+                    out_dtype,
                 )
             )
 
@@ -571,6 +590,7 @@ def _build_ri_cached(plan_key, batched: bool, kernels: str, out_layout: str = "r
                 kernels,
                 None,
                 out_layout,
+                out_dtype,
             )
         )
 
@@ -589,6 +609,7 @@ def build_ri(
     batched: bool = False,
     kernels: str = "xla",
     out_layout: str = "ref",
+    out_dtype: Optional[str] = None,
 ):
     """Jitted `fn(rg_ri, pil_ri, beta) -> EstimateResult` in ri layout.
 
@@ -602,12 +623,24 @@ def build_ri(
     subcarrier-last, the TPU-native serving layout (block writes tile the full lane
     width; with the "ref" (sc, sym, layer) layout the minor-most axis is n_layers<=4
     and every (8,128) output tile is ~97% padding). Identical values, transposed.
+
+    out_dtype="bfloat16" (serve layout only): half-size serving output — halves
+    the grid's device-memory footprint and (this environment's slow relay makes
+    it matter) the device->host transfer volume. NOTE: measured on v5e this does
+    NOT speed up in-device production of the grid (bf16 tile padding costs more
+    than the smaller write saves); choose it for memory/egress, not latency.
+    Channel values carry ~2-3 significant digits (~4e-3 relative, NMSE ~1e-5);
+    measurement scalars stay full precision. Not for conformance runs.
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
     assert kernels in ("xla", "pallas")
     assert out_layout in ("ref", "serve")
-    return _build_ri_cached((hop1, hop2, config, n_layers), batched, kernels, out_layout)
+    assert out_dtype in (None, "bfloat16"), "out_dtype: None or 'bfloat16'"
+    assert out_dtype is None or out_layout == "serve", "out_dtype requires serve layout"
+    return _build_ri_cached(
+        (hop1, hop2, config, n_layers), batched, kernels, out_layout, out_dtype
+    )
 
 
 def build(

@@ -198,3 +198,27 @@ def test_matmul_precision_config():
     assert nmse < 1e-10, nmse
     with pytest.raises(ValueError):
         dataclasses.replace(cfg_hi, matmul_precision="fast")
+
+
+def test_bf16_serving_output():
+    """out_dtype='bfloat16' returns a (2, layer, sym, sc) bf16 grid ~4e-3-close to
+    the f32 serve output, with full-precision scalars."""
+    case = synthetic.make_case(seed=13, n_prbs=24, n_layers=2, snr_db=30.0)
+    f32 = estimator.build_ri(case.hop1, case.hop2, case.config, 2, out_layout="serve")
+    f16 = estimator.build_ri(
+        case.hop1, case.hop2, case.config, 2, out_layout="serve", out_dtype="bfloat16"
+    )
+    rg = estimator.split_ri(case.received_rg).astype(np.float32)
+    pil = estimator.split_ri(case.pilots).astype(np.float32)
+    beta = jnp.asarray(np.float32(case.beta))
+    a = f32(rg, pil, beta)
+    b = f16(rg, pil, beta)
+    assert b.channel_est_rg.dtype == jnp.bfloat16
+    assert b.channel_est_rg.shape == a.channel_est_rg.shape
+    ch_a = np.asarray(a.channel_est_rg, np.float64)
+    ch_b = np.asarray(b.channel_est_rg, np.float64)
+    nmse = np.sum((ch_a - ch_b) ** 2) / np.sum(ch_a**2)
+    assert nmse < 1e-4, nmse  # bf16 rounding only
+    np.testing.assert_allclose(float(b.noise_est), float(a.noise_est), rtol=1e-6)
+    with pytest.raises(AssertionError):
+        estimator.build_ri(case.hop1, case.hop2, case.config, 2, out_dtype="bfloat16")
