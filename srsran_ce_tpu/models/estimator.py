@@ -253,6 +253,40 @@ def _grid_fill_rotate_pallas(
     return jax.lax.complex(blk[0], blk[1])
 
 
+def _grid_fill_rotate_pallas_serve(
+    hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray, rot_slice: jnp.ndarray
+) -> jnp.ndarray:
+    """Serve-layout Pallas fused tier: interp-operator matmul + symbol broadcast +
+    CFO rotation + block write in ONE pass (ops/pallas/kernels.fused_fill_rotate_serve).
+
+    h_p: (n_layers, n_re) complex; rot_slice: (n_alloc_syms,) complex.
+    Returns (n_layers, n_alloc_syms, n_sc_hop) complex. With the subcarrier-last
+    layout the kernel's output tiles are full-lane (unlike the ref layout, where
+    XLA wins — see _grid_fill_rotate_pallas)."""
+    from ..ops.pallas import kernels as _plk
+
+    max_w_bytes = 6 * 1024 * 1024
+    if (hp_plan.n_re * hp_plan.n_sc_hop * np.dtype(np.float32).itemsize) > max_w_bytes:
+        full = _grid_fill(hp_plan, config, h_p)
+        return full[:, None, :] * rot_slice[None, :, None]
+
+    rdtype = jnp.real(h_p).dtype
+    rot_ri = jnp.stack([jnp.real(rot_slice), jnp.imag(rot_slice)])[None]  # (1, 2, n_alloc)
+    blocks = []
+    for c, (l0, l1) in enumerate(hp_plan.layer_slices):
+        if config.interp == "linear":
+            w = jnp.asarray(hp_plan.interp_matrix[c], dtype=rdtype)
+        else:
+            transient, steady = hp_plan.inpaint_schedules[c]
+            w = dsp.inpaint_operator(hp_plan.inpaint_known[c], len(transient) + steady, rdtype)
+        vals = h_p[l0:l1]
+        h_ri = jnp.stack([jnp.real(vals), jnp.imag(vals)])[None]  # (1, 2, n_l_c, n_re)
+        out = _plk.fused_fill_rotate_serve(h_ri, w, rot_ri)[0]  # (2, n_l_c, n_alloc, n_sc)
+        blocks.append(out)
+    blk = jnp.concatenate(blocks, axis=1)  # (2, nL, n_alloc, n_sc_hop)
+    return jax.lax.complex(blk[0], blk[1])
+
+
 def _process_hop(
     hp: HopPlan,
     config: EstimatorConfig,
@@ -468,8 +502,11 @@ def _estimate_impl(
     for (hp, _), h_p in zip(hops, h_ps):
         rot_slice = jax.lax.slice_in_dim(rot, hp.sym_start, hp.sym_start + hp.n_alloc_syms, axis=0)
         if out_layout == "serve":
-            full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
-            block = full[:, None, :] * rot_slice[None, :, None]  # (nL, n_alloc, n_sc_hop)
+            if kernels == "pallas":
+                block = _grid_fill_rotate_pallas_serve(hp, config, h_p, rot_slice)
+            else:
+                full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
+                block = full[:, None, :] * rot_slice[None, :, None]  # (nL, n_alloc, n_sc_hop)
             if out_dtype is not None:
                 blk_ri = _complex_to_ri(block).astype(out_dtype)
                 channel = jax.lax.dynamic_update_slice(

@@ -90,3 +90,39 @@ def test_pallas_tier_estimator_end_to_end():
         scale = np.abs(ch_x).max() + 1e-30
         assert np.max(np.abs(ch_x - ch_p)) / scale < 1e-10, kwargs
         np.testing.assert_allclose(float(out_p.noise_est), float(out_x.noise_est), rtol=1e-10)
+
+
+def test_fused_fill_rotate_serve_matches_xla():
+    rng = np.random.default_rng(4)
+    B, nL, n_re, n_sc, n_sym = 3, 2, 48, 96, 14
+    h = rng.standard_normal((B, nL, n_re)) + 1j * rng.standard_normal((B, nL, n_re))
+    rot = np.exp(1j * rng.standard_normal((B, n_sym)))
+    w = rng.standard_normal((n_re, n_sc)) * 0.1
+    h_ri = np.stack([h.real, h.imag], axis=1).astype(np.float32)
+    rot_ri = np.stack([rot.real, rot.imag], axis=1).astype(np.float32)
+    out = np.asarray(kernels.fused_fill_rotate_serve(
+        jnp.asarray(h_ri), jnp.asarray(w.astype(np.float32)), jnp.asarray(rot_ri), tile_sc=64
+    ))  # (B, 2, nL, n_sym, n_sc)
+    full = np.einsum("blr,rs->bls", h, w)  # (B, nL, n_sc)
+    want = full[:, :, None, :] * rot[:, None, :, None]  # (B, nL, n_sym, n_sc)
+    got = out[:, 0] + 1j * out[:, 1]
+    np.testing.assert_allclose(got, want.astype(np.complex64), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_serve_estimator_end_to_end():
+    """kernels='pallas' + out_layout='serve' must match the XLA serve tier."""
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.utils import synthetic
+
+    case = synthetic.make_case(seed=21, n_prbs=24, n_layers=2, snr_db=30.0)
+    f_x = estimator.build_ri(case.hop1, case.hop2, case.config, 2, out_layout="serve")
+    f_p = estimator.build_ri(
+        case.hop1, case.hop2, case.config, 2, out_layout="serve", kernels="pallas"
+    )
+    rg = estimator.split_ri(case.received_rg).astype(np.float32)
+    pil = estimator.split_ri(case.pilots).astype(np.float32)
+    beta = jnp.asarray(np.float32(case.beta))
+    a = np.asarray(f_x(rg, pil, beta).channel_est_rg, np.float64)
+    b = np.asarray(f_p(rg, pil, beta).channel_est_rg, np.float64)
+    nmse = np.sum((a - b) ** 2) / (np.sum(a**2) + 1e-30)
+    assert nmse < 1e-10, nmse
