@@ -71,6 +71,14 @@ def _get_lib() -> ctypes.CDLL:
                 ctypes.c_int64,
                 ctypes.c_int64,
             ]
+        lib.assemble_batch_ri.restype = None
+        lib.assemble_batch_ri.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -132,4 +140,29 @@ def ri_to_complex(x: np.ndarray) -> np.ndarray:
     n = x.size // (2 * b)
     out = np.empty((b,) + x.shape[2:], np.complex64)
     lib.ri_to_complex(_f32p(x), _f32p(out.view(np.float32)), b, n)
+    return out
+
+
+def assemble_batch_ri(arrays, n_threads: int = 0) -> np.ndarray:
+    """Gather B independently-allocated complex64 problems (same shape) into one
+    contiguous (B, 2, ...) float32 ri batch, multithreaded.
+
+    This is the serving front-end's host-side packing step (serving.process):
+    problems arrive as separate buffers per (cell, UE, slot); the assembled batch
+    feeds jax.device_put directly.
+    """
+    import os
+
+    lib = _get_lib()
+    arrays = [np.ascontiguousarray(a, dtype=np.complex64) for a in arrays]
+    b = len(arrays)
+    assert b > 0 and all(a.shape == arrays[0].shape for a in arrays)
+    n = arrays[0].size
+    out = np.empty((b, 2) + arrays[0].shape, np.float32)
+    ptrs = (ctypes.POINTER(ctypes.c_float) * b)(
+        *[_f32p(a.view(np.float32)) for a in arrays]
+    )
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.assemble_batch_ri(ptrs, _f32p(out), b, n, n_threads)
     return out

@@ -14,6 +14,10 @@
 #include <cstdint>
 #include <cstring>
 
+#include <algorithm>
+#include <thread>
+#include <vector>
+
 extern "C" {
 
 // Record layout (little-endian, packed, 12 bytes):
@@ -63,6 +67,33 @@ int64_t entries_to_grid(const uint8_t* raw, int64_t n, float* grid_ri, int64_t n
     grid_ri[off + 1] = e[i].im;
   }
   return oob;
+}
+
+// Multithreaded batch assembler: gather B scattered per-problem interleaved-
+// complex buffers into ONE contiguous (B, 2, n) planar ri batch — the host-side
+// packing step of the serving front-end (srsran_ce_tpu/serving.py). Problems
+// arrive as independent allocations (one per cell/UE/slot), so this is the
+// copy that feeds jax.device_put; threading it overlaps the per-problem
+// deinterleave across cores.
+void assemble_batch_ri(const float* const* srcs, float* out, int64_t b, int64_t n,
+                       int32_t n_threads) {
+  n_threads = std::max<int32_t>(1, std::min<int32_t>(n_threads, (int32_t)b));
+  std::vector<std::thread> ts;
+  ts.reserve(n_threads);
+  for (int32_t t = 0; t < n_threads; ++t) {
+    ts.emplace_back([=]() {
+      for (int64_t i = t; i < b; i += n_threads) {
+        const float* src = srcs[i];
+        float* dst_re = out + 2 * i * n;
+        float* dst_im = dst_re + n;
+        for (int64_t j = 0; j < n; ++j) {
+          dst_re[j] = src[2 * j];
+          dst_im[j] = src[2 * j + 1];
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
 }
 
 // Batched complex64 -> ri-layout converter: (B, ...) interleaved complex in,

@@ -1,0 +1,76 @@
+"""Serving front-end: plan bucketing, tail padding, order preservation."""
+import numpy as np
+
+from srsran_ce_tpu import serving
+from srsran_ce_tpu.models import estimator
+from srsran_ce_tpu.utils import synthetic
+
+
+def _problem(case):
+    return serving.Problem(
+        received_rg=case.received_rg.astype(np.complex64),
+        pilots=case.pilots.astype(np.complex64),
+        beta=float(case.beta),
+        hop1=case.hop1,
+        hop2=case.hop2,
+        config=case.config,
+    )
+
+
+def test_heterogeneous_stream_matches_single_calls():
+    """A shuffled mix of three plan signatures must return per-problem results in
+    submission order, each matching the one-shot estimator."""
+    specs = [
+        dict(n_prbs=24, n_layers=1),
+        dict(n_prbs=24, n_layers=2),
+        dict(n_prbs=12, n_layers=1, two_hops=True),
+    ]
+    cases = []
+    for j, sp in enumerate(specs):
+        for i in range(3):
+            cases.append(synthetic.make_case(seed=37 + 10 * j + i, snr_db=30.0, **sp))
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(cases))
+    problems = [_problem(cases[i]) for i in order]
+
+    results = serving.process(problems, batch_size=4, matmul_precision=None)
+    assert len(results) == len(problems)
+    for r, i in zip(results, order):
+        c = cases[i]
+        ref = estimator.estimate(
+            c.received_rg.astype(np.complex64),
+            c.pilots.astype(np.complex64),
+            np.float32(c.beta),
+            c.hop1,
+            c.hop2,
+            c.config,
+        )
+        ch_ref = np.asarray(ref.channel_est_rg)
+        nmse = np.sum(np.abs(r.channel_est_rg - ch_ref) ** 2) / (
+            np.sum(np.abs(ch_ref) ** 2) + 1e-30
+        )
+        assert nmse < 1e-12, nmse
+        np.testing.assert_allclose(r.noise_est, float(ref.noise_est), rtol=1e-6)
+        np.testing.assert_allclose(r.cfo_hz, float(ref.cfo_hz), rtol=1e-6)
+
+
+def test_tail_padding_shares_executable():
+    """A bucket larger than batch_size must not compile a second shape for its
+    tail chunk (repeat-padding) and must still return exact per-problem results."""
+    cases = [synthetic.make_case(seed=100 + i, n_prbs=16, n_layers=1) for i in range(5)]
+    problems = [_problem(c) for c in cases]
+    results = serving.process(problems, batch_size=2, matmul_precision=None)
+    for r, c in zip(results, cases):
+        ref = estimator.estimate(
+            c.received_rg.astype(np.complex64),
+            c.pilots.astype(np.complex64),
+            np.float32(c.beta),
+            c.hop1,
+            c.hop2,
+            c.config,
+        )
+        ch_ref = np.asarray(ref.channel_est_rg)
+        nmse = np.sum(np.abs(r.channel_est_rg - ch_ref) ** 2) / (
+            np.sum(np.abs(ch_ref) ** 2) + 1e-30
+        )
+        assert nmse < 1e-12, nmse

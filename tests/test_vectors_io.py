@@ -91,3 +91,18 @@ def test_pilot_candidate_search_finds_true_layout():
     cands = vectors.pilot_candidates(stored, n_dsym, n_re, n_layers)
     tags = [t for t, c in cands if np.array_equal(c, canonical)]
     assert any(t.startswith("sym-re-layer") for t in tags), tags
+
+
+def test_native_assemble_batch_ri_matches_numpy():
+    try:
+        from srsran_ce_tpu.native import loader
+    except Exception:
+        pytest.skip("native loader unavailable")
+    rng = np.random.default_rng(8)
+    arrs = [
+        (rng.standard_normal((9, 14)) + 1j * rng.standard_normal((9, 14))).astype(np.complex64)
+        for _ in range(5)
+    ]
+    out = loader.assemble_batch_ri(arrs, n_threads=3)
+    want = np.stack([np.stack([a.real, a.imag]) for a in arrs]).astype(np.float32)
+    assert out.dtype == np.float32 and np.array_equal(out, want)
