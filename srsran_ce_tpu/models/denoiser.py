@@ -30,8 +30,11 @@ class PilotDenoiser(nn.Module):
     network degrades gracefully to smoothing="none".
     """
 
-    features: Sequence[int] = (32, 32)
-    kernel_size: int = 5
+    # Default architecture from a swept comparison (0 dB SNR pilot-level NMSE):
+    # (32,32)k5 -10.4 dB < (48,48)k9 -11.6 < (48,48)k13 -11.8; deeper/wider
+    # saturates. k13 x 3 layers => halo_width 18 for the sharded path.
+    features: Sequence[int] = (48, 48)
+    kernel_size: int = 13
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -28,13 +28,24 @@ class TrainState:
     step: int
 
 
-def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-5):
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-5, decay_steps: int = 0):
+    """adamw; with decay_steps > 0 the lr follows a cosine decay to 0 (measurably
+    better final NMSE than constant lr in the architecture sweep). A constant lr
+    is still wrapped as a schedule so the optimizer state structure is identical
+    either way (checkpoints restore across both)."""
+    sched = (
+        optax.cosine_decay_schedule(lr, decay_steps)
+        if decay_steps > 0
+        else optax.constant_schedule(lr)
+    )
+    return optax.adamw(sched, weight_decay=weight_decay)
 
 
-def init_state(seed: int = 0, n_re: int = 128, lr: float = 1e-3) -> Tuple[TrainState, optax.GradientTransformation]:
+def init_state(
+    seed: int = 0, n_re: int = 128, lr: float = 1e-3, decay_steps: int = 0
+) -> Tuple[TrainState, optax.GradientTransformation]:
     params = denoiser.init_params(jax.random.key(seed), n_re)
-    tx = make_optimizer(lr)
+    tx = make_optimizer(lr, decay_steps=decay_steps)
     return TrainState(params, tx.init(params), 0), tx
 
 
@@ -76,9 +87,9 @@ def train(
     """Train the denoiser on streamed synthetic batches; returns (state, last_loss)."""
     rng = np.random.default_rng(seed)
     if state is None:
-        state, tx = init_state(seed, n_re, lr)
+        state, tx = init_state(seed, n_re, lr, decay_steps=n_steps)
     else:
-        tx = make_optimizer(lr)
+        tx = make_optimizer(lr)  # resume: constant lr (cosine phase already spent)
     step_fn = build_train_step(tx, mesh)
     params, opt_state = state.params, state.opt_state
     loss = float("nan")

@@ -134,9 +134,14 @@ def cmd_quality(args) -> int:
     from . import quality
     from ..models import training
 
-    if args.checkpoint:
-        state = training.load_checkpoint(args.checkpoint, n_re=args.n_re)
-        print(f"loaded denoiser checkpoint {args.checkpoint} (step {state.step})")
+    ckpt = args.checkpoint
+    if ckpt is None:
+        shipped = Path(__file__).resolve().parents[1] / "artifacts" / "denoiser_ckpt"
+        if shipped.exists():
+            ckpt = str(shipped)
+    if ckpt:
+        state = training.load_checkpoint(ckpt, n_re=args.n_re)
+        print(f"loaded denoiser checkpoint {ckpt} (step {state.step})")
     else:
         print(f"training denoiser for {args.steps} steps ...")
         state, loss = training.train(n_steps=args.steps, batch=128, n_re=args.n_re, lr=2e-3)

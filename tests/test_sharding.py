@@ -148,8 +148,10 @@ def test_sp_learned_smoothing_matches_unsharded():
     out_1 = fn_1(_ri(case.received_rg), _ri(case.pilots), jnp.asarray(case.beta), params)
     ch_sp = estimator.merge_ri(np.asarray(out_sp.channel_est_rg))
     ch_1 = estimator.merge_ri(np.asarray(out_1.channel_est_rg))
-    np.testing.assert_allclose(ch_sp, ch_1, rtol=1e-10, atol=1e-12)
-    np.testing.assert_allclose(float(out_sp.noise_est), float(out_1.noise_est), rtol=1e-9)
+    # the denoiser computes in float32 (apply_complex casts); the sharded VALID
+    # conv vs flax SAME conv reassociate differently -> ~1e-7 relative
+    np.testing.assert_allclose(ch_sp, ch_1, rtol=3e-6, atol=1e-8)
+    np.testing.assert_allclose(float(out_sp.noise_est), float(out_1.noise_est), rtol=1e-6)
 
 
 def test_apply_sharded_single_shard_equals_apply():
