@@ -14,9 +14,12 @@ motion is
   - one tiny all_gather of the smoothed pilot estimates (<= ~26 KB) for the
     4096-point IFFT time-alignment PDP, which is cheaper gathered than distributed.
 
-Geometry restrictions (asserted): single hop covering the whole grid, contiguous PRB
-mask, comb-uniform DM-RS RE masks (pilot every `comb` subcarriers — true for all
-standard DM-RS/SRS comb patterns), shard count dividing n_prbs. Interpolation may be
+Geometry restrictions for the overlap-save path (asserted): single hop covering the
+whole grid, contiguous PRB mask, comb-uniform DM-RS RE masks (pilot every `comb`
+subcarriers — true for all standard DM-RS/SRS comb patterns), shard count dividing
+n_prbs. Frequency-hopped (two-hop) problems take a different sharded route — see
+`HoppedShardPlan`: replicated tiny pilot front + sharded grid fill via full-grid-
+embedded interpolation operators (BASELINE.json config[4]). Interpolation may be
 linear (1-pilot halos) or CNN inpainting (each shard applies its column block of the
 exact linear operator to the all_gathered pilots — no halos needed). All smoothing
 modes are supported: "filter" (RC-FIR halo exchange + cnn_alpha 1-halo reflect
@@ -369,6 +372,137 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
     )
 
 
+@dataclass(eq=False)
+class HoppedShardPlan:
+    """Static geometry for the frequency-hopped SP path (BASELINE.json config[4]).
+
+    Strategy differs from the single-hop overlap-save path: with two hops the
+    contiguous subcarrier shards don't align with either hop band, but the pilot
+    front (LS -> CFO -> smooth) is tiny (n_re <= ~3k) while the output grid fill +
+    write dominates. So each shard all_gathers the full received grid (<= ~0.4 MB
+    even at 273 PRB — one cheap ICI collective), runs the exact unsharded front
+    REPLICATED, and fills only its own L output subcarriers via per-hop interp
+    operators embedded into full-grid columns (a static dynamic_slice of width L
+    per device — no dynamic shapes, no halos).
+    """
+
+    plan: EstimatorPlan
+    n_sp: int
+    L: int  # local subcarriers per shard
+    # per hop: list over CDM groups of (n_re, n_sc_full) float64 operators
+    w_emb: Tuple[Tuple[np.ndarray, ...], ...]
+
+
+def make_hopped_shard_plan(plan: EstimatorPlan, n_sp: int) -> HoppedShardPlan:
+    assert plan.hop2 is not None, "use make_shard_plan for single-hop problems"
+    n_sc = len(plan.hop1.hop.prb_mask) * NRE
+    assert n_sc % n_sp == 0, f"n_sp={n_sp} must divide n_sc={n_sc}"
+    # the sharded fill writes every local column of a hop's symbol block (zeros
+    # outside the band), so hop symbol ranges must not overlap (true for
+    # frequency hopping; the reference also assumes it)
+    s1 = set(range(plan.hop1.sym_start, plan.hop1.sym_start + plan.hop1.n_alloc_syms))
+    s2 = set(range(plan.hop2.sym_start, plan.hop2.sym_start + plan.hop2.n_alloc_syms))
+    assert not (s1 & s2), "hopped SP sharding requires disjoint hop symbol ranges"
+    w_all = []
+    for hp in (plan.hop1, plan.hop2):
+        ws = []
+        for c in range(hp.n_cdm):
+            if plan.config.interp == "cnn":
+                transient, steady = hp.inpaint_schedules[c]
+                dtypes = [np.float32] + ([np.float64] if jax.config.jax_enable_x64 else [])
+                for dt in dtypes:  # prefetch outside any trace
+                    dsp.inpaint_operator(hp.inpaint_known[c], len(transient) + steady, dt)
+                w = np.asarray(
+                    dsp.inpaint_operator(hp.inpaint_known[c], len(transient) + steady, np.float64)
+                )
+            else:
+                w = hp.interp_matrix[c]  # (n_re, n_sc_hop)
+            w_full = np.zeros((hp.n_re, n_sc), dtype=np.float64)
+            w_full[:, hp.sc_start : hp.sc_start + hp.n_sc_hop] = w
+            ws.append(w_full)
+        w_all.append(tuple(ws))
+    return HoppedShardPlan(plan=plan, n_sp=n_sp, L=n_sc // n_sp, w_emb=tuple(w_all))
+
+
+def _sharded_problem_hopped(sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta):
+    """Per-shard body for one frequency-hopped problem (see HoppedShardPlan)."""
+    plan = sp.plan
+    config = plan.config
+    nL = plan.n_layers
+
+    rg_loc = _est._ri_to_complex(rg_ri_loc)  # (L, n_sym)
+    pil = _est._ri_to_complex(pil_ri_loc)  # (n_re, n_dsym_total, nL) replicated
+    cdtype = rg_loc.dtype
+    rdtype = jnp.zeros((), cdtype).real.dtype
+    beta = jnp.asarray(beta, rdtype)
+    n_sym = rg_loc.shape[1]
+    sst = plan.symbol_start_time
+    my = jax.lax.axis_index(axis)
+
+    # one small collective: reassemble the full grid on every shard
+    rg_full = jax.lax.all_gather(rg_loc, axis, axis=0, tiled=True)  # (n_sc, n_sym)
+
+    # replicated front — the exact unsharded per-hop chain
+    epre = jnp.zeros((), rdtype)
+    noise = jnp.zeros((), rdtype)
+    rsrp = jnp.zeros((), rdtype)
+    ta = jnp.zeros((), rdtype)
+    cfo = None
+    hops = [(plan.hop1, pil[:, : plan.n_dsym1, :]), (plan.hop2, pil[:, plan.n_dsym1 :, :])]
+    h_ps = []
+    for hp, pil_h in hops:
+        e_i, cfo_h, ta_i, n_i, r_i, h_p = _est._process_hop(
+            hp, config, rg_full, pil_h, beta, sst
+        )
+        epre, noise, rsrp, ta = epre + e_i, noise + n_i, rsrp + r_i, ta + ta_i
+        if cfo_h is not None:
+            cfo = cfo_h if cfo is None else (cfo + cfo_h) / 2.0
+        h_ps.append(h_p)
+    rsrp = rsrp / plan.n_pilots / nL
+    epre = epre / plan.n_pilots
+    noise = noise / plan.noise_den
+    ta = ta / 2.0
+
+    if config.cfo_compensate and cfo is not None:
+        rot = jnp.exp(
+            1j * (2.0 * np.pi * jnp.asarray(sst, dtype=rdtype) * cfo)
+        ).astype(cdtype)
+    else:
+        rot = jnp.ones((n_sym,), dtype=cdtype)
+
+    # sharded fill: each device computes only its L output columns per hop
+    prec = dsp.precision_of(config.matmul_precision)
+    channel = jnp.zeros((sp.L, n_sym, nL), dtype=cdtype)
+    start = (my * sp.L).astype(jnp.int32)
+    for (hp, _), h_p in zip(hops, h_ps):
+        cols = []
+        for c, (l0, l1) in enumerate(hp.layer_slices):
+            w_loc = jax.lax.dynamic_slice(
+                jnp.asarray(sp.w_emb[0 if hp is plan.hop1 else 1][c], dtype=rdtype),
+                (jnp.int32(0), start),
+                (hp.n_re, sp.L),
+            )
+            cols.append(dsp.inpaint_matmul(h_p[l0:l1], w_loc, prec))
+        full_loc = jnp.concatenate(cols, axis=0)  # (nL, L)
+        rot_slice = jax.lax.slice_in_dim(rot, hp.sym_start, hp.sym_start + hp.n_alloc_syms, axis=0)
+        block = full_loc.T[:, None, :] * rot_slice[None, :, None]  # (L, n_alloc, nL)
+        channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, 0))
+
+    cfo_hz = (
+        (cfo * config.scs_hz).astype(rdtype)
+        if cfo is not None
+        else jnp.full((), jnp.nan, rdtype)
+    )
+    return _est.EstimateResult(
+        channel_est_rg=_est._complex_to_ri(channel),
+        noise_est=noise,
+        rsrp=rsrp,
+        epre=epre,
+        time_alignment=ta,
+        cfo_hz=cfo_hz,
+    )
+
+
 def build_sp_batched(
     hop1: HopConfig,
     hop2: Optional[HopConfig],
@@ -388,6 +522,31 @@ def build_sp_batched(
         hop2 = None
     plan = make_plan(hop1, hop2, config, n_layers)
     n_sp = mesh.shape[sp_axis]
+    if plan.hop2 is not None:
+        hsp = make_hopped_shard_plan(plan, n_sp)
+        in_specs_h = (
+            P(dp_axis, None, sp_axis, None),  # rg_ri (B, 2, n_sc, n_sym)
+            P(dp_axis),  # pil_ri replicated over sp (tiny)
+            P(dp_axis),
+        )
+        out_specs_h = _est.EstimateResult(
+            channel_est_rg=P(dp_axis, None, sp_axis, None, None),
+            noise_est=P(dp_axis),
+            rsrp=P(dp_axis),
+            epre=P(dp_axis),
+            time_alignment=P(dp_axis),
+            cfo_hz=P(dp_axis),
+        )
+
+        def body_h(rg_ri_loc, pil_ri_loc, beta_loc):
+            return jax.vmap(
+                lambda r, p, b: _sharded_problem_hopped(hsp, sp_axis, r, p, b)
+            )(rg_ri_loc, pil_ri_loc, beta_loc)
+
+        fn = shard_map(
+            body_h, mesh=mesh, in_specs=in_specs_h, out_specs=out_specs_h, check_vma=False
+        )
+        return jax.jit(fn)
     sp = make_shard_plan(plan, n_sp)
 
     in_specs = (
@@ -445,6 +604,28 @@ def build_sp(
         hop2 = None
     plan = make_plan(hop1, hop2, config, n_layers)
     n_sp = mesh.shape[sp_axis]
+    if plan.hop2 is not None:
+        hsp = make_hopped_shard_plan(plan, n_sp)
+        out_specs_h = _est.EstimateResult(
+            channel_est_rg=P(None, sp_axis, None, None),
+            noise_est=P(),
+            rsrp=P(),
+            epre=P(),
+            time_alignment=P(),
+            cfo_hz=P(),
+        )
+
+        def body_h(rg_ri_loc, pil_ri_loc, beta):
+            return _sharded_problem_hopped(hsp, sp_axis, rg_ri_loc, pil_ri_loc, beta)
+
+        fn = shard_map(
+            body_h,
+            mesh=mesh,
+            in_specs=(P(None, sp_axis, None), P(), P()),
+            out_specs=out_specs_h,
+            check_vma=False,
+        )
+        return jax.jit(fn)
     sp = make_shard_plan(plan, n_sp)
 
     in_specs = (

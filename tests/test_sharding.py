@@ -173,3 +173,48 @@ def test_apply_sharded_single_shard_equals_apply():
     a = np.asarray(denoiser.apply_sharded(params, jnp.asarray(h), zero_exchange))
     b = np.asarray(denoiser.apply_complex(params, jnp.asarray(h)))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("interp", ["linear", "cnn"])
+def test_sp_hopped_matches_unsharded(interp):
+    """Frequency-hopped SP path (BASELINE.json config[4]): replicated tiny front +
+    sharded fill must match the float64 oracle and the unsharded jitted path."""
+    n_sp = 4
+    mesh = mesh_lib.make_mesh((2, n_sp), ("dp", "sp"))
+    case = synthetic.make_case(
+        seed=61, n_prbs=12, n_layers=2, snr_db=30.0, two_hops=True, interp=interp
+    )
+    fn_sp = build_sp(case.hop1, case.hop2, case.config, 2, mesh)
+    out = fn_sp(_ri(case.received_rg), _ri(case.pilots), case.beta)
+    res_o = oracle.estimate(case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config)
+    ch = estimator.merge_ri(np.asarray(out.channel_est_rg))
+    nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(np.abs(res_o.channel_est_rg) ** 2)
+    assert nmse < 1e-18, nmse
+    np.testing.assert_allclose(float(out.noise_est), res_o.noise_est, rtol=1e-8)
+    np.testing.assert_allclose(float(out.epre), res_o.epre, rtol=1e-9)
+    np.testing.assert_allclose(float(out.time_alignment), res_o.time_alignment, rtol=1e-9, atol=1e-15)
+    if res_o.cfo_hz is not None:
+        np.testing.assert_allclose(float(out.cfo_hz), res_o.cfo_hz, rtol=1e-8)
+    # also exact vs the unsharded jitted path (same dtype, same fused front)
+    fn_1 = estimator.build(case.hop1, case.hop2, case.config, 2)
+    out_1 = fn_1(case.received_rg, case.pilots, case.beta)
+    np.testing.assert_allclose(ch, out_1.channel_est_rg, rtol=1e-12, atol=1e-14)
+
+
+def test_sp_hopped_batched():
+    n_sp = 2
+    mesh = mesh_lib.make_mesh((4, n_sp), ("dp", "sp"))
+    cases = [
+        synthetic.make_case(seed=70 + i, n_prbs=12, n_layers=1, snr_db=30.0, two_hops=True)
+        for i in range(4)
+    ]
+    c0 = cases[0]
+    fn = build_sp_batched(c0.hop1, c0.hop2, c0.config, 1, mesh)
+    rg, pil, beta = _stack_cases(cases)
+    out = fn(rg, pil, beta)
+    ch_all = np.asarray(out.channel_est_rg)
+    for i, c in enumerate(cases):
+        res_o = oracle.estimate(c.received_rg, c.pilots, c.beta, c.hop1, c.hop2, c.config)
+        ch = estimator.merge_ri(ch_all[i])
+        nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(np.abs(res_o.channel_est_rg) ** 2)
+        assert nmse < 1e-18, (i, nmse)
