@@ -58,6 +58,10 @@ CASES = [
     ("wideband_273", dict(n_prbs=273, n_layers=1, scs_hz=30e3)),
     ("one_dmrs_sym", dict(n_prbs=24, n_layers=1, n_dmrs_syms=1, cfo_compensate=True)),
     ("offset_band", dict(n_prbs=20, n_layers=1, prb_start=30, n_prb_total=106)),
+    ("filter_alpha_linear", dict(n_prbs=24, n_layers=2, cnn_alpha=0.3)),
+    ("wideband_273_4layer", dict(n_prbs=273, n_layers=4, scs_hz=30e3)),
+    ("comb6", dict(n_prbs=24, n_layers=1, comb=6)),
+    ("two_hops_4layer", dict(n_prbs=12, n_layers=4, two_hops=True)),
 ]
 
 
