@@ -59,3 +59,92 @@ def multihost_initialize():
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Sharding for (B, ...) problem batches: leading axis split over `axis`."""
     return NamedSharding(mesh, P(axis))
+
+
+# ---------------------------------------------------------------------------
+# Failure detection (SURVEY.md §5): coarse fail-fast for long-running jobs.
+# An inference pipeline needs no elastic-training semantics — just a cheap way
+# to notice that a chip/host stopped responding and abort the job promptly.
+# ---------------------------------------------------------------------------
+
+
+def all_device_barrier(devices=None, timeout_s: float = 300.0) -> float:
+    """One cross-device sum touching EVERY device; returns elapsed seconds.
+
+    Each device contributes its ordinal+1, so the reduced value verifies that all
+    devices actually participated (a wedged device hangs the collective instead —
+    call under the heartbeat's timeout to convert that into a detected failure).
+    """
+    import time
+
+    devs = list(devices or jax.devices())
+    n = len(devs)
+    t0 = time.time()
+    if n == 1:
+        jax.block_until_ready(jax.device_put(np.ones((), np.float32), devs[0]) + 0.0)
+        return time.time() - t0
+    mesh = make_mesh((n,), ("all",), devices=devs)
+    x = jax.device_put(
+        np.arange(1, n + 1, dtype=np.float32), NamedSharding(mesh, P("all"))
+    )
+    s = jax.jit(jax.numpy.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    got = float(jax.block_until_ready(s))
+    want = n * (n + 1) / 2
+    if got != want:
+        raise RuntimeError(f"device barrier mismatch: sum {got} != {want}")
+    return time.time() - t0
+
+
+class Heartbeat:
+    """Background watchdog: runs `all_device_barrier` every `interval_s`; if a
+    round raises or exceeds `timeout_s`, records the failure and invokes
+    `on_failure` (default: log loudly). `healthy` flips False on first failure.
+
+    Usage:
+        hb = Heartbeat(interval_s=30).start()
+        ... long bench / serving loop, checking hb.healthy ...
+        hb.stop()
+    """
+
+    def __init__(self, interval_s: float = 30.0, timeout_s: float = 120.0, on_failure=None):
+        import threading
+
+        self.interval_s = float(interval_s)
+        self.timeout_s = float(timeout_s)
+        self.on_failure = on_failure
+        self.healthy = True
+        self.last_latency_s: Optional[float] = None
+        self.error: Optional[str] = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _fail(self, msg: str) -> None:
+        self.healthy = False
+        self.error = msg
+        if self.on_failure is not None:
+            self.on_failure(msg)
+        else:  # pragma: no cover - side-effect logging
+            import sys
+
+            print(f"[heartbeat] DEVICE FAILURE: {msg}", file=sys.stderr, flush=True)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            try:
+                dt = all_device_barrier(timeout_s=self.timeout_s)
+                self.last_latency_s = dt
+                if dt > self.timeout_s:
+                    self._fail(f"barrier took {dt:.1f}s (> {self.timeout_s}s)")
+                    return
+            except Exception as e:  # noqa: BLE001 - any device error is a failure
+                self._fail(f"{type(e).__name__}: {e}")
+                return
+
+    def start(self) -> "Heartbeat":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=5.0)

@@ -218,3 +218,23 @@ def test_sp_hopped_batched():
         ch = estimator.merge_ri(ch_all[i])
         nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(np.abs(res_o.channel_est_rg) ** 2)
         assert nmse < 1e-18, (i, nmse)
+
+
+def test_all_device_barrier_and_heartbeat():
+    """Failure-detection subsystem: the barrier touches all 8 virtual devices and
+    verifies participation; the heartbeat reports healthy and can be stopped."""
+    dt = mesh_lib.all_device_barrier()
+    assert dt >= 0.0
+    hb = mesh_lib.Heartbeat(interval_s=0.1, timeout_s=60.0).start()
+    import time
+
+    time.sleep(0.5)
+    hb.stop()
+    assert hb.healthy and hb.error is None
+    assert hb.last_latency_s is not None
+
+    # failure path: an on_failure callback fires and healthy flips
+    seen = []
+    hb2 = mesh_lib.Heartbeat(interval_s=0.05, on_failure=seen.append)
+    hb2._fail("injected")
+    assert not hb2.healthy and seen == ["injected"]
