@@ -147,7 +147,11 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
         n_pils = min(12, rc_taps.size // 2) if n_prbs_masked > 1 else dmrs_per_prb
         if n_pils > 1:
             vp_matrix = _virtual_pilot_matrix(n_pils, n_pils)
-        if n_pils <= n_re:
+        # Fused smoothing pays 2*nL*n_re^2 MXU flops (x3 bf16 passes) to replace
+        # ~K*nL*n_re bytes of stencil traffic — a win for the common narrow/medium
+        # bands but a measured LOSS at wideband nL=1 (273 PRB: 0.26 -> 0.36
+        # ms/batch128), so gate it by pilot count.
+        if n_pils <= n_re <= 1024:
             # Fused smoothing operator (see HopPlan docstring above). Banded conv
             # matrix built directly from the taps: 'same' conv response of ext-basis
             # i at center output j' is taps[j' + n_pils + hw - i] (zero outside).
