@@ -125,6 +125,13 @@ class EstimatorConfig:
                         CPU is always full f32). "highest" = 6-pass bf16 (bit-true
                         f32, conformance default), "high" = 3-pass (~1e-7 relative,
                         ~2x faster serving), "default" = 1-pass (~4e-3, out of bound)
+      smoothing "wiener" (no reference counterpart): per-problem MMSE-optimal
+                        linear smoothing under an exponential power-delay-profile
+                        prior with rms delay `wiener_delay_spread_s`. Plan-time
+                        eigendecomposition of the pilot-lattice correlation; at
+                        runtime the noise level is self-estimated from adjacent
+                        pilot differences and enters the eigen-gains exactly
+                        (continuous, no SNR quantization).
     """
 
     scs_hz: float
@@ -134,9 +141,10 @@ class EstimatorConfig:
     interp: str = "linear"
     cnn_alpha: float = 0.0
     matmul_precision: str = "highest"
+    wiener_delay_spread_s: float = 2.5e-7
 
     def __post_init__(self):
-        if self.smoothing not in ("filter", "mean", "none", "learned"):
+        if self.smoothing not in ("filter", "mean", "none", "learned", "wiener"):
             raise ValueError(f"Unknown smoothing strategy {self.smoothing}.")
         if self.interp not in ("linear", "cnn"):
             raise ValueError(f"Unknown interpolation strategy {self.interp}.")
@@ -174,6 +182,7 @@ def make_config(
     cnn_alpha: float = 0.0,
     n_symbols: int = 14,
     matmul_precision: str = "highest",
+    wiener_delay_spread_s: float = 2.5e-7,
 ) -> EstimatorConfig:
     return EstimatorConfig(
         scs_hz=float(scs_hz),
@@ -183,4 +192,5 @@ def make_config(
         interp=interp,
         cnn_alpha=float(cnn_alpha),
         matmul_precision=matmul_precision,
+        wiener_delay_spread_s=float(wiener_delay_spread_s),
     )

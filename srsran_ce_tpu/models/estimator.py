@@ -118,6 +118,47 @@ def _smooth_fused(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -
     )
 
 
+def _smooth_wiener(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> jnp.ndarray:
+    """MMSE-optimal linear smoothing (smoothing="wiener" — no reference
+    counterpart; plan builds R = U diag(lam) U^H from the exponential-PDP prior).
+
+    Runtime: estimate the noise level from adjacent pilot differences and the
+    channel power from the total, then apply the exact shrinkage
+    h_s = U diag(lam / (lam + sigma^2/P)) U^H h — two complex matmuls with static
+    eigenvector matrices and a continuous, per-problem SNR dependence.
+    h_p: (n_layers, n_re) pair-averaged pilot estimates.
+    """
+    prec = dsp.precision_of(config.matmul_precision)
+    rdtype = jnp.real(h_p).dtype
+    h_d = h_p[:, ::2] if hp_plan.wiener_paired else h_p
+    # adjacent differences: E|d|^2 = 2 sigma^2 + channel variation (the latter
+    # makes this an upper bound -> slightly conservative shrinkage at high SNR)
+    d = h_d[:, 1:] - h_d[:, :-1]
+    sig2 = jnp.mean(jnp.real(d) ** 2 + jnp.imag(d) ** 2).astype(rdtype) / 2.0
+    sig2 = jnp.maximum(sig2, jnp.asarray(1e-20, rdtype))
+    pwr = jnp.mean(jnp.real(h_d) ** 2 + jnp.imag(h_d) ** 2).astype(rdtype)
+    p_hat = jnp.maximum(pwr - sig2, jnp.asarray(1e-20, rdtype))
+
+    u_r = jnp.asarray(np.real(hp_plan.wiener_u), rdtype)
+    u_i = jnp.asarray(np.imag(hp_plan.wiener_u), rdtype)
+    lam = jnp.asarray(hp_plan.wiener_lam, rdtype)
+    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+    hr, hi = jnp.real(h_d).astype(rdtype), jnp.imag(h_d).astype(rdtype)
+    # z = h @ conj(U)
+    zr = mm(hr, u_r) + mm(hi, u_i)
+    zi = mm(hi, u_r) - mm(hr, u_i)
+    g = (lam / (lam + sig2 / p_hat))[None, :]
+    zr = zr * g
+    zi = zi * g
+    # h_s = z @ U^T
+    o_r = mm(zr, u_r.T) - mm(zi, u_i.T)
+    o_i = mm(zr, u_i.T) + mm(zi, u_r.T)
+    out = jax.lax.complex(o_r, o_i).astype(h_p.dtype)
+    if hp_plan.wiener_paired:
+        out = jnp.repeat(out, 2, axis=-1)
+    return out
+
+
 def _smooth(
     hp_plan: HopPlan,
     config: EstimatorConfig,
@@ -139,6 +180,8 @@ def _smooth(
         return _dn.apply_complex(params, h_p)
     if smoothing == "mean":
         return jnp.broadcast_to(jnp.mean(h_p, axis=-1, keepdims=True), h_p.shape)
+    if smoothing == "wiener":
+        return _smooth_wiener(hp_plan, config, h_p)
     # "filter"
     if _use_fused_smooth(hp_plan, kernels):
         return _smooth_fused(hp_plan, config, h_p)

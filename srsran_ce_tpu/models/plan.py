@@ -90,6 +90,17 @@ class HopPlan:
     # Linear grid interpolation as a (n_re, n_sc_hop) matrix per CDM (2 nonzeros per
     # column) — one MXU matmul instead of three gathers, which TPUs lower poorly.
     interp_matrix: Optional[np.ndarray] = None  # (n_cdm, n_re, n_sc_hop) float64
+    # Wiener/MMSE smoothing (smoothing="wiener", no reference counterpart):
+    # plan-time eigendecomposition R = U diag(lam) U^H of the pilot-lattice
+    # correlation under an exponential-PDP prior. Runtime applies
+    # h_s = U diag(lam/(lam+sigma^2)) U^H h with sigma^2 self-estimated — exact
+    # continuous MMSE shrinkage, two matmuls, no filter bank. With >= 2 layers the
+    # filter runs on the pair-decimated lattice (pair-averaged values duplicate
+    # adjacent entries, whose noise is correlated — the decimated lattice restores
+    # a white-noise model) and duplicates back.
+    wiener_u: Optional[np.ndarray] = None  # (m, m) complex128 eigenvectors
+    wiener_lam: Optional[np.ndarray] = None  # (m,) float64 eigenvalues (>= 0)
+    wiener_paired: bool = False
     # Fused smoothing operator (filter mode, XLA tier): CDM pair-average + RC
     # "same" convolution (+ optional cnn_alpha low-pass blend) collapsed into ONE
     # (n_re, n_re) matrix, with small edge matrices for the (nonlinear) virtual
@@ -195,6 +206,23 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
                 smooth_mat = b_h
                 pair_l_mat = np.eye(n_re)[:, :n_pils]
                 pair_r_mat = np.eye(n_re)[:, -n_pils:]
+
+    # Wiener/MMSE smoothing eigen-basis (see HopPlan field docs)
+    wiener_u = wiener_lam = None
+    wiener_paired = False
+    if config.smoothing == "wiener":
+        pos = re_idx[0].astype(np.float64)  # absolute subcarrier indices
+        wiener_paired = n_layers >= 2
+        if wiener_paired:
+            assert n_re % 2 == 0, "wiener smoothing with >=2 layers needs even n_re"
+            pos = 0.5 * (pos[0::2] + pos[1::2])  # pair-decimated lattice midpoints
+        assert pos.size >= 2, "wiener smoothing needs >= 2 pilot lattice points"
+        tau = float(config.wiener_delay_spread_s)
+        d = (pos[:, None] - pos[None, :]) * config.scs_hz * tau
+        r = 1.0 / (1.0 + 2j * np.pi * d)  # exponential-PDP frequency correlation
+        lam, u = np.linalg.eigh(r)
+        wiener_lam = np.clip(lam, 0.0, None)
+        wiener_u = u
 
     # Interpolation anchor tables per CDM group
     interp_left = np.zeros((n_cdm, n_sc_hop), dtype=np.int32)
@@ -302,6 +330,9 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
         smooth_ve_mat=smooth_ve_mat,
         pair_l_mat=pair_l_mat,
         pair_r_mat=pair_r_mat,
+        wiener_u=wiener_u,
+        wiener_lam=wiener_lam,
+        wiener_paired=wiener_paired,
     )
 
 

@@ -87,6 +87,10 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hop = hp.hop
     assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
     assert plan.config.interp in ("linear", "cnn"), "unknown interpolation"
+    assert plan.config.smoothing != "wiener", (
+        "single-hop SP path: wiener smoothing is global (eigenbasis projection); "
+        "use the DP path or the hopped-style replicated front"
+    )
     prb_mask = hop.prb_mask_np
     assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
         "subcarrier sharding requires a contiguous full-band hop"

@@ -150,7 +150,7 @@ def cmd_quality(args) -> int:
     snrs = tuple(float(s) for s in args.snr)
     table = quality.sweep(
         snrs_db=snrs,
-        smoothings=("filter", "learned", "mean", "none"),
+        smoothings=("filter", "wiener", "learned", "mean", "none"),
         params=state.params,
         n_cases=args.cases,
         n_prbs=args.n_prbs,
@@ -159,7 +159,7 @@ def cmd_quality(args) -> int:
     hdr = "smoothing " + "".join(f"  {s:>6.1f}dB" for s in snrs)
     print(hdr + "\n" + "-" * len(hdr))
     for sm, row in table.items():
-        tag = " (reference chain)" if sm == "filter" else (" (trainable, ours)" if sm == "learned" else "")
+        tag = {"filter": " (reference chain)", "learned": " (trainable, ours)", "wiener": " (MMSE, ours)"}.get(sm, "")
         print(f"{sm:9s} " + "".join(f"  {row[s]:7.2f}" for s in snrs) + tag)
     if args.report:
         Path(args.report).write_text(json.dumps(table, indent=2))

@@ -65,7 +65,7 @@ def channel_nmse_vs_truth(
 
 def sweep(
     snrs_db: Sequence[float] = (0.0, 5.0, 10.0, 20.0),
-    smoothings: Sequence[str] = ("filter", "learned", "mean", "none"),
+    smoothings: Sequence[str] = ("filter", "wiener", "learned", "mean", "none"),
     params=None,
     n_cases: int = 12,
     **case_kwargs,

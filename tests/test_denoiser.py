@@ -119,3 +119,18 @@ def test_quality_sweep_learned_beats_filter_at_low_snr():
     assert np.isfinite(f) and np.isfinite(l) and np.isfinite(n)
     assert f < n, "RC filter must beat no smoothing at 0 dB"
     assert l < f, f"learned ({l:.4f}) must beat filter ({f:.4f}) at 0 dB SNR"
+
+
+def test_quality_wiener_beats_filter_at_low_snr():
+    """The MMSE (wiener) smoother must beat the reference's fixed RC-filter chain
+    on channel NMSE vs ground truth at low SNR (deterministic seeds, CPU)."""
+    from srsran_ce_tpu.validation import quality
+
+    kw = dict(n_cases=6, n_prbs=16, n_layers=1)
+    f = quality.channel_nmse_vs_truth("filter", 0.0, **kw)
+    w = quality.channel_nmse_vs_truth("wiener", 0.0, **kw)
+    assert np.isfinite(w) and w < f, (w, f)
+    kw2 = dict(n_cases=4, n_prbs=16, n_layers=2)
+    f2 = quality.channel_nmse_vs_truth("filter", 5.0, **kw2)
+    w2 = quality.channel_nmse_vs_truth("wiener", 5.0, **kw2)
+    assert np.isfinite(w2) and w2 < f2, (w2, f2)

@@ -62,6 +62,9 @@ CASES = [
     ("wideband_273_4layer", dict(n_prbs=273, n_layers=4, scs_hz=30e3)),
     ("comb6", dict(n_prbs=24, n_layers=1, comb=6)),
     ("two_hops_4layer", dict(n_prbs=12, n_layers=4, two_hops=True)),
+    ("wiener", dict(n_prbs=24, n_layers=1, smoothing="wiener")),
+    ("wiener_2layer", dict(n_prbs=24, n_layers=2, smoothing="wiener")),
+    ("wiener_hopped", dict(n_prbs=12, n_layers=1, smoothing="wiener", two_hops=True)),
 ]
 
 
