@@ -23,9 +23,11 @@ embedded interpolation operators (BASELINE.json config[4]). Interpolation may be
 linear (1-pilot halos) or CNN inpainting (each shard applies its column block of the
 exact linear operator to the all_gathered pilots — no halos needed). All smoothing
 modes are supported: "filter" (RC-FIR halo exchange + cnn_alpha 1-halo reflect
-blend), "mean" (psum), "none", and "learned" (the trainable denoiser with
+blend), "mean" (psum), "none", "learned" (the trainable denoiser with
 layer-wise conv halo exchange — models/denoiser.apply_sharded; the built function
-then takes the params pytree as a trailing replicated argument).
+then takes the params pytree as a trailing replicated argument), and "wiener"
+(global eigenbasis projection: gather the tiny raw pilot vector, shrink
+replicated, keep the local slice).
 The general/irregular geometries use the DP path (independent problems scale out
 embarrassingly); SP exists for wideband low-latency and for halo-exchange parity with
 the north-star benchmark config.
@@ -87,10 +89,6 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hop = hp.hop
     assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
     assert plan.config.interp in ("linear", "cnn"), "unknown interpolation"
-    assert plan.config.smoothing != "wiener", (
-        "single-hop SP path: wiener smoothing is global (eigenbasis projection); "
-        "use the DP path or the hopped-style replicated front"
-    )
     prb_mask = hop.prb_mask_np
     assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
         "subcarrier sharding requires a contiguous full-band hop"
@@ -285,6 +283,14 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
         h_p = _dn.apply_sharded(
             params, h_p, lambda x, h: _halo_exchange(x, h, axis, n_sp)
         )
+    elif hp.smoothing == "wiener":
+        # The eigenbasis projection is global and tiny: gather the raw pilot
+        # estimates (same collective size as the TA gather below), run the exact
+        # unsharded shrinkage replicated, keep this shard's R columns.
+        h_raw_all = jax.lax.all_gather(h_p, axis, axis=1, tiled=True)  # (nL, n_re)
+        h_sm_all = _est._smooth_wiener(hp, config, h_raw_all)
+        start = (my * sp.R).astype(jnp.int32)
+        h_p = jax.lax.dynamic_slice(h_sm_all, (jnp.int32(0), start), (nL, sp.R))
 
     # --- time alignment: gather the (tiny) smoothed pilots, shared PDP ---
     h_all = jax.lax.all_gather(h_p, axis, axis=1, tiled=True)  # (nL, n_re)

@@ -58,6 +58,7 @@ SP_CASES = [
     ("cnn_inpaint", dict(n_prbs=32, n_layers=1, interp="cnn")),
     ("cnn_inpaint_2layer_wide", dict(n_prbs=272, n_layers=2, interp="cnn")),
     ("filter_alpha_blend", dict(n_prbs=32, n_layers=2, cnn_alpha=0.4)),
+    ("wiener", dict(n_prbs=32, n_layers=2, smoothing="wiener")),
 ]
 
 
