@@ -128,6 +128,8 @@ def _smooth_wiener(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) 
     eigenvector matrices and a continuous, per-problem SNR dependence.
     h_p: (n_layers, n_re) pair-averaged pilot estimates.
     """
+    if hp_plan.wiener_u is None:
+        return h_p  # degenerate (<2-point) pilot lattice: pass-through
     prec = dsp.precision_of(config.matmul_precision)
     rdtype = jnp.real(h_p).dtype
     h_d = h_p[:, ::2] if hp_plan.wiener_paired else h_p

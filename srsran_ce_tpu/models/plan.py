@@ -212,17 +212,23 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
     wiener_paired = False
     if config.smoothing == "wiener":
         pos = re_idx[0].astype(np.float64)  # absolute subcarrier indices
-        wiener_paired = n_layers >= 2
+        # With >=2 layers the pair-average duplicates adjacent REs, so the smoother
+        # runs on the pair-decimated lattice — unless n_re is odd (last RE unpaired),
+        # where it falls back to the full (duplicated-value) lattice.
+        wiener_paired = n_layers >= 2 and n_re % 2 == 0
         if wiener_paired:
-            assert n_re % 2 == 0, "wiener smoothing with >=2 layers needs even n_re"
             pos = 0.5 * (pos[0::2] + pos[1::2])  # pair-decimated lattice midpoints
-        assert pos.size >= 2, "wiener smoothing needs >= 2 pilot lattice points"
-        tau = float(config.wiener_delay_spread_s)
-        d = (pos[:, None] - pos[None, :]) * config.scs_hz * tau
-        r = 1.0 / (1.0 + 2j * np.pi * d)  # exponential-PDP frequency correlation
-        lam, u = np.linalg.eigh(r)
-        wiener_lam = np.clip(lam, 0.0, None)
-        wiener_u = u
+        if pos.size < 2:
+            # Degenerate lattice: no adjacent differences to estimate noise from and
+            # nothing to smooth across — pass-through (estimator mirrors this).
+            wiener_paired = False
+        else:
+            tau = float(config.wiener_delay_spread_s)
+            d = (pos[:, None] - pos[None, :]) * config.scs_hz * tau
+            r = 1.0 / (1.0 + 2j * np.pi * d)  # exponential-PDP frequency correlation
+            lam, u = np.linalg.eigh(r)
+            wiener_lam = np.clip(lam, 0.0, None)
+            wiener_u = u
 
     # Interpolation anchor tables per CDM group
     interp_left = np.zeros((n_cdm, n_sc_hop), dtype=np.int32)

@@ -372,22 +372,22 @@ def _process_hop(
         pos = np.nonzero(
             np.kron(hop.prb_mask_np.astype(np.int64), hop.dmrs_re_mask_np[:, 0].astype(np.int64))
         )[0].astype(np.float64)
-        paired = n_layers >= 2
+        paired = n_layers >= 2 and h_p.shape[0] % 2 == 0
         hd = h_p
         if paired:
-            assert h_p.shape[0] % 2 == 0, "wiener smoothing with >=2 layers needs even n_re"
             pos = 0.5 * (pos[0::2] + pos[1::2])
             hd = h_p[0::2, :]
-        dmat = (pos[:, None] - pos[None, :]) * config.scs_hz * float(config.wiener_delay_spread_s)
-        r = 1.0 / (1.0 + 2j * np.pi * dmat)
-        lam, u = np.linalg.eigh(r)
-        lam = np.clip(lam, 0.0, None)
-        diff = hd[1:, :] - hd[:-1, :]
-        sig2 = max(float(np.mean(np.abs(diff) ** 2)) / 2.0, 1e-20)
-        p_hat = max(float(np.mean(np.abs(hd) ** 2)) - sig2, 1e-20)
-        g = lam / (lam + sig2 / p_hat)
-        hs = u @ (g[:, None] * (u.conj().T @ hd))
-        h_p = np.repeat(hs, 2, axis=0) if paired else hs
+        if pos.size >= 2:  # degenerate lattice: pass-through (plan mirrors this)
+            dmat = (pos[:, None] - pos[None, :]) * config.scs_hz * float(config.wiener_delay_spread_s)
+            r = 1.0 / (1.0 + 2j * np.pi * dmat)
+            lam, u = np.linalg.eigh(r)
+            lam = np.clip(lam, 0.0, None)
+            diff = hd[1:, :] - hd[:-1, :]
+            sig2 = max(float(np.mean(np.abs(diff) ** 2)) / 2.0, 1e-20)
+            p_hat = max(float(np.mean(np.abs(hd) ** 2)) - sig2, 1e-20)
+            g = lam / (lam + sig2 / p_hat)
+            hs = u @ (g[:, None] * (u.conj().T @ hd))
+            h_p = np.repeat(hs, 2, axis=0) if paired else hs
     elif smoothing == "none":
         pass
     else:

@@ -65,6 +65,10 @@ CASES = [
     ("wiener", dict(n_prbs=24, n_layers=1, smoothing="wiener")),
     ("wiener_2layer", dict(n_prbs=24, n_layers=2, smoothing="wiener")),
     ("wiener_hopped", dict(n_prbs=12, n_layers=1, smoothing="wiener", two_hops=True)),
+    # degenerate / odd wiener lattices (fuzz-found): 1-point paired lattice is a
+    # pass-through; odd n_re with >=2 layers runs on the full duplicated lattice
+    ("wiener_degenerate_1prb_comb6", dict(n_prbs=1, n_layers=2, comb=6, smoothing="wiener")),
+    ("wiener_odd_re_comb4", dict(n_prbs=5, n_layers=2, comb=4, smoothing="wiener")),
 ]
 
 

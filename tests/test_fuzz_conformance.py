@@ -1,0 +1,77 @@
+"""Randomized-geometry fuzz conformance: jitted estimator vs float64 oracle.
+
+The reference suite spans 248 heterogeneous srsRAN cases (SCS, smoothing, CFO,
+grid sizes, 1-4 layers, single/dual hop — scripts/validation/validate_all.py:208-231).
+Those vectors are not shipped, so this fuzzer samples the same geometry space
+at random and asserts the production path matches the float64 numpy oracle on
+every draw. Seeded and deterministic; widen with CE_FUZZ_N=<draws>.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from srsran_ce_tpu.models import estimator
+from srsran_ce_tpu.utils import oracle, synthetic
+
+N_DRAWS = int(os.environ.get("CE_FUZZ_N", "12"))
+
+
+def _draw_geometry(rng: np.random.Generator) -> dict:
+    two_hops = bool(rng.random() < 0.25)
+    smoothing = rng.choice(["filter", "filter", "mean", "none", "wiener"])
+    comb = int(rng.choice([2, 2, 3, 4, 6]))
+    n_layers = int(rng.choice([1, 1, 2, 3, 4]))
+    if two_hops:
+        n_prbs = int(rng.choice([3, 6, 12, 24, 52]))
+    else:
+        n_prbs = int(rng.choice([1, 2, 5, 16, 24, 52, 106, 273]))
+    n_dmrs_syms = int(rng.choice([2, 4] if two_hops else [1, 2, 4]))
+    kw = dict(
+        n_prbs=n_prbs,
+        n_layers=n_layers,
+        comb=comb,
+        scs_hz=float(rng.choice([15e3, 30e3])),
+        smoothing=str(smoothing),
+        cfo_compensate=bool(rng.random() < 0.7),
+        interp=str(rng.choice(["linear", "linear", "cnn"])),
+        cnn_alpha=float(rng.choice([0.0, 0.0, 0.3])),
+        two_hops=two_hops,
+        n_dmrs_syms=n_dmrs_syms,
+        snr_db=float(rng.uniform(10.0, 40.0)),
+        cfo_hz=float(rng.uniform(-300.0, 300.0)),
+        beta=float(rng.choice([1.0, 1.0, 1.4125])),
+    )
+    if not two_hops and rng.random() < 0.3:
+        # offset band inside a wider carrier
+        pad = int(rng.integers(1, 30))
+        kw["n_prb_total"] = n_prbs + 2 * pad
+        kw["prb_start"] = pad
+    return kw
+
+
+@pytest.mark.parametrize("draw", range(N_DRAWS))
+def test_fuzzed_geometry_matches_oracle(draw):
+    rng = np.random.default_rng(0xCE_F0 + draw)
+    kw = _draw_geometry(rng)
+    case = synthetic.make_case(seed=int(rng.integers(0, 2**31)), **kw)
+    res_j = estimator.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    res_o = oracle.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    ch_j = np.asarray(res_j.channel_est_rg)
+    ch_o = res_o.channel_est_rg
+    nmse = np.sum(np.abs(ch_j - ch_o) ** 2) / (np.sum(np.abs(ch_o) ** 2) + 1e-30)
+    assert nmse < 1e-18, f"channel NMSE {nmse} for geometry {kw}"
+    np.testing.assert_allclose(float(res_j.noise_est), res_o.noise_est, rtol=1e-8, atol=1e-20)
+    np.testing.assert_allclose(float(res_j.rsrp), res_o.rsrp, rtol=1e-9)
+    np.testing.assert_allclose(float(res_j.epre), res_o.epre, rtol=1e-9)
+    np.testing.assert_allclose(
+        float(res_j.time_alignment), res_o.time_alignment, rtol=1e-9, atol=1e-15
+    )
+    if res_o.cfo_hz is None:
+        assert np.isnan(float(res_j.cfo_hz))
+    else:
+        np.testing.assert_allclose(float(res_j.cfo_hz), res_o.cfo_hz, rtol=1e-8, atol=1e-10)
