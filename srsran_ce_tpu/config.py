@@ -132,6 +132,16 @@ class EstimatorConfig:
                         runtime the noise level is self-estimated from adjacent
                         pilot differences and enters the eigen-gains exactly
                         (continuous, no SNR quantization).
+      time_interp (no reference counterpart): the reference time-averages the
+                        DM-RS symbols and broadcasts ONE frequency profile across
+                        every allocated OFDM symbol (ce_rule_baseline.py:625,
+                        :333-358) — exact only for time-invariant channels.
+                        "linear" instead smooths each DM-RS symbol's estimate
+                        separately and linearly interpolates (constant-extrapolates
+                        at slot edges) between DM-RS symbol times, tracking
+                        Doppler / time-varying channels. "none" = reference
+                        behavior. Scalar metrics (noise, RSRP, EPRE, TA, CFO) are
+                        unchanged — they stay on the time-averaged path.
     """
 
     scs_hz: float
@@ -142,12 +152,15 @@ class EstimatorConfig:
     cnn_alpha: float = 0.0
     matmul_precision: str = "highest"
     wiener_delay_spread_s: float = 2.5e-7
+    time_interp: str = "none"
 
     def __post_init__(self):
         if self.smoothing not in ("filter", "mean", "none", "learned", "wiener"):
             raise ValueError(f"Unknown smoothing strategy {self.smoothing}.")
         if self.interp not in ("linear", "cnn"):
             raise ValueError(f"Unknown interpolation strategy {self.interp}.")
+        if self.time_interp not in ("none", "linear"):
+            raise ValueError(f"Unknown time interpolation strategy {self.time_interp}.")
         if self.matmul_precision not in ("default", "high", "highest"):
             raise ValueError(f"Unknown matmul precision {self.matmul_precision}.")
         object.__setattr__(self, "cp_durations_ms", tuple(float(v) for v in self.cp_durations_ms))
@@ -183,6 +196,7 @@ def make_config(
     n_symbols: int = 14,
     matmul_precision: str = "highest",
     wiener_delay_spread_s: float = 2.5e-7,
+    time_interp: str = "none",
 ) -> EstimatorConfig:
     return EstimatorConfig(
         scs_hz=float(scs_hz),
@@ -193,4 +207,5 @@ def make_config(
         cnn_alpha=float(cnn_alpha),
         matmul_precision=matmul_precision,
         wiener_delay_spread_s=float(wiener_delay_spread_s),
+        time_interp=time_interp,
     )

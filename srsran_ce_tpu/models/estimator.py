@@ -213,17 +213,21 @@ def _smooth(
     return out
 
 
-def _grid_fill(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> jnp.ndarray:
+def _grid_fill(
+    hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray, rows_per_layer: int = 1
+) -> jnp.ndarray:
     """Interpolate pilot-position estimates to every subcarrier of the hop band.
 
     h_p: (n_layers, n_re) -> (n_layers, n_sc_hop). Linear path = one static gather +
     FMA per CDM group (replacing ce_rule_baseline.py:303-320); CNN path = fixed-point
     partial-conv inpainting with a precomputed mask schedule (ce_dl_cnn.py:473-508).
+    rows_per_layer > 1: h_p carries that many consecutive rows per layer (the
+    time-interp path packs (layer, dmrs_sym) layer-major) — CDM slices scale.
     """
     prec = dsp.precision_of(config.matmul_precision)
     outs = []
     for c, (l0, l1) in enumerate(hp_plan.layer_slices):
-        vals = h_p[l0:l1]  # (n_l_c, n_re)
+        vals = h_p[l0 * rows_per_layer : l1 * rows_per_layer]  # (n_l_c * rpl, n_re)
         if config.interp == "linear":
             if hp_plan.interp_matrix is not None:
                 w = jnp.asarray(hp_plan.interp_matrix[c], dtype=jnp.real(vals).dtype)
@@ -344,9 +348,10 @@ def _process_hop(
 ):
     """One hop of the estimator (reference process_hop, ce_rule_baseline.py:507-755).
 
-    Returns (epre_inc, cfo_hop|None, ta_inc, noise_inc, rsrp_inc, h_p) — the grid
-    fill happens in _estimate_impl after the cross-hop CFO combine, so the rotation
-    fuses into the single block write.
+    Returns (epre_inc, cfo_hop|None, ta_inc, noise_inc, rsrp_inc, h_p, h_t) — the
+    grid fill happens in _estimate_impl after the cross-hop CFO combine, so the
+    rotation fuses into the single block write. h_t is the per-DM-RS-symbol
+    smoothed estimate (nL*n_dsym, n_re) when time_interp is active, else None.
     """
     cdtype = received_rg.dtype
     rdtype = jnp.zeros((), cdtype).real.dtype
@@ -417,6 +422,25 @@ def _process_hop(
     # --- Smoothing (ce_rule_baseline.py:645-680) ---
     h_p = _smooth(hp, config, h_p, kernels, params)
 
+    # --- Per-DM-RS-symbol estimates for time interpolation (time_interp="linear",
+    # no reference counterpart — see EstimatorConfig docs). Rows pack (layer,
+    # dmrs_sym) layer-major so every row-wise smoothing path applies unchanged and
+    # CDM slices stay contiguous; scalar metrics below keep using the
+    # time-averaged h_p (exact reference parity).
+    h_t = None
+    if hp.time_interp_mat is not None:
+        ht = (rec_x_nocfo / beta.astype(cdtype)).reshape(nL * hp.n_dsym, hp.n_re)
+        if nL >= 2 and not _use_fused_smooth(hp, kernels):
+            m = hp.n_re // 2
+            rows = ht.shape[0]
+            pairs = ht[:, : 2 * m].reshape(rows, m, 2)
+            avg = jnp.mean(pairs, axis=-1, keepdims=True)
+            ht = jnp.concatenate(
+                [jnp.broadcast_to(avg, (rows, m, 2)).reshape(rows, 2 * m), ht[:, 2 * m :]],
+                axis=-1,
+            )
+        h_t = _smooth(hp, config, ht, kernels, params)
+
     # --- Time alignment from the IFFT power-delay profile (ce_rule_baseline.py:684-710).
     # Only the first/last half_cp_len bins feed the argmax, so evaluate exactly those
     # via a direct DFT: two small MXU matmuls instead of scattering into a
@@ -464,7 +488,7 @@ def _process_hop(
     noise_inc = dsp.fro_norm_sq(rx - est_rx)
     rsrp_inc = (beta_r**2) * dsp.fro_norm_sq(h_p) * hp.n_dsym
 
-    return epre_inc, cfo_hop, ta_inc, noise_inc, rsrp_inc, h_p
+    return epre_inc, cfo_hop, ta_inc, noise_inc, rsrp_inc, h_p, h_t
 
 
 def _estimate_impl(
@@ -511,8 +535,9 @@ def _estimate_impl(
         hops.append((plan.hop2, pilots[:, plan.n_dsym1 :, :]))
 
     h_ps = []
+    h_ts = []
     for hp, pil in hops:
-        e_i, cfo_h, ta_i, n_i, r_i, h_p = _process_hop(
+        e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t = _process_hop(
             hp, config, received_rg, pil, beta, sst, kernels, params
         )
         epre = epre + e_i
@@ -524,6 +549,7 @@ def _estimate_impl(
             # hops estimate a CFO.
             cfo = cfo_h if cfo is None else (cfo + cfo_h) / 2.0
         h_ps.append(h_p)
+        h_ts.append(h_t)
 
     # --- Normalization (ce_rule_baseline.py:914-935) ---
     rsrp = rsrp / plan.n_pilots / nL
@@ -544,8 +570,35 @@ def _estimate_impl(
     else:
         rot = jnp.ones((n_sym,), dtype=cdtype)
 
-    for (hp, _), h_p in zip(hops, h_ps):
+    for (hp, _), h_p, h_t in zip(hops, h_ps, h_ts):
         rot_slice = jax.lax.slice_in_dim(rot, hp.sym_start, hp.sym_start + hp.n_alloc_syms, axis=0)
+        if h_t is not None:
+            # Time-interpolated fill: per-symbol frequency profiles combined with
+            # the static (n_alloc, n_dsym) weight matrix, then CFO-rotated. This
+            # path stays on the XLA tier (the Pallas fill kernels assume one
+            # broadcast profile).
+            prec = dsp.precision_of(config.matmul_precision)
+            full_t = _grid_fill(hp, config, h_t, rows_per_layer=hp.n_dsym)
+            ft = full_t.reshape(nL, hp.n_dsym, hp.n_sc_hop)
+            tm = jnp.asarray(hp.time_interp_mat.T, dtype=rdtype)  # (n_dsym, n_alloc)
+            mm = lambda a: jnp.einsum("lds,dt->lts", a, tm, precision=prec)
+            block = jax.lax.complex(mm(jnp.real(ft)), mm(jnp.imag(ft)))
+            block = block * rot_slice[None, :, None]  # (nL, n_alloc, n_sc_hop)
+            if out_layout == "serve":
+                if out_dtype is not None:
+                    blk_ri = _complex_to_ri(block).astype(out_dtype)
+                    channel = jax.lax.dynamic_update_slice(
+                        channel, blk_ri, (0, 0, hp.sym_start, hp.sc_start)
+                    )
+                else:
+                    channel = jax.lax.dynamic_update_slice(
+                        channel, block, (0, hp.sym_start, hp.sc_start)
+                    )
+            else:
+                channel = jax.lax.dynamic_update_slice(
+                    channel, jnp.transpose(block, (2, 1, 0)), (hp.sc_start, hp.sym_start, 0)
+                )
+            continue
         if out_layout == "serve":
             if kernels == "pallas":
                 block = _grid_fill_rotate_pallas_serve(hp, config, h_p, rot_slice)

@@ -112,6 +112,43 @@ class HopPlan:
     smooth_ve_mat: Optional[np.ndarray] = None  # (n_pils, n_re)
     pair_l_mat: Optional[np.ndarray] = None  # (n_re, n_pils)
     pair_r_mat: Optional[np.ndarray] = None  # (n_re, n_pils)
+    # Time interpolation (config.time_interp="linear", no reference counterpart):
+    # (n_alloc_syms, n_dsym) weights mapping per-DM-RS-symbol channel profiles to
+    # every allocated OFDM symbol — linear in symbol start time between DM-RS
+    # symbols, constant extrapolation outside. None => reference broadcast
+    # behavior (also when n_dsym < 2, where interpolation degenerates to it).
+    time_interp_mat: Optional[np.ndarray] = None
+
+
+def _time_interp_matrix(
+    dmrs_sym_idx: np.ndarray, start_symbol: int, n_alloc_syms: int, config: EstimatorConfig
+) -> np.ndarray:
+    """(n_alloc_syms, n_dsym) weights: linear interpolation in symbol *start time*
+    (CP-aware, same clock as the CFO model — oracle.symbol_start_times) between
+    DM-RS symbols, constant extrapolation before the first / after the last."""
+    cpds = config.cp_durations_np * config.scs_hz / 1000.0  # symbol units
+    sst = _oracle.symbol_start_times(cpds)  # (14,)
+    t_d = sst[dmrs_sym_idx].astype(np.float64)  # (n_dsym,)
+    syms = np.arange(start_symbol, start_symbol + n_alloc_syms)
+    t_s = sst[syms].astype(np.float64)  # (n_alloc,)
+    n_dsym = t_d.size
+    T = np.zeros((n_alloc_syms, n_dsym), dtype=np.float64)
+    right = np.clip(np.searchsorted(t_d, t_s, side="left"), 0, n_dsym - 1)
+    left = np.clip(right - 1, 0, n_dsym - 1)
+    denom = t_d[right] - t_d[left]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = np.where(denom > 0, (t_s - t_d[left]) / np.where(denom > 0, denom, 1.0), 1.0)
+    a = np.clip(a, 0.0, 1.0)
+    a = np.where(t_s <= t_d[0], 1.0, a)  # all weight on the first DM-RS symbol
+    left = np.where(t_s <= t_d[0], 0, left)
+    right = np.where(t_s <= t_d[0], 0, right)
+    a = np.where(t_s >= t_d[-1], 1.0, a)  # all weight on the last
+    left = np.where(t_s >= t_d[-1], n_dsym - 1, left)
+    right = np.where(t_s >= t_d[-1], n_dsym - 1, right)
+    rows = np.arange(n_alloc_syms)
+    np.add.at(T, (rows, left), 1.0 - a)
+    np.add.at(T, (rows, right), a)
+    return T
 
 
 def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> HopPlan:
@@ -273,6 +310,13 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
             inpaint_schedules.append(make_inpaint_schedule(known, n_iters))
             inpaint_known.append(known)
 
+    # Time-interpolation weights (see HopPlan.time_interp_mat docs)
+    time_interp_mat = None
+    if config.time_interp == "linear" and n_dsym >= 2:
+        time_interp_mat = _time_interp_matrix(
+            dmrs_sym_idx, hop.start_symbol, hop.n_allocated_symbols, config
+        )
+
     fft_size = 4096
     half_cp_len = int(math.floor((144 / 2) * fft_size / 2048))
     ta_idx = re_idx[n_cdm - 1]
@@ -339,6 +383,7 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
         wiener_u=wiener_u,
         wiener_lam=wiener_lam,
         wiener_paired=wiener_paired,
+        time_interp_mat=time_interp_mat,
     )
 
 

@@ -89,6 +89,9 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hop = hp.hop
     assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
     assert plan.config.interp in ("linear", "cnn"), "unknown interpolation"
+    assert plan.config.time_interp == "none", (
+        "subcarrier sharding does not implement time_interp yet (DP-shard instead)"
+    )
     prb_mask = hop.prb_mask_np
     assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
         "subcarrier sharding requires a contiguous full-band hop"
@@ -405,6 +408,9 @@ class HoppedShardPlan:
 
 def make_hopped_shard_plan(plan: EstimatorPlan, n_sp: int) -> HoppedShardPlan:
     assert plan.hop2 is not None, "use make_shard_plan for single-hop problems"
+    assert plan.config.time_interp == "none", (
+        "subcarrier sharding does not implement time_interp yet (DP-shard instead)"
+    )
     n_sc = len(plan.hop1.hop.prb_mask) * NRE
     assert n_sc % n_sp == 0, f"n_sp={n_sp} must divide n_sc={n_sc}"
     # the sharded fill writes every local column of a hop's symbol block (zeros
@@ -461,7 +467,7 @@ def _sharded_problem_hopped(sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_lo
     hops = [(plan.hop1, pil[:, : plan.n_dsym1, :]), (plan.hop2, pil[:, plan.n_dsym1 :, :])]
     h_ps = []
     for hp, pil_h in hops:
-        e_i, cfo_h, ta_i, n_i, r_i, h_p = _est._process_hop(
+        e_i, cfo_h, ta_i, n_i, r_i, h_p, _h_t = _est._process_hop(
             hp, config, rg_full, pil_h, beta, sst
         )
         epre, noise, rsrp, ta = epre + e_i, noise + n_i, rsrp + r_i, ta + ta_i

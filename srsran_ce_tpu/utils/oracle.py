@@ -257,24 +257,24 @@ def _hop_re_indices(hop: HopConfig, i_cdm: int) -> np.ndarray:
     return np.nonzero(mask)[0], mask
 
 
-def _fill_ch_est(
-    channel: np.ndarray,  # (n_sc, n_sym, n_layers) — mutated
-    estimated: np.ndarray,  # (n_re, n_layers_in_cdm)
+def _interp_full(
+    estimated: np.ndarray,  # (n_re, ncols)
     hop: HopConfig,
     i_cdm: int,
     interp: str,
-) -> None:
-    """Grid fill with per-subcarrier interpolation, broadcast over allocated symbols
-    (reference fill_ch_est_cdm, ce_rule_baseline.py:237-360 / ce_dl_cnn.py:233-322)."""
-    n_layers = estimated.shape[1]
+) -> np.ndarray:
+    """Per-subcarrier interpolation of pilot-position estimates onto the hop band:
+    (n_re, ncols) -> (n_sc_hop, ncols) (reference fill_ch_est_cdm interpolation,
+    ce_rule_baseline.py:237-360 / ce_dl_cnn.py:233-322)."""
+    ncols = estimated.shape[1]
     n_sc_hop = hop.n_prbs * NRE
     re_mask_col = hop.dmrs_re_mask_np[:, i_cdm]
     mask_all = np.tile(re_mask_col, hop.n_prbs)
     filled = np.nonzero(mask_all)[0]
     if filled.size == 0:
-        return
+        return np.zeros((n_sc_hop, ncols), dtype=np.complex128)
 
-    full = np.zeros((n_sc_hop, n_layers), dtype=np.complex128)
+    full = np.zeros((n_sc_hop, ncols), dtype=np.complex128)
     full[filled, :] = estimated
 
     if interp == "linear":
@@ -290,16 +290,113 @@ def _fill_ch_est(
         full[filled[-1] :, :] = full[filled[-1], :]
     elif interp == "cnn":
         n_iters = max(6, n_sc_hop // 8)
-        for l in range(n_layers):
+        for l in range(ncols):
             full[:, l] = cnn_inpaint(full[:, l], mask_all, n_iters=n_iters)
     else:
         raise ValueError(f"Unknown interpolation strategy {interp}.")
+    return full
 
+
+def _fill_ch_est(
+    channel: np.ndarray,  # (n_sc, n_sym, n_layers) — mutated
+    estimated: np.ndarray,  # (n_re, n_layers_in_cdm)
+    hop: HopConfig,
+    i_cdm: int,
+    interp: str,
+) -> None:
+    """Grid fill with per-subcarrier interpolation, broadcast over allocated symbols
+    (reference fill_ch_est_cdm, ce_rule_baseline.py:237-360 / ce_dl_cnn.py:233-322)."""
+    n_layers = estimated.shape[1]
+    n_sc_hop = hop.n_prbs * NRE
+    full = _interp_full(estimated, hop, i_cdm, interp)
     sc0 = NRE * hop.prb_start
     sym0 = hop.start_symbol
     for l in range(n_layers):
         l_true = l + i_cdm * 2
         channel[sc0 : sc0 + n_sc_hop, sym0 : sym0 + hop.n_allocated_symbols, l_true] = full[:, l][:, None]
+
+
+def _time_interp_matrix(
+    dmrs_sym_idx: np.ndarray, start_symbol: int, n_alloc_syms: int, config: EstimatorConfig
+) -> np.ndarray:
+    """(n_alloc_syms, n_dsym) time-interpolation weights: linear in symbol start
+    time between DM-RS symbols, constant extrapolation outside (independent
+    float64 mirror of models/plan._time_interp_matrix)."""
+    cpds = config.cp_durations_np * config.scs_hz / 1000.0
+    sst = symbol_start_times(cpds)
+    t_d = sst[np.asarray(dmrs_sym_idx)].astype(np.float64)
+    t_s = sst[start_symbol : start_symbol + n_alloc_syms].astype(np.float64)
+    n_dsym = t_d.size
+    T = np.zeros((n_alloc_syms, n_dsym), dtype=np.float64)
+    for i, t in enumerate(t_s):
+        if t <= t_d[0]:
+            T[i, 0] = 1.0
+        elif t >= t_d[-1]:
+            T[i, -1] = 1.0
+        else:
+            j = int(np.searchsorted(t_d, t, side="left"))
+            a = (t - t_d[j - 1]) / (t_d[j] - t_d[j - 1])
+            T[i, j - 1] = 1.0 - a
+            T[i, j] = a
+    return T
+
+
+def _apply_smoothing(
+    h: np.ndarray,  # (n_re, ncols) — mutated and returned
+    hop: HopConfig,
+    config: EstimatorConfig,
+    n_layers: int,
+) -> np.ndarray:
+    """Frequency smoothing switch on per-column profiles (ce_rule_baseline.py:645-680
+    plus the wiener extension). `n_layers` drives the CDM pairing decision, which is
+    a property of the layer layout — not of how many profile columns are smoothed."""
+    smoothing = config.smoothing
+    if smoothing == "mean":
+        h = np.ones_like(h) * h.mean(axis=0, keepdims=True)
+    elif smoothing == "filter":
+        dmrs_per_prb = int(hop.dmrs_re_mask_np[:, 0].sum())
+        n_prbs_masked = int(hop.prb_mask_np.sum())
+        stride = NRE // dmrs_per_prb
+        rc, _ = get_rc_filter(stride, min(3, n_prbs_masked))
+        n_pils = min(12, rc.size // 2) if n_prbs_masked > 1 else dmrs_per_prb
+        for l in range(h.shape[1]):
+            vb = create_virtual_pilots(h[:n_pils, l], n_pils)
+            ve = create_virtual_pilots(h[-n_pils:, l][::-1], n_pils)
+            x = np.concatenate([vb, h[:, l], ve[::-1]])
+            tmp = conv_same(x, rc)
+            rc_sm = tmp[n_pils : tmp.size - n_pils]
+            if config.cnn_alpha > 0.0:
+                alpha = min(1.0, max(0.0, config.cnn_alpha))
+                cnn_sm = cnn_lowpass(rc_sm, passes=1)
+                rc_sm = rc_sm + alpha * (cnn_sm - rc_sm)
+            h[:, l] = rc_sm
+    elif smoothing == "wiener":
+        # MMSE shrinkage in the eigenbasis of the exponential-PDP prior (same math
+        # as models/estimator._smooth_wiener; see EstimatorConfig docstring).
+        pos = np.nonzero(
+            np.kron(hop.prb_mask_np.astype(np.int64), hop.dmrs_re_mask_np[:, 0].astype(np.int64))
+        )[0].astype(np.float64)
+        paired = n_layers >= 2 and h.shape[0] % 2 == 0
+        hd = h
+        if paired:
+            pos = 0.5 * (pos[0::2] + pos[1::2])
+            hd = h[0::2, :]
+        if pos.size >= 2:  # degenerate lattice: pass-through (plan mirrors this)
+            dmat = (pos[:, None] - pos[None, :]) * config.scs_hz * float(config.wiener_delay_spread_s)
+            r = 1.0 / (1.0 + 2j * np.pi * dmat)
+            lam, u = np.linalg.eigh(r)
+            lam = np.clip(lam, 0.0, None)
+            diff = hd[1:, :] - hd[:-1, :]
+            sig2 = max(float(np.mean(np.abs(diff) ** 2)) / 2.0, 1e-20)
+            p_hat = max(float(np.mean(np.abs(hd) ** 2)) - sig2, 1e-20)
+            g = lam / (lam + sig2 / p_hat)
+            hs = u @ (g[:, None] * (u.conj().T @ hd))
+            h = np.repeat(hs, 2, axis=0) if paired else hs
+    elif smoothing == "none":
+        pass
+    else:
+        raise ValueError(f"Unknown smoothing strategy {smoothing}.")
+    return h
 
 
 def _process_hop(
@@ -346,52 +443,27 @@ def _process_hop(
             h_p[0 : 2 * m : 2] = avg
             h_p[1 : 2 * m : 2] = avg
 
-    dmrs_per_prb = int(hop.dmrs_re_mask_np[:, 0].sum())
-    n_prbs_masked = int(hop.prb_mask_np.sum())
+    h_p = _apply_smoothing(h_p, hop, config, n_layers)
 
-    if smoothing == "mean":
-        h_p = np.ones_like(h_p) * h_p.mean(axis=0, keepdims=True)
-    elif smoothing == "filter":
-        stride = NRE // dmrs_per_prb
-        rc, _ = get_rc_filter(stride, min(3, n_prbs_masked))
-        n_pils = min(12, rc.size // 2) if n_prbs_masked > 1 else dmrs_per_prb
-        for l in range(n_layers):
-            vb = create_virtual_pilots(h_p[:n_pils, l], n_pils)
-            ve = create_virtual_pilots(h_p[-n_pils:, l][::-1], n_pils)
-            x = np.concatenate([vb, h_p[:, l], ve[::-1]])
-            tmp = conv_same(x, rc)
-            rc_sm = tmp[n_pils : tmp.size - n_pils]
-            if config.cnn_alpha > 0.0:
-                alpha = min(1.0, max(0.0, config.cnn_alpha))
-                cnn_sm = cnn_lowpass(rc_sm, passes=1)
-                rc_sm = rc_sm + alpha * (cnn_sm - rc_sm)
-            h_p[:, l] = rc_sm
-    elif smoothing == "wiener":
-        # MMSE shrinkage in the eigenbasis of the exponential-PDP prior (same math
-        # as models/estimator._smooth_wiener; see EstimatorConfig docstring).
-        pos = np.nonzero(
-            np.kron(hop.prb_mask_np.astype(np.int64), hop.dmrs_re_mask_np[:, 0].astype(np.int64))
-        )[0].astype(np.float64)
-        paired = n_layers >= 2 and h_p.shape[0] % 2 == 0
-        hd = h_p
-        if paired:
-            pos = 0.5 * (pos[0::2] + pos[1::2])
-            hd = h_p[0::2, :]
-        if pos.size >= 2:  # degenerate lattice: pass-through (plan mirrors this)
-            dmat = (pos[:, None] - pos[None, :]) * config.scs_hz * float(config.wiener_delay_spread_s)
-            r = 1.0 / (1.0 + 2j * np.pi * dmat)
-            lam, u = np.linalg.eigh(r)
-            lam = np.clip(lam, 0.0, None)
-            diff = hd[1:, :] - hd[:-1, :]
-            sig2 = max(float(np.mean(np.abs(diff) ** 2)) / 2.0, 1e-20)
-            p_hat = max(float(np.mean(np.abs(hd) ** 2)) - sig2, 1e-20)
-            g = lam / (lam + sig2 / p_hat)
-            hs = u @ (g[:, None] * (u.conj().T @ hd))
-            h_p = np.repeat(hs, 2, axis=0) if paired else hs
-    elif smoothing == "none":
-        pass
-    else:
-        raise ValueError(f"Unknown smoothing strategy {smoothing}.")
+    # Per-DM-RS-symbol smoothed profiles for time interpolation
+    # (config.time_interp="linear" — no reference counterpart; columns pack
+    # (layer, dmrs_sym) layer-major, mirroring models/estimator._process_hop).
+    h_t = None
+    t_mat = None
+    if config.time_interp == "linear" and n_dsym >= 2:
+        ht = np.transpose(rec_nocfo / beta, (0, 2, 1)).reshape(
+            h_p.shape[0], n_layers * n_dsym
+        )
+        if n_layers >= 2:
+            m = min(ht[0::2].shape[0], ht[1::2].shape[0])
+            if m > 0:
+                avg = (ht[0 : 2 * m : 2] + ht[1 : 2 * m : 2]) / 2.0
+                ht[0 : 2 * m : 2] = avg
+                ht[1 : 2 * m : 2] = avg
+        h_t = _apply_smoothing(ht, hop, config, n_layers)
+        t_mat = _time_interp_matrix(
+            dmrs_sym_idx, hop.start_symbol, hop.n_allocated_symbols, config
+        )
 
     # Time alignment from the 4096-point IFFT power-delay profile
     # (ce_rule_baseline.py:684-710). NB: scatter positions use the LAST CDM group's
@@ -422,7 +494,24 @@ def _process_hop(
             ph = np.ones(n_dsym, dtype=np.complex128)
         for l in range(l0, l1):
             estimated_rx[:, :, c] += beta * pilots[:, :, l] * (h_p[:, l][:, None] * ph[None, :])
-        _fill_ch_est(state["channel_est_rg"], h_p[:, l0:l1], hop, c, config.interp)
+        if h_t is not None:
+            # Time-interpolated fill: interpolate each DM-RS symbol's profile in
+            # frequency, then combine across time with the static weight matrix.
+            cols = []
+            for l in range(l0, l1):
+                cols.extend(range(l * n_dsym, (l + 1) * n_dsym))
+            full = _interp_full(h_t[:, cols], hop, c, config.interp)
+            n_sc_hop = hop.n_prbs * NRE
+            full = full.reshape(n_sc_hop, l1 - l0, n_dsym)
+            block = np.einsum("snd,td->snt", full, t_mat)
+            sc0 = NRE * hop.prb_start
+            sym0 = hop.start_symbol
+            for l in range(l0, l1):
+                state["channel_est_rg"][
+                    sc0 : sc0 + n_sc_hop, sym0 : sym0 + hop.n_allocated_symbols, l
+                ] = block[:, l - l0, :]
+        else:
+            _fill_ch_est(state["channel_est_rg"], h_p[:, l0:l1], hop, c, config.interp)
 
     state["noise_est"] += float(np.sum(np.abs(received_pilots - estimated_rx) ** 2))
     state["rsrp"] += beta**2 * float(np.sum(np.abs(h_p) ** 2)) * n_dsym

@@ -42,6 +42,21 @@ def comb_re_mask(comb: int, n_cdm: int = 1) -> np.ndarray:
     return mask
 
 
+def _tdl_taps(
+    rng: np.random.Generator, n_layers: int, n_taps: int, max_delay_frac: float
+):
+    """Random TDL tap set: (delays, gains), each (n_taps, n_layers), exponential
+    power-delay profile with sub-CP delays (in 2048-FFT sample units)."""
+    nfft = 2048.0
+    delays = rng.uniform(0.0, max_delay_frac * nfft, size=(n_taps, n_layers))
+    delays[0, :] = 0.0
+    power = np.exp(-delays / (max_delay_frac * nfft / 3.0 + 1e-9))
+    power /= power.sum(axis=0, keepdims=True)
+    gains = (rng.standard_normal((n_taps, n_layers)) + 1j * rng.standard_normal((n_taps, n_layers)))
+    gains *= np.sqrt(power / 2.0)
+    return delays, gains
+
+
 def _tdl_frequency_response(
     rng: np.random.Generator, n_sc: int, n_layers: int, n_taps: int, max_delay_frac: float
 ) -> np.ndarray:
@@ -50,12 +65,7 @@ def _tdl_frequency_response(
     H[k, l] = sum_t g_{t,l} * exp(-2j*pi*k*d_t/nfft), exponential power-delay profile.
     """
     nfft = 2048.0
-    delays = rng.uniform(0.0, max_delay_frac * nfft, size=(n_taps, n_layers))
-    delays[0, :] = 0.0
-    power = np.exp(-delays / (max_delay_frac * nfft / 3.0 + 1e-9))
-    power /= power.sum(axis=0, keepdims=True)
-    gains = (rng.standard_normal((n_taps, n_layers)) + 1j * rng.standard_normal((n_taps, n_layers)))
-    gains *= np.sqrt(power / 2.0)
+    delays, gains = _tdl_taps(rng, n_layers, n_taps, max_delay_frac)
     k = np.arange(n_sc, dtype=np.float64)
     # (n_sc, n_taps, n_layers) phase ramps summed over taps
     phase = np.exp(-2j * np.pi * k[:, None, None] * delays[None, :, :] / nfft)
@@ -86,8 +96,15 @@ def make_case(
     n_prb_total: Optional[int] = None,
     beta: float = 1.0,
     n_taps: int = 6,
+    doppler_hz: float = 0.0,
+    time_interp: str = "none",
 ) -> SyntheticCase:
-    """Build one synthetic estimation problem plus its ground-truth channel."""
+    """Build one synthetic estimation problem plus its ground-truth channel.
+
+    doppler_hz > 0 gives each multipath tap a random Doppler shift in
+    [-doppler_hz, doppler_hz] (Jakes-like), making the true channel vary across
+    OFDM symbols — the regime config.time_interp="linear" is built for.
+    doppler_hz == 0 reproduces the historical time-flat channel bit-for-bit."""
     rng = np.random.default_rng(seed)
     n_cdm = math.ceil(n_layers / 2)
     re_mask = comb_re_mask(comb, n_cdm)
@@ -101,7 +118,12 @@ def make_case(
     n_sc = n_prb_total * NRE
 
     config = make_config(
-        scs_hz, smoothing=smoothing, cfo_compensate=cfo_compensate, interp=interp, cnn_alpha=cnn_alpha
+        scs_hz,
+        smoothing=smoothing,
+        cfo_compensate=cfo_compensate,
+        interp=interp,
+        cnn_alpha=cnn_alpha,
+        time_interp=time_interp,
     )
 
     # Hop symbol allocation
@@ -130,17 +152,28 @@ def make_case(
     hop1 = hop_cfgs[0]
     hop2 = hop_cfgs[1] if two_hops else None
 
-    # Ground-truth per-layer channel over the full grid (frequency-smooth, time-flat
-    # apart from the CFO phase ramp applied below).
-    h_freq = _tdl_frequency_response(rng, n_sc, n_layers, n_taps, max_delay_frac=0.02)
-    true_channel = np.repeat(h_freq[:, None, :], n_sym, axis=1)  # (n_sc, n_sym, n_layers)
-
     # CFO phase ramp per OFDM symbol (normalized CFO = cfo_hz / scs)
     cpds = config.cp_durations_np * scs_hz / 1000.0  # symbol-duration units
     vec = np.empty(14)
     vec[0] = cpds[0]
     vec[1:] = cpds[1:14] + 1.0
     sst = np.cumsum(vec)
+
+    # Ground-truth per-layer channel over the full grid (frequency-smooth; time-flat
+    # apart from the CFO phase ramp below unless doppler_hz > 0, where each tap
+    # rotates at its own Doppler frequency across OFDM symbols).
+    if doppler_hz > 0.0:
+        nfft = 2048.0
+        delays, gains = _tdl_taps(rng, n_layers, n_taps, max_delay_frac=0.02)
+        f_d = rng.uniform(-doppler_hz, doppler_hz, size=delays.shape)  # (n_taps, n_layers)
+        k = np.arange(n_sc, dtype=np.float64)
+        phase_f = np.exp(-2j * np.pi * k[:, None, None] * delays[None, :, :] / nfft)
+        t_sym_s = sst[:n_sym] / scs_hz  # symbol start times in seconds
+        phase_t = np.exp(2j * np.pi * t_sym_s[:, None, None] * f_d[None, :, :])
+        true_channel = np.einsum("ktl,stl,tl->ksl", phase_f, phase_t, gains)
+    else:
+        h_freq = _tdl_frequency_response(rng, n_sc, n_layers, n_taps, max_delay_frac=0.02)
+        true_channel = np.repeat(h_freq[:, None, :], n_sym, axis=1)  # (n_sc, n_sym, n_layers)
     cfo_norm = cfo_hz / scs_hz
     cfo_rot = np.exp(1j * 2.0 * np.pi * sst * cfo_norm)  # (14,)
 

@@ -41,6 +41,8 @@ def _draw_geometry(rng: np.random.Generator) -> dict:
         snr_db=float(rng.uniform(10.0, 40.0)),
         cfo_hz=float(rng.uniform(-300.0, 300.0)),
         beta=float(rng.choice([1.0, 1.0, 1.4125])),
+        time_interp=str(rng.choice(["none", "none", "linear"])),
+        doppler_hz=float(rng.choice([0.0, 0.0, 300.0])),
     )
     if not two_hops and rng.random() < 0.3:
         # offset band inside a wider carrier
