@@ -161,10 +161,18 @@ def cmd_quality(args) -> int:
     for sm, row in table.items():
         tag = {"filter": " (reference chain)", "learned": " (trainable, ours)", "wiener": " (MMSE, ours)"}.get(sm, "")
         print(f"{sm:9s} " + "".join(f"  {row[s]:7.2f}" for s in snrs) + tag)
-    if args.report:
-        Path(args.report).write_text(json.dumps(table, indent=2))
     gain = {s: table["filter"][s] - table["learned"][s] for s in snrs}
     print("learned-vs-filter gain (dB): " + ", ".join(f"{s:.0f}dB SNR: {g:+.2f}" for s, g in gain.items()))
+
+    dops = (0.0, 100.0, 300.0, 600.0)
+    dtable = quality.doppler_sweep(dopplers_hz=dops, n_cases=args.cases, n_prbs=args.n_prbs)
+    hdr = "time strategy      " + "".join(f"  {d:>5.0f}Hz" for d in dops)
+    print("\nDoppler tracking (NMSE dB vs truth, 30 dB SNR):\n" + hdr + "\n" + "-" * len(hdr))
+    for ti, row in dtable.items():
+        tag = " (reference broadcast)" if ti == "none" else " (time interp, ours)"
+        print(f"time_interp={ti:6s} " + "".join(f"  {row[d]:7.2f}" for d in dops) + tag)
+    if args.report:
+        Path(args.report).write_text(json.dumps({"snr": table, "doppler": dtable}, indent=2))
     return 0
 
 

@@ -63,6 +63,38 @@ def channel_nmse_vs_truth(
     return float(np.mean(errs))
 
 
+def doppler_sweep(
+    dopplers_hz: Sequence[float] = (0.0, 100.0, 300.0, 600.0),
+    snr_db: float = 30.0,
+    n_cases: int = 8,
+    **case_kwargs,
+) -> Dict[str, Dict[float, float]]:
+    """NMSE (dB) vs ground truth across Doppler for the two time strategies:
+    the reference's time-averaged broadcast (time_interp="none") vs per-DM-RS-symbol
+    linear time interpolation (time_interp="linear", no reference counterpart).
+
+    CFO injection is disabled: a per-tap Doppler spread is not a common frequency
+    offset, and letting the CFO estimator chase it would measure the CFO model,
+    not the time tracking.
+    """
+    out: Dict[str, Dict[float, float]] = {}
+    for ti in ("none", "linear"):
+        row = {}
+        for dop in dopplers_hz:
+            nmse = channel_nmse_vs_truth(
+                "filter",
+                snr_db,
+                n_cases=n_cases,
+                doppler_hz=float(dop),
+                time_interp=ti,
+                cfo_hz=0.0,
+                **case_kwargs,
+            )
+            row[float(dop)] = 10.0 * float(np.log10(nmse + 1e-300))
+        out[ti] = row
+    return out
+
+
 def sweep(
     snrs_db: Sequence[float] = (0.0, 5.0, 10.0, 20.0),
     smoothings: Sequence[str] = ("filter", "wiener", "learned", "mean", "none"),
