@@ -89,9 +89,6 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hop = hp.hop
     assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
     assert plan.config.interp in ("linear", "cnn"), "unknown interpolation"
-    assert plan.config.time_interp == "none", (
-        "subcarrier sharding does not implement time_interp yet (DP-shard instead)"
-    )
     prb_mask = hop.prb_mask_np
     assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
         "subcarrier sharding requires a contiguous full-band hop"
@@ -241,59 +238,81 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
             rec_x = rec_x * rot[None, None, :]
 
     # --- time average + CDM pair average (local; R is even) ---
+    def pair_average(h):  # (rows, R) -> (rows, R)
+        m = sp.R // 2
+        rows = h.shape[0]
+        pairs = h.reshape(rows, m, 2)
+        avg = jnp.mean(pairs, axis=-1, keepdims=True)
+        return jnp.broadcast_to(avg, (rows, m, 2)).reshape(rows, sp.R)
+
     h_p = jnp.sum(rec_x, axis=-1) / beta.astype(cdtype) / hp.n_dsym  # (nL, R)
     if nL >= 2:
-        m = sp.R // 2
-        pairs = h_p.reshape(nL, m, 2)
-        avg = jnp.mean(pairs, axis=-1, keepdims=True)
-        h_p = jnp.broadcast_to(avg, (nL, m, 2)).reshape(nL, sp.R)
+        h_p = pair_average(h_p)
 
-    # --- smoothing ---
-    if hp.smoothing == "mean":
-        mean = _psum_c(jnp.sum(h_p, axis=-1), axis) / hp.n_re  # (nL,)
-        h_p = jnp.broadcast_to(mean[:, None], h_p.shape)
-    elif hp.smoothing == "filter":
-        hw, n_pils = sp.hw, hp.n_pils
-        lh, rh = _halo_exchange(h_p, hw, axis, n_sp)
-        # Outermost shards synthesize virtual pilots; zero-fill beyond them matches
-        # the unsharded zero padding (n_pils = min(12, hw) <= hw).
-        prec = dsp.precision_of(config.matmul_precision)
-        vb = _est._virtual_pilots(h_p[:, :n_pils], hp.vp_matrix, n_pils, prec)
-        ve = _est._virtual_pilots(jnp.flip(h_p[:, -n_pils:], axis=-1), hp.vp_matrix, n_pils, prec)
-        zpad = jnp.zeros((nL, hw - n_pils), cdtype)
-        left_edge = jnp.concatenate([zpad, vb], axis=-1)  # (nL, hw)
-        right_edge = jnp.concatenate([jnp.flip(ve, axis=-1), zpad], axis=-1)
-        left = jnp.where(is_first, left_edge, lh)
-        right = jnp.where(is_last, right_edge, rh)
-        ext = jnp.concatenate([left, h_p, right], axis=-1)  # (nL, R + 2*hw)
-        h_p = dsp.conv_valid(ext, hp.rc_taps)  # (nL, R)
-        if config.cnn_alpha > 0.0:
-            # Alpha blend with the 3-tap low-pass (ce_dl_cnn.py:712-715). Interior
-            # seams use real neighbor taps; outermost shards reflect locally —
-            # identical to the unsharded global reflect padding because the global
-            # reflection of element 0 is element 1, which lives on shard 0.
-            alpha = min(1.0, max(0.0, config.cnn_alpha))
-            lh2, rh2 = _halo_exchange(h_p, 1, axis, n_sp)
-            left2 = jnp.where(is_first, h_p[:, 1:2], lh2)
-            right2 = jnp.where(is_last, h_p[:, -2:-1], rh2)
-            ext2 = jnp.concatenate([left2, h_p, right2], axis=-1)  # (nL, R + 2)
-            lp = dsp.conv_valid(ext2, np.asarray([0.25, 0.5, 0.25]))
-            h_p = h_p + alpha * (lp - h_p)
-    elif hp.smoothing == "learned":
-        from ..models import denoiser as _dn
+    # Per-DM-RS-symbol estimates for time interpolation (rows pack (layer,
+    # dmrs_sym) layer-major — mirrors models/estimator._process_hop).
+    ht = None
+    if hp.time_interp_mat is not None:
+        ht = jnp.moveaxis(rec_x, 2, 1).reshape(nL * hp.n_dsym, sp.R) / beta.astype(cdtype)
+        if nL >= 2:
+            ht = pair_average(ht)
 
-        assert params is not None, "smoothing='learned' needs denoiser params"
-        h_p = _dn.apply_sharded(
-            params, h_p, lambda x, h: _halo_exchange(x, h, axis, n_sp)
-        )
-    elif hp.smoothing == "wiener":
-        # The eigenbasis projection is global and tiny: gather the raw pilot
-        # estimates (same collective size as the TA gather below), run the exact
-        # unsharded shrinkage replicated, keep this shard's R columns.
-        h_raw_all = jax.lax.all_gather(h_p, axis, axis=1, tiled=True)  # (nL, n_re)
-        h_sm_all = _est._smooth_wiener(hp, config, h_raw_all)
-        start = (my * sp.R).astype(jnp.int32)
-        h_p = jax.lax.dynamic_slice(h_sm_all, (jnp.int32(0), start), (nL, sp.R))
+    # --- smoothing (row-generic: applied to the time-averaged profiles and, when
+    # time_interp is active, to the per-symbol rows) ---
+    def smooth_rows(h):  # (rows, R) -> (rows, R)
+        rows = h.shape[0]
+        if hp.smoothing == "mean":
+            mean = _psum_c(jnp.sum(h, axis=-1), axis) / hp.n_re  # (rows,)
+            return jnp.broadcast_to(mean[:, None], h.shape)
+        if hp.smoothing == "filter":
+            hw, n_pils = sp.hw, hp.n_pils
+            lh, rh = _halo_exchange(h, hw, axis, n_sp)
+            # Outermost shards synthesize virtual pilots; zero-fill beyond them
+            # matches the unsharded zero padding (n_pils = min(12, hw) <= hw).
+            prec = dsp.precision_of(config.matmul_precision)
+            vb = _est._virtual_pilots(h[:, :n_pils], hp.vp_matrix, n_pils, prec)
+            ve = _est._virtual_pilots(jnp.flip(h[:, -n_pils:], axis=-1), hp.vp_matrix, n_pils, prec)
+            zpad = jnp.zeros((rows, hw - n_pils), cdtype)
+            left_edge = jnp.concatenate([zpad, vb], axis=-1)  # (rows, hw)
+            right_edge = jnp.concatenate([jnp.flip(ve, axis=-1), zpad], axis=-1)
+            left = jnp.where(is_first, left_edge, lh)
+            right = jnp.where(is_last, right_edge, rh)
+            ext = jnp.concatenate([left, h, right], axis=-1)  # (rows, R + 2*hw)
+            h = dsp.conv_valid(ext, hp.rc_taps)  # (rows, R)
+            if config.cnn_alpha > 0.0:
+                # Alpha blend with the 3-tap low-pass (ce_dl_cnn.py:712-715).
+                # Interior seams use real neighbor taps; outermost shards reflect
+                # locally — identical to the unsharded global reflect padding
+                # because the global reflection of element 0 is element 1, which
+                # lives on shard 0.
+                alpha = min(1.0, max(0.0, config.cnn_alpha))
+                lh2, rh2 = _halo_exchange(h, 1, axis, n_sp)
+                left2 = jnp.where(is_first, h[:, 1:2], lh2)
+                right2 = jnp.where(is_last, h[:, -2:-1], rh2)
+                ext2 = jnp.concatenate([left2, h, right2], axis=-1)  # (rows, R + 2)
+                lp = dsp.conv_valid(ext2, np.asarray([0.25, 0.5, 0.25]))
+                h = h + alpha * (lp - h)
+            return h
+        if hp.smoothing == "learned":
+            from ..models import denoiser as _dn
+
+            assert params is not None, "smoothing='learned' needs denoiser params"
+            return _dn.apply_sharded(
+                params, h, lambda x, w: _halo_exchange(x, w, axis, n_sp)
+            )
+        if hp.smoothing == "wiener":
+            # The eigenbasis projection is global and tiny: gather the raw pilot
+            # estimates (same collective size as the TA gather below), run the
+            # exact unsharded shrinkage replicated, keep this shard's R columns.
+            h_raw_all = jax.lax.all_gather(h, axis, axis=1, tiled=True)  # (rows, n_re)
+            h_sm_all = _est._smooth_wiener(hp, config, h_raw_all)
+            start_w = (my * sp.R).astype(jnp.int32)
+            return jax.lax.dynamic_slice(h_sm_all, (jnp.int32(0), start_w), (rows, sp.R))
+        return h  # "none"
+
+    h_p = smooth_rows(h_p)
+    if ht is not None:
+        ht = smooth_rows(ht)
 
     # --- time alignment: gather the (tiny) smoothed pilots, shared PDP ---
     h_all = jax.lax.all_gather(h_p, axis, axis=1, tiled=True)  # (nL, n_re)
@@ -325,38 +344,56 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
     noise_loc = dsp.fro_norm_sq(rx - est_rx)
     rsrp_loc = (beta**2) * dsp.fro_norm_sq(h_p) * hp.n_dsym
 
-    # --- grid fill ---
-    if config.interp == "cnn":
-        # Exact inpainting linear operator (ops/dsp.inpaint_operator): each shard
-        # multiplies the all_gathered pilot estimates (already needed for the PDP)
-        # by its own column block of the global operator — no halos required.
-        outs = []
-        for c, (l0, l1) in enumerate(hp.layer_slices):
-            transient, steady = hp.inpaint_schedules[c]
-            w = dsp.inpaint_operator(
-                hp.inpaint_known[c], len(transient) + steady, rdtype
-            )  # (n_re, n_sc_hop)
-            start = (my * sp.L).astype(jnp.int32)
-            w_local = jax.lax.dynamic_slice(w, (jnp.int32(0), start), (hp.n_re, sp.L))
-            outs.append(
-                dsp.inpaint_matmul(h_all[l0:l1], w_local, dsp.precision_of(config.matmul_precision))
-            )
-        full = jnp.concatenate(outs, axis=0)  # (nL, L)
-    else:
+    # --- grid fill (row-generic; rpl = rows per layer, > 1 on the time path) ---
+    def fill_rows(h, h_all_rows, rpl):  # (rows, R) -> (rows, L)
+        if config.interp == "cnn":
+            # Exact inpainting linear operator (ops/dsp.inpaint_operator): each
+            # shard multiplies the all_gathered pilot estimates by its own column
+            # block of the global operator — no halos required.
+            outs = []
+            for c, (l0, l1) in enumerate(hp.layer_slices):
+                transient, steady = hp.inpaint_schedules[c]
+                w = dsp.inpaint_operator(
+                    hp.inpaint_known[c], len(transient) + steady, rdtype
+                )  # (n_re, n_sc_hop)
+                start = (my * sp.L).astype(jnp.int32)
+                w_local = jax.lax.dynamic_slice(w, (jnp.int32(0), start), (hp.n_re, sp.L))
+                outs.append(
+                    dsp.inpaint_matmul(
+                        h_all_rows[l0 * rpl : l1 * rpl],
+                        w_local,
+                        dsp.precision_of(config.matmul_precision),
+                    )
+                )
+            return jnp.concatenate(outs, axis=0)
         # linear interp with a 1-pilot halo across seams
-        lh1, rh1 = _halo_exchange(h_p, 1, axis, n_sp)
-        hh = jnp.concatenate([lh1, h_p, rh1], axis=-1)  # (nL, R + 2)
+        lh1, rh1 = _halo_exchange(h, 1, axis, n_sp)
+        hh = jnp.concatenate([lh1, h, rh1], axis=-1)  # (rows, R + 2)
         outs = []
         for c, (l0, l1) in enumerate(hp.layer_slices):
-            vals = hh[l0:l1]
+            vals = hh[l0 * rpl : l1 * rpl]
             base = dsp.lerp_gather(vals, sp.interp_jl[c], sp.interp_jr[c], sp.interp_alpha[c])
             fz = jnp.asarray(sp.first_zone[c])
             lz = jnp.asarray(sp.last_zone[c])
             base = jnp.where(is_first & fz, vals[:, 1:2], base)
             base = jnp.where(is_last & lz, vals[:, sp.R : sp.R + 1], base)
             outs.append(base)
-        full = jnp.concatenate(outs, axis=0)  # (nL, L)
-    block = jnp.broadcast_to(full.T[:, None, :], (sp.L, hp.n_alloc_syms, nL))
+        return jnp.concatenate(outs, axis=0)
+
+    if ht is not None:
+        ht_all = (
+            jax.lax.all_gather(ht, axis, axis=1, tiled=True) if config.interp == "cnn" else None
+        )
+        full_t = fill_rows(ht, ht_all, hp.n_dsym)  # (nL*n_dsym, L)
+        ft = full_t.reshape(nL, hp.n_dsym, sp.L)
+        tm = jnp.asarray(hp.time_interp_mat.T, dtype=rdtype)  # (n_dsym, n_alloc)
+        prec_t = dsp.precision_of(config.matmul_precision)
+        mm = lambda a: jnp.einsum("lds,dt->lts", a, tm, precision=prec_t)
+        blk = jax.lax.complex(mm(jnp.real(ft)), mm(jnp.imag(ft)))  # (nL, n_alloc, L)
+        block = jnp.transpose(blk, (2, 1, 0))  # (L, n_alloc, nL)
+    else:
+        full = fill_rows(h_p, h_all, 1)  # (nL, L)
+        block = jnp.broadcast_to(full.T[:, None, :], (sp.L, hp.n_alloc_syms, nL))
     channel = jnp.zeros((sp.L, rg.shape[1], nL), dtype=cdtype)
     channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, 0))
 
@@ -408,9 +445,6 @@ class HoppedShardPlan:
 
 def make_hopped_shard_plan(plan: EstimatorPlan, n_sp: int) -> HoppedShardPlan:
     assert plan.hop2 is not None, "use make_shard_plan for single-hop problems"
-    assert plan.config.time_interp == "none", (
-        "subcarrier sharding does not implement time_interp yet (DP-shard instead)"
-    )
     n_sc = len(plan.hop1.hop.prb_mask) * NRE
     assert n_sc % n_sp == 0, f"n_sp={n_sp} must divide n_sc={n_sc}"
     # the sharded fill writes every local column of a hop's symbol block (zeros
@@ -466,14 +500,16 @@ def _sharded_problem_hopped(sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_lo
     cfo = None
     hops = [(plan.hop1, pil[:, : plan.n_dsym1, :]), (plan.hop2, pil[:, plan.n_dsym1 :, :])]
     h_ps = []
+    h_ts = []
     for hp, pil_h in hops:
-        e_i, cfo_h, ta_i, n_i, r_i, h_p, _h_t = _est._process_hop(
+        e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t = _est._process_hop(
             hp, config, rg_full, pil_h, beta, sst
         )
         epre, noise, rsrp, ta = epre + e_i, noise + n_i, rsrp + r_i, ta + ta_i
         if cfo_h is not None:
             cfo = cfo_h if cfo is None else (cfo + cfo_h) / 2.0
         h_ps.append(h_p)
+        h_ts.append(h_t)
     rsrp = rsrp / plan.n_pilots / nL
     epre = epre / plan.n_pilots
     noise = noise / plan.noise_den
@@ -490,7 +526,9 @@ def _sharded_problem_hopped(sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_lo
     prec = dsp.precision_of(config.matmul_precision)
     channel = jnp.zeros((sp.L, n_sym, nL), dtype=cdtype)
     start = (my * sp.L).astype(jnp.int32)
-    for (hp, _), h_p in zip(hops, h_ps):
+    for (hp, _), h_p, h_t in zip(hops, h_ps, h_ts):
+        rpl = hp.n_dsym if h_t is not None else 1
+        vals_rows = h_t if h_t is not None else h_p
         cols = []
         for c, (l0, l1) in enumerate(hp.layer_slices):
             w_loc = jax.lax.dynamic_slice(
@@ -498,10 +536,18 @@ def _sharded_problem_hopped(sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_lo
                 (jnp.int32(0), start),
                 (hp.n_re, sp.L),
             )
-            cols.append(dsp.inpaint_matmul(h_p[l0:l1], w_loc, prec))
-        full_loc = jnp.concatenate(cols, axis=0)  # (nL, L)
+            cols.append(dsp.inpaint_matmul(vals_rows[l0 * rpl : l1 * rpl], w_loc, prec))
+        full_loc = jnp.concatenate(cols, axis=0)  # (nL*rpl, L)
         rot_slice = jax.lax.slice_in_dim(rot, hp.sym_start, hp.sym_start + hp.n_alloc_syms, axis=0)
-        block = full_loc.T[:, None, :] * rot_slice[None, :, None]  # (L, n_alloc, nL)
+        if h_t is not None:
+            # time-interpolated combine (mirrors estimator._estimate_impl)
+            ft = full_loc.reshape(nL, hp.n_dsym, sp.L)
+            tm = jnp.asarray(hp.time_interp_mat.T, dtype=rdtype)  # (n_dsym, n_alloc)
+            mm = lambda a: jnp.einsum("lds,dt->lts", a, tm, precision=prec)
+            blk = jax.lax.complex(mm(jnp.real(ft)), mm(jnp.imag(ft)))  # (nL, n_alloc, L)
+            block = jnp.transpose(blk, (2, 1, 0)) * rot_slice[None, :, None]
+        else:
+            block = full_loc.T[:, None, :] * rot_slice[None, :, None]  # (L, n_alloc, nL)
         channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, 0))
 
     cfo_hz = (

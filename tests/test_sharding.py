@@ -59,6 +59,11 @@ SP_CASES = [
     ("cnn_inpaint_2layer_wide", dict(n_prbs=272, n_layers=2, interp="cnn")),
     ("filter_alpha_blend", dict(n_prbs=32, n_layers=2, cnn_alpha=0.4)),
     ("wiener", dict(n_prbs=32, n_layers=2, smoothing="wiener")),
+    # time interpolation (config.time_interp="linear") under Doppler: the
+    # per-symbol rows take the same halo-exchange smoothing + sharded fill
+    ("time_interp", dict(n_prbs=32, n_layers=2, time_interp="linear", doppler_hz=300.0)),
+    ("time_interp_cnn", dict(n_prbs=32, n_layers=1, interp="cnn", time_interp="linear", doppler_hz=300.0)),
+    ("time_interp_wiener", dict(n_prbs=32, n_layers=2, smoothing="wiener", time_interp="linear", doppler_hz=300.0)),
 ]
 
 
@@ -176,14 +181,18 @@ def test_apply_sharded_single_shard_equals_apply():
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("interp", ["linear", "cnn"])
-def test_sp_hopped_matches_unsharded(interp):
+@pytest.mark.parametrize(
+    "interp,time_interp",
+    [("linear", "none"), ("cnn", "none"), ("linear", "linear"), ("cnn", "linear")],
+)
+def test_sp_hopped_matches_unsharded(interp, time_interp):
     """Frequency-hopped SP path (BASELINE.json config[4]): replicated tiny front +
     sharded fill must match the float64 oracle and the unsharded jitted path."""
     n_sp = 4
     mesh = mesh_lib.make_mesh((2, n_sp), ("dp", "sp"))
     case = synthetic.make_case(
-        seed=61, n_prbs=12, n_layers=2, snr_db=30.0, two_hops=True, interp=interp
+        seed=61, n_prbs=12, n_layers=2, snr_db=30.0, two_hops=True, interp=interp,
+        time_interp=time_interp, doppler_hz=200.0 if time_interp == "linear" else 0.0,
     )
     fn_sp = build_sp(case.hop1, case.hop2, case.config, 2, mesh)
     out = fn_sp(_ri(case.received_rg), _ri(case.pilots), case.beta)
