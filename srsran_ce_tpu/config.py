@@ -132,6 +132,13 @@ class EstimatorConfig:
                         runtime the noise level is self-estimated from adjacent
                         pilot differences and enters the eigen-gains exactly
                         (continuous, no SNR quantization).
+      cfo_estimator (no reference counterpart): "first_pair" = reference behavior
+                        (CFO from the inner product of the FIRST two DM-RS symbols
+                        only, ce_rule_baseline.py:415-428). "wls" = weighted
+                        least-squares phase-slope fit over ALL consecutive DM-RS
+                        symbol pairs, weighted by inner-product magnitude — lower
+                        CFO variance whenever a hop has > 2 DM-RS symbols, and
+                        identical to "first_pair" when it has exactly 2.
       time_interp (no reference counterpart): the reference time-averages the
                         DM-RS symbols and broadcasts ONE frequency profile across
                         every allocated OFDM symbol (ce_rule_baseline.py:625,
@@ -153,6 +160,7 @@ class EstimatorConfig:
     matmul_precision: str = "highest"
     wiener_delay_spread_s: float = 2.5e-7
     time_interp: str = "none"
+    cfo_estimator: str = "first_pair"
 
     def __post_init__(self):
         if self.smoothing not in ("filter", "mean", "none", "learned", "wiener"):
@@ -161,6 +169,8 @@ class EstimatorConfig:
             raise ValueError(f"Unknown interpolation strategy {self.interp}.")
         if self.time_interp not in ("none", "linear"):
             raise ValueError(f"Unknown time interpolation strategy {self.time_interp}.")
+        if self.cfo_estimator not in ("first_pair", "wls"):
+            raise ValueError(f"Unknown CFO estimator {self.cfo_estimator}.")
         if self.matmul_precision not in ("default", "high", "highest"):
             raise ValueError(f"Unknown matmul precision {self.matmul_precision}.")
         object.__setattr__(self, "cp_durations_ms", tuple(float(v) for v in self.cp_durations_ms))
@@ -197,6 +207,7 @@ def make_config(
     matmul_precision: str = "highest",
     wiener_delay_spread_s: float = 2.5e-7,
     time_interp: str = "none",
+    cfo_estimator: str = "first_pair",
 ) -> EstimatorConfig:
     return EstimatorConfig(
         scs_hz=float(scs_hz),
@@ -208,4 +219,5 @@ def make_config(
         matmul_precision=matmul_precision,
         wiener_delay_spread_s=float(wiener_delay_spread_s),
         time_interp=time_interp,
+        cfo_estimator=cfo_estimator,
     )

@@ -395,12 +395,29 @@ def _process_hop(
     cfo_hop = None
     rec_x_nocfo = rec_x
     if hp.cfo_possible:
-        inner = jnp.sum(jnp.conj(rec_x[:, 0, :]) * rec_x[:, 1, :], axis=-1)  # (nL,)
-        acc = jnp.zeros((), rdtype)
-        for c in range(hp.n_cdm):
-            pair = inner[2 * c] + (inner[2 * c + 1] if 2 * c + 1 < nL else 0.0)
-            acc = acc + jnp.angle(pair).astype(rdtype)
-        cfo_hop = acc / (2.0 * np.pi * hp.n_samples) / hp.n_cdm
+        if hp.cfo_pair_dt is not None:
+            # WLS phase-slope fit over ALL consecutive DM-RS pairs
+            # (config.cfo_estimator="wls", no reference counterpart): minimize
+            # sum_j w_j (theta_j - 2 pi dt_j cfo)^2 with magnitude weights.
+            num = jnp.zeros((), rdtype)
+            den = jnp.zeros((), rdtype)
+            for j in range(hp.n_dsym - 1):
+                inner = jnp.sum(jnp.conj(rec_x[:, j, :]) * rec_x[:, j + 1, :], axis=-1)
+                dt = float(hp.cfo_pair_dt[j])
+                for c in range(hp.n_cdm):
+                    pair = inner[2 * c] + (inner[2 * c + 1] if 2 * c + 1 < nL else 0.0)
+                    w = jnp.abs(pair).astype(rdtype)
+                    th = jnp.angle(pair).astype(rdtype)
+                    num = num + w * dt * th
+                    den = den + w * dt * dt
+            cfo_hop = num / (2.0 * np.pi * jnp.maximum(den, jnp.asarray(1e-30, rdtype)))
+        else:
+            inner = jnp.sum(jnp.conj(rec_x[:, 0, :]) * rec_x[:, 1, :], axis=-1)  # (nL,)
+            acc = jnp.zeros((), rdtype)
+            for c in range(hp.n_cdm):
+                pair = inner[2 * c] + (inner[2 * c + 1] if 2 * c + 1 < nL else 0.0)
+                acc = acc + jnp.angle(pair).astype(rdtype)
+            cfo_hop = acc / (2.0 * np.pi * hp.n_samples) / hp.n_cdm
         if config.cfo_compensate:
             sst_d = jnp.asarray(sst[hp.dmrs_sym_idx], dtype=rdtype)
             rot = jnp.exp(-1j * (2.0 * np.pi * sst_d * cfo_hop)).astype(cdtype)

@@ -112,6 +112,10 @@ class HopPlan:
     smooth_ve_mat: Optional[np.ndarray] = None  # (n_pils, n_re)
     pair_l_mat: Optional[np.ndarray] = None  # (n_re, n_pils)
     pair_r_mat: Optional[np.ndarray] = None  # (n_re, n_pils)
+    # WLS CFO estimator (config.cfo_estimator="wls", no reference counterpart):
+    # symbol-unit time spans of consecutive DM-RS symbol pairs; None => reference
+    # first-pair estimator.
+    cfo_pair_dt: Optional[np.ndarray] = None
     # Time interpolation (config.time_interp="linear", no reference counterpart):
     # (n_alloc_syms, n_dsym) weights mapping per-DM-RS-symbol channel profiles to
     # every allocated OFDM symbol — linear in symbol start time between DM-RS
@@ -179,10 +183,20 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
     # CFO geometry
     cfo_possible = n_dsym >= 2
     n_samples = 0.0
+    cfo_pair_dt = None
     if cfo_possible:
         cpds = config.cp_durations_np * config.scs_hz / 1000.0  # symbol units
         n_syms = int(dmrs_sym_idx[1] - dmrs_sym_idx[0])
         n_samples = n_syms + float(np.sum(cpds[dmrs_sym_idx[0] + 1 : dmrs_sym_idx[1] + 1]))
+        if config.cfo_estimator == "wls":
+            cfo_pair_dt = np.asarray(
+                [
+                    int(dmrs_sym_idx[j + 1] - dmrs_sym_idx[j])
+                    + float(np.sum(cpds[dmrs_sym_idx[j] + 1 : dmrs_sym_idx[j + 1] + 1]))
+                    for j in range(n_dsym - 1)
+                ],
+                dtype=np.float64,
+            )
 
     # Smoothing filter design (static; ce_rule_baseline.py:649-659)
     rc_taps = None
@@ -384,6 +398,7 @@ def make_hop_plan(hop: HopConfig, config: EstimatorConfig, n_layers: int) -> Hop
         wiener_lam=wiener_lam,
         wiener_paired=wiener_paired,
         time_interp_mat=time_interp_mat,
+        cfo_pair_dt=cfo_pair_dt,
     )
 
 

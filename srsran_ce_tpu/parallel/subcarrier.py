@@ -225,13 +225,31 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
     sst = plan.symbol_start_time
     cfo_hop = None
     if hp.cfo_possible:
-        inner_loc = jnp.sum(jnp.conj(rec_x[:, :, 0]) * rec_x[:, :, 1], axis=1)  # (nL,)
-        inner = _psum_c(inner_loc, axis)
-        acc = jnp.zeros((), rdtype)
-        for c in range(hp.n_cdm):
-            pair = inner[2 * c] + (inner[2 * c + 1] if 2 * c + 1 < nL else 0.0)
-            acc = acc + jnp.angle(pair).astype(rdtype)
-        cfo_hop = acc / (2.0 * np.pi * hp.n_samples) / hp.n_cdm
+        if hp.cfo_pair_dt is not None:
+            # WLS over all consecutive DM-RS pairs (mirrors estimator._process_hop)
+            num = jnp.zeros((), rdtype)
+            den = jnp.zeros((), rdtype)
+            for j in range(hp.n_dsym - 1):
+                inner_loc = jnp.sum(
+                    jnp.conj(rec_x[:, :, j]) * rec_x[:, :, j + 1], axis=1
+                )  # (nL,)
+                inner_j = _psum_c(inner_loc, axis)
+                dt = float(hp.cfo_pair_dt[j])
+                for c in range(hp.n_cdm):
+                    pair = inner_j[2 * c] + (inner_j[2 * c + 1] if 2 * c + 1 < nL else 0.0)
+                    w = jnp.abs(pair).astype(rdtype)
+                    th = jnp.angle(pair).astype(rdtype)
+                    num = num + w * dt * th
+                    den = den + w * dt * dt
+            cfo_hop = num / (2.0 * np.pi * jnp.maximum(den, jnp.asarray(1e-30, rdtype)))
+        else:
+            inner_loc = jnp.sum(jnp.conj(rec_x[:, :, 0]) * rec_x[:, :, 1], axis=1)  # (nL,)
+            inner = _psum_c(inner_loc, axis)
+            acc = jnp.zeros((), rdtype)
+            for c in range(hp.n_cdm):
+                pair = inner[2 * c] + (inner[2 * c + 1] if 2 * c + 1 < nL else 0.0)
+                acc = acc + jnp.angle(pair).astype(rdtype)
+            cfo_hop = acc / (2.0 * np.pi * hp.n_samples) / hp.n_cdm
         if config.cfo_compensate:
             sst_d = jnp.asarray(sst[hp.dmrs_sym_idx], dtype=rdtype)
             rot = jnp.exp(-1j * (2.0 * np.pi * sst_d * cfo_hop)).astype(cdtype)

@@ -207,28 +207,53 @@ def _compensate_cfo(
     scs_khz: float,
     cp_durations_ms: np.ndarray,
     cfo_compensate: bool,
+    cfo_estimator: str = "first_pair",
 ) -> Tuple[np.ndarray, Optional[float]]:
     """Reference compensate_cfo (ce_rule_baseline.py:363-463). scs is in kHz here so
-    CP(ms) * scs(kHz) is a dimensionless fraction of the OFDM symbol duration."""
+    CP(ms) * scs(kHz) is a dimensionless fraction of the OFDM symbol duration.
+    cfo_estimator="wls" (no reference counterpart) fits the phase slope over ALL
+    consecutive DM-RS pairs with magnitude weights — mirror of
+    models/estimator._process_hop's WLS branch."""
     n_dsym = rec_x_pilots.shape[1]
     if n_dsym < 2:
         return rec_x_pilots, None
     n_layers = rec_x_pilots.shape[2]
     cpds = cp_durations_ms * scs_khz
 
-    n_syms = int(dmrs_sym_idx[1] - dmrs_sym_idx[0])
-    inner = np.array(
-        [np.sum(np.conj(rec_x_pilots[:, 0, l]) * rec_x_pilots[:, 1, l]) for l in range(n_layers)]
-    )
-    cfo_acc = 0.0
-    for l in range(0, n_layers - 1, 2):
-        cfo_acc += float(np.angle(inner[l] + inner[l + 1]))
-    if n_layers % 2 == 1:
-        cfo_acc += float(np.angle(inner[n_layers - 1]))
+    if cfo_estimator == "wls":
+        num = den = 0.0
+        for j in range(n_dsym - 1):
+            a, b = int(dmrs_sym_idx[j]), int(dmrs_sym_idx[j + 1])
+            dt = (b - a) + float(np.sum(cpds[a + 1 : b + 1]))
+            inner = np.array(
+                [
+                    np.sum(np.conj(rec_x_pilots[:, j, l]) * rec_x_pilots[:, j + 1, l])
+                    for l in range(n_layers)
+                ]
+            )
+            for l in range(0, n_layers - 1, 2):
+                pair = inner[l] + inner[l + 1]
+                num += abs(pair) * dt * float(np.angle(pair))
+                den += abs(pair) * dt * dt
+            if n_layers % 2 == 1:
+                pair = inner[n_layers - 1]
+                num += abs(pair) * dt * float(np.angle(pair))
+                den += abs(pair) * dt * dt
+        cfo = num / (2.0 * np.pi * max(den, 1e-30))
+    else:
+        n_syms = int(dmrs_sym_idx[1] - dmrs_sym_idx[0])
+        inner = np.array(
+            [np.sum(np.conj(rec_x_pilots[:, 0, l]) * rec_x_pilots[:, 1, l]) for l in range(n_layers)]
+        )
+        cfo_acc = 0.0
+        for l in range(0, n_layers - 1, 2):
+            cfo_acc += float(np.angle(inner[l] + inner[l + 1]))
+        if n_layers % 2 == 1:
+            cfo_acc += float(np.angle(inner[n_layers - 1]))
 
-    cp_sum = float(np.sum(cpds[dmrs_sym_idx[0] + 1 : dmrs_sym_idx[1] + 1]))
-    n_samples = n_syms + cp_sum
-    cfo = cfo_acc / (2.0 * np.pi * n_samples) / math.ceil(n_layers / 2)
+        cp_sum = float(np.sum(cpds[dmrs_sym_idx[0] + 1 : dmrs_sym_idx[1] + 1]))
+        n_samples = n_syms + cp_sum
+        cfo = cfo_acc / (2.0 * np.pi * n_samples) / math.ceil(n_layers / 2)
 
     if cfo_compensate:
         sst = symbol_start_times(cpds)
@@ -428,7 +453,12 @@ def _process_hop(
         rec_x_pilots[:, :, l0:l1] = rx_sel[:, :, None] * np.conj(pilots[:, :, l0:l1])
 
     rec_nocfo, cfo_hop = _compensate_cfo(
-        rec_x_pilots, dmrs_sym_idx, config.scs_hz / 1000.0, config.cp_durations_np, config.cfo_compensate
+        rec_x_pilots,
+        dmrs_sym_idx,
+        config.scs_hz / 1000.0,
+        config.cp_durations_np,
+        config.cfo_compensate,
+        cfo_estimator=config.cfo_estimator,
     )
     if cfo_hop is not None:
         state["cfo"] = cfo_hop if state["cfo"] is None else (state["cfo"] + cfo_hop) / 2.0

@@ -98,6 +98,7 @@ def make_case(
     n_taps: int = 6,
     doppler_hz: float = 0.0,
     time_interp: str = "none",
+    cfo_estimator: str = "first_pair",
 ) -> SyntheticCase:
     """Build one synthetic estimation problem plus its ground-truth channel.
 
@@ -124,6 +125,7 @@ def make_case(
         interp=interp,
         cnn_alpha=cnn_alpha,
         time_interp=time_interp,
+        cfo_estimator=cfo_estimator,
     )
 
     # Hop symbol allocation

@@ -43,6 +43,7 @@ def _draw_geometry(rng: np.random.Generator) -> dict:
         beta=float(rng.choice([1.0, 1.0, 1.4125])),
         time_interp=str(rng.choice(["none", "none", "linear"])),
         doppler_hz=float(rng.choice([0.0, 0.0, 300.0])),
+        cfo_estimator=str(rng.choice(["first_pair", "first_pair", "wls"])),
     )
     if not two_hops and rng.random() < 0.3:
         # offset band inside a wider carrier

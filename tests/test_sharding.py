@@ -64,6 +64,8 @@ SP_CASES = [
     ("time_interp", dict(n_prbs=32, n_layers=2, time_interp="linear", doppler_hz=300.0)),
     ("time_interp_cnn", dict(n_prbs=32, n_layers=1, interp="cnn", time_interp="linear", doppler_hz=300.0)),
     ("time_interp_wiener", dict(n_prbs=32, n_layers=2, smoothing="wiener", time_interp="linear", doppler_hz=300.0)),
+    # WLS CFO estimator: per-pair inner products are global psums
+    ("cfo_wls", dict(n_prbs=32, n_layers=2, cfo_estimator="wls")),
 ]
 
 
