@@ -24,6 +24,9 @@ def test_heterogeneous_stream_matches_single_calls():
         dict(n_prbs=24, n_layers=1),
         dict(n_prbs=24, n_layers=2),
         dict(n_prbs=12, n_layers=1, two_hops=True),
+        # beyond-parity modes flow through the same plan-signature bucketing
+        dict(n_prbs=24, n_layers=1, time_interp="linear", doppler_hz=250.0),
+        dict(n_prbs=24, n_layers=2, smoothing="wiener", cfo_estimator="wls"),
     ]
     cases = []
     for j, sp in enumerate(specs):
