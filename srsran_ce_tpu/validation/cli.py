@@ -171,8 +171,17 @@ def cmd_quality(args) -> int:
     for ti, row in dtable.items():
         tag = " (reference broadcast)" if ti == "none" else " (time interp, ours)"
         print(f"time_interp={ti:6s} " + "".join(f"  {row[d]:7.2f}" for d in dops) + tag)
+    ctable = quality.cfo_rmse_sweep(n_cases=max(8, args.cases), n_prbs=args.n_prbs)
+    csnrs = sorted(next(iter(ctable.values())).keys())
+    hdr = "cfo estimator        " + "".join(f"  {s:>5.0f}dB" for s in csnrs)
+    print("\nCFO RMS error (Hz, 4 DM-RS symbols):\n" + hdr + "\n" + "-" * len(hdr))
+    for mode, row in ctable.items():
+        tag = " (reference)" if mode == "first_pair" else " (WLS, ours)"
+        print(f"cfo={mode:12s} " + "".join(f"  {row[s]:7.2f}" for s in csnrs) + tag)
     if args.report:
-        Path(args.report).write_text(json.dumps({"snr": table, "doppler": dtable}, indent=2))
+        Path(args.report).write_text(
+            json.dumps({"snr": table, "doppler": dtable, "cfo": ctable}, indent=2)
+        )
     return 0
 
 

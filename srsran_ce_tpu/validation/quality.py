@@ -95,6 +95,43 @@ def doppler_sweep(
     return out
 
 
+def cfo_rmse_sweep(
+    snrs_db: Sequence[float] = (0.0, 5.0, 10.0),
+    cfo_hz: float = 220.0,
+    n_cases: int = 24,
+    n_dmrs_syms: int = 4,
+    **case_kwargs,
+) -> Dict[str, Dict[float, float]]:
+    """CFO estimation RMS error (Hz) across SNR for the two CFO estimators:
+    the reference's first-pair inner product vs the WLS phase-slope fit over all
+    consecutive DM-RS pairs (cfo_estimator="wls", no reference counterpart)."""
+    out: Dict[str, Dict[float, float]] = {}
+    for mode in ("first_pair", "wls"):
+        row = {}
+        for snr in snrs_db:
+            errs = []
+            for i in range(n_cases):
+                case = synthetic.make_case(
+                    seed=3000 + i,
+                    snr_db=float(snr),
+                    cfo_hz=cfo_hz,
+                    n_dmrs_syms=n_dmrs_syms,
+                    cfo_estimator=mode,
+                    **case_kwargs,
+                )
+                nL = case.pilots.shape[2]
+                fn = estimator.build_ri(case.hop1, case.hop2, case.config, nL)
+                res = fn(
+                    estimator.split_ri(case.received_rg),
+                    estimator.split_ri(case.pilots),
+                    jnp.asarray(case.beta),
+                )
+                errs.append(float(res.cfo_hz) - cfo_hz)
+            row[float(snr)] = float(np.sqrt(np.mean(np.square(errs))))
+        out[mode] = row
+    return out
+
+
 def sweep(
     snrs_db: Sequence[float] = (0.0, 5.0, 10.0, 20.0),
     smoothings: Sequence[str] = ("filter", "wiener", "learned", "mean", "none"),
