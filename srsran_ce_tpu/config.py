@@ -132,6 +132,12 @@ class EstimatorConfig:
                         runtime the noise level is self-estimated from adjacent
                         pilot differences and enters the eigen-gains exactly
                         (continuous, no SNR quantization).
+      smoothing "learned2d" (no reference counterpart): trainable 2-D
+                        (time x frequency) residual CNN over the per-DM-RS-symbol
+                        estimate grid (models/denoiser.PilotDenoiser2D) — learns
+                        Doppler tracking the 1-D "learned" smoother cannot.
+                        Requires time_interp="linear"; built functions take the
+                        params pytree as a trailing argument.
       cfo_estimator (no reference counterpart): "first_pair" = reference behavior
                         (CFO from the inner product of the FIRST two DM-RS symbols
                         only, ce_rule_baseline.py:415-428). "wls" = weighted
@@ -163,8 +169,12 @@ class EstimatorConfig:
     cfo_estimator: str = "first_pair"
 
     def __post_init__(self):
-        if self.smoothing not in ("filter", "mean", "none", "learned", "wiener"):
+        if self.smoothing not in ("filter", "mean", "none", "learned", "wiener", "learned2d"):
             raise ValueError(f"Unknown smoothing strategy {self.smoothing}.")
+        if self.smoothing == "learned2d" and self.time_interp != "linear":
+            # The 2-D (time x frequency) denoiser operates on per-DM-RS-symbol
+            # estimates, which only exist on the time-interp path.
+            raise ValueError("smoothing='learned2d' requires time_interp='linear'.")
         if self.interp not in ("linear", "cnn"):
             raise ValueError(f"Unknown interpolation strategy {self.interp}.")
         if self.time_interp not in ("none", "linear"):

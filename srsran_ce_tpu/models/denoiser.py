@@ -114,6 +114,49 @@ def apply_complex(params, h_p: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(y[..., 0], y[..., 1]).astype(h_p.dtype)
 
 
+class PilotDenoiser2D(nn.Module):
+    """Residual 2-D CNN over the (DM-RS symbol, frequency) grid of per-symbol LS
+    estimates — the DL-based time-frequency channel estimator of the literature
+    (e.g. arXiv:2109.10667, arXiv:1810.05893: treat the pilot grid as a 2-channel
+    image) specialized to the DM-RS lattice. Exploits time correlation the 1-D
+    PilotDenoiser cannot see; pairs with config.time_interp="linear", which carries
+    the denoised per-symbol profiles to every allocated OFDM symbol.
+
+    Input/output: (..., n_dsym, n_re, 2). Zero-init residual: untrained ==
+    identity == smoothing "none" bit-for-bit.
+    """
+
+    features: Sequence[int] = (32, 32)
+    kernel_t: int = 3
+    kernel_f: int = 9
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = x
+        for f in self.features:
+            h = nn.Conv(f, (self.kernel_t, self.kernel_f), padding="SAME")(h)
+            h = nn.relu(h)
+        delta = nn.Conv(
+            2, (self.kernel_t, self.kernel_f), padding="SAME",
+            kernel_init=nn.initializers.zeros,
+        )(h)
+        return x + delta
+
+
+def init_params_2d(rng_key, n_dsym: int = 4, n_re: int = 128):
+    model = PilotDenoiser2D()
+    return model.init(rng_key, jnp.zeros((1, n_dsym, n_re, 2), jnp.float32))
+
+
+def apply_complex_2d(params, h_t: jnp.ndarray) -> jnp.ndarray:
+    """Denoise (n_layers, n_dsym, n_re) complex per-symbol pilot estimates."""
+    rdtype = jnp.real(h_t).dtype
+    x = jnp.stack([jnp.real(h_t), jnp.imag(h_t)], axis=-1).astype(jnp.float32)
+    y = PilotDenoiser2D().apply(params, x)
+    y = y.astype(rdtype)
+    return jax.lax.complex(y[..., 0], y[..., 1]).astype(h_t.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Synthetic training data: noisy LS estimates + ground truth at pilot REs
 # ---------------------------------------------------------------------------
@@ -156,6 +199,60 @@ def make_training_batch(
 
 def nmse_loss(params, noisy_ri: jnp.ndarray, truth_ri: jnp.ndarray) -> jnp.ndarray:
     pred = PilotDenoiser().apply(params, noisy_ri)
+    err = jnp.sum((pred - truth_ri) ** 2)
+    ref = jnp.sum(truth_ri**2) + 1e-12
+    return err / ref
+
+
+def make_training_batch_2d(
+    rng: np.random.Generator,
+    batch: int,
+    n_re: int,
+    n_dsym: int = 4,
+    snr_db_range: Tuple[float, float] = (0.0, 30.0),
+    doppler_hz_max: float = 600.0,
+    scs_hz: float = 30e3,
+    n_taps: int = 6,
+    max_delay_frac: float = 0.02,
+):
+    """(noisy_ls, truth): (B, n_dsym, n_re, 2) float32 pairs.
+
+    Same multipath physics as make_training_batch plus per-tap Doppler rotation
+    across DM-RS symbol times (utils/synthetic.make_case doppler_hz path): each
+    sample draws a Doppler spread in [0, doppler_hz_max], so the model learns both
+    frequency smoothing and time tracking.
+    """
+    nfft = 2048.0
+    delays = rng.uniform(0.0, max_delay_frac * nfft, size=(batch, n_taps))
+    delays[:, 0] = 0.0
+    power = np.exp(-delays / (max_delay_frac * nfft / 3.0 + 1e-9))
+    power /= power.sum(axis=1, keepdims=True)
+    gains = (rng.standard_normal((batch, n_taps)) + 1j * rng.standard_normal((batch, n_taps)))
+    gains *= np.sqrt(power / 2.0)
+    k = np.arange(n_re, dtype=np.float64) * 2.0  # comb-2 pilot spacing
+    phase_f = np.exp(-2j * np.pi * k[None, :, None] * delays[:, None, :] / nfft)  # (B, n_re, T)
+
+    # DM-RS symbols spread across a 14-symbol slot; times in seconds (~1/scs units)
+    sym_idx = np.unique(np.linspace(0, 13, n_dsym).round().astype(int))
+    t_sym = (sym_idx * (1.0 + 144.0 / 2048.0)) / scs_hz  # (n_dsym,)
+    dop = rng.uniform(0.0, doppler_hz_max, size=(batch, 1))
+    f_d = rng.uniform(-1.0, 1.0, size=(batch, n_taps)) * dop  # (B, T)
+    phase_t = np.exp(2j * np.pi * t_sym[None, :, None] * f_d[:, None, :])  # (B, n_dsym, T)
+
+    truth = np.einsum("brt,bst,bt->bsr", phase_f, phase_t, gains)  # (B, n_dsym, n_re)
+
+    snr_db = rng.uniform(*snr_db_range, size=(batch, 1, 1))
+    noise_std = 10.0 ** (-snr_db / 20.0)
+    noisy = truth + noise_std * (
+        rng.standard_normal(truth.shape) + 1j * rng.standard_normal(truth.shape)
+    ) / np.sqrt(2.0)
+
+    to_ri = lambda z: np.stack([z.real, z.imag], axis=-1).astype(np.float32)
+    return to_ri(noisy), to_ri(truth)
+
+
+def nmse_loss_2d(params, noisy_ri: jnp.ndarray, truth_ri: jnp.ndarray) -> jnp.ndarray:
+    pred = PilotDenoiser2D().apply(params, noisy_ri)
     err = jnp.sum((pred - truth_ri) ** 2)
     ref = jnp.sum(truth_ri**2) + 1e-12
     return err / ref

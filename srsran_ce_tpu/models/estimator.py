@@ -437,7 +437,15 @@ def _process_hop(
         )
 
     # --- Smoothing (ce_rule_baseline.py:645-680) ---
-    h_p = _smooth(hp, config, h_p, kernels, params)
+    if hp.smoothing == "learned2d":
+        # 2-D (time x freq) denoiser: the metrics path sees the time-averaged
+        # profile as a single-symbol grid (models/denoiser.PilotDenoiser2D).
+        from . import denoiser as _dn
+
+        assert params is not None, "smoothing='learned2d' needs denoiser params"
+        h_p = _dn.apply_complex_2d(params, h_p[:, None, :])[:, 0, :]
+    else:
+        h_p = _smooth(hp, config, h_p, kernels, params)
 
     # --- Per-DM-RS-symbol estimates for time interpolation (time_interp="linear",
     # no reference counterpart — see EstimatorConfig docs). Rows pack (layer,
@@ -456,7 +464,14 @@ def _process_hop(
                 [jnp.broadcast_to(avg, (rows, m, 2)).reshape(rows, 2 * m), ht[:, 2 * m :]],
                 axis=-1,
             )
-        h_t = _smooth(hp, config, ht, kernels, params)
+        if hp.smoothing == "learned2d":
+            from . import denoiser as _dn
+
+            h_t = _dn.apply_complex_2d(
+                params, ht.reshape(nL, hp.n_dsym, hp.n_re)
+            ).reshape(nL * hp.n_dsym, hp.n_re)
+        else:
+            h_t = _smooth(hp, config, ht, kernels, params)
 
     # --- Time alignment from the IFFT power-delay profile (ce_rule_baseline.py:684-710).
     # Only the first/last half_cp_len bins feed the argmax, so evaluate exactly those
@@ -710,7 +725,7 @@ def _build_ri_cached(
             cfo_hz=res.cfo_hz,
         )
 
-    if config.smoothing == "learned":
+    if config.smoothing in ("learned", "learned2d"):
         # params pytree rides along as a replicated (non-batched) argument
         def single_p(rg_ri, pil_ri, beta, params):
             return to_ri(

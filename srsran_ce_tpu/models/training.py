@@ -102,6 +102,58 @@ def train(
     return TrainState(params, opt_state, state.step + n_steps), float(loss_j)
 
 
+def init_state_2d(
+    seed: int = 0, n_re: int = 128, n_dsym: int = 4, lr: float = 1e-3, decay_steps: int = 0
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = denoiser.init_params_2d(jax.random.key(seed), n_dsym, n_re)
+    tx = make_optimizer(lr, decay_steps=decay_steps)
+    return TrainState(params, tx.init(params), 0), tx
+
+
+def build_train_step_2d(tx, mesh: Optional[Mesh] = None, dp_axis: str = "dp"):
+    def step(params, opt_state, noisy, truth):
+        loss, grads = jax.value_and_grad(denoiser.nmse_loss_2d)(params, noisy, truth)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(dp_axis))
+    return jax.jit(
+        step, in_shardings=(repl, repl, data, data), out_shardings=(repl, repl, repl)
+    )
+
+
+def train2d(
+    n_steps: int = 200,
+    batch: int = 128,
+    n_re: int = 128,
+    n_dsym: int = 4,
+    seed: int = 0,
+    lr: float = 1e-3,
+    mesh: Optional[Mesh] = None,
+    log_every: int = 50,
+    state: Optional[TrainState] = None,
+) -> Tuple[TrainState, float]:
+    """Train the 2-D (time x frequency) denoiser on synthetic Doppler batches."""
+    rng = np.random.default_rng(seed)
+    if state is None:
+        state, tx = init_state_2d(seed, n_re, n_dsym, lr, decay_steps=n_steps)
+    else:
+        tx = make_optimizer(lr)
+    step_fn = build_train_step_2d(tx, mesh)
+    params, opt_state = state.params, state.opt_state
+    loss_j = jnp.nan
+    for i in range(n_steps):
+        noisy, truth = denoiser.make_training_batch_2d(rng, batch, n_re, n_dsym=n_dsym)
+        params, opt_state, loss_j = step_fn(params, opt_state, noisy, truth)
+        if log_every and (i % log_every == 0 or i == n_steps - 1):
+            print(f"step {state.step + i:5d}  nmse {float(loss_j):.4e}", flush=True)
+    return TrainState(params, opt_state, state.step + n_steps), float(loss_j)
+
+
 # ---------------------------------------------------------------------------
 # Checkpointing (orbax)
 # ---------------------------------------------------------------------------
@@ -120,6 +172,20 @@ def load_checkpoint(path, seed: int = 0, n_re: int = 128, lr: float = 1e-3) -> T
     import orbax.checkpoint as ocp
 
     template, _ = init_state(seed, n_re, lr)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        {"params": template.params, "opt_state": template.opt_state, "step": 0},
+    )
+    return TrainState(restored["params"], restored["opt_state"], int(restored["step"]))
+
+
+def load_checkpoint_2d(
+    path, seed: int = 0, n_re: int = 128, n_dsym: int = 4, lr: float = 1e-3
+) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    template, _ = init_state_2d(seed, n_re, n_dsym, lr)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(
         os.path.abspath(path),

@@ -27,7 +27,8 @@ blend), "mean" (psum), "none", "learned" (the trainable denoiser with
 layer-wise conv halo exchange — models/denoiser.apply_sharded; the built function
 then takes the params pytree as a trailing replicated argument), and "wiener"
 (global eigenbasis projection: gather the tiny raw pilot vector, shrink
-replicated, keep the local slice).
+replicated, keep the local slice). The 2-D denoiser ("learned2d") is NOT
+implemented here (asserted) — DP-shard those problems instead.
 The general/irregular geometries use the DP path (independent problems scale out
 embarrassingly); SP exists for wideband low-latency and for halo-exchange parity with
 the north-star benchmark config.
@@ -89,6 +90,9 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hop = hp.hop
     assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
     assert plan.config.interp in ("linear", "cnn"), "unknown interpolation"
+    assert plan.config.smoothing != "learned2d", (
+        "subcarrier sharding does not implement the 2-D denoiser yet (DP-shard instead)"
+    )
     prb_mask = hop.prb_mask_np
     assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
         "subcarrier sharding requires a contiguous full-band hop"
@@ -463,6 +467,9 @@ class HoppedShardPlan:
 
 def make_hopped_shard_plan(plan: EstimatorPlan, n_sp: int) -> HoppedShardPlan:
     assert plan.hop2 is not None, "use make_shard_plan for single-hop problems"
+    assert plan.config.smoothing != "learned2d", (
+        "subcarrier sharding does not implement the 2-D denoiser yet (DP-shard instead)"
+    )
     n_sc = len(plan.hop1.hop.prb_mask) * NRE
     assert n_sc % n_sp == 0, f"n_sp={n_sp} must divide n_sc={n_sc}"
     # the sharded fill writes every local column of a hop's symbol block (zeros

@@ -112,11 +112,14 @@ def cmd_train(args) -> int:
     """Train the pilot denoiser on streamed synthetic channels and checkpoint it."""
     from ..models import training
 
+    is_2d = args.model == "2d"
+    load = training.load_checkpoint_2d if is_2d else training.load_checkpoint
+    train = training.train2d if is_2d else training.train
     state = None
     if args.resume:
-        state = training.load_checkpoint(args.resume, n_re=args.n_re, lr=args.lr)
+        state = load(args.resume, n_re=args.n_re, lr=args.lr)
         print(f"resumed from {args.resume} at step {state.step}")
-    state, loss = training.train(
+    state, loss = train(
         n_steps=args.steps, batch=args.batch, n_re=args.n_re, lr=args.lr, state=state
     )
     print(f"final nmse {loss:.4e} after {state.step} total steps")
@@ -164,13 +167,31 @@ def cmd_quality(args) -> int:
     gain = {s: table["filter"][s] - table["learned"][s] for s in snrs}
     print("learned-vs-filter gain (dB): " + ", ".join(f"{s:.0f}dB SNR: {g:+.2f}" for s, g in gain.items()))
 
+    params2d = None
+    shipped2d = Path(__file__).resolve().parents[1] / "artifacts" / "denoiser2d_ckpt"
+    if shipped2d.exists():
+        state2d = training.load_checkpoint_2d(str(shipped2d), n_re=args.n_re)
+        params2d = state2d.params
+        print(f"\nloaded 2-D denoiser checkpoint {shipped2d} (step {state2d.step})")
     dops = (0.0, 100.0, 300.0, 600.0)
-    dtable = quality.doppler_sweep(dopplers_hz=dops, n_cases=args.cases, n_prbs=args.n_prbs)
-    hdr = "time strategy      " + "".join(f"  {d:>5.0f}Hz" for d in dops)
-    print("\nDoppler tracking (NMSE dB vs truth, 30 dB SNR):\n" + hdr + "\n" + "-" * len(hdr))
-    for ti, row in dtable.items():
-        tag = " (reference broadcast)" if ti == "none" else " (time interp, ours)"
-        print(f"time_interp={ti:6s} " + "".join(f"  {row[d]:7.2f}" for d in dops) + tag)
+    tags = {
+        "none": " (reference broadcast)",
+        "linear": " (time interp, ours)",
+        "learned2d": " (2-D DL denoiser, ours)",
+    }
+    dtables = {}
+    for dsnr in (30.0, 5.0):
+        dtable = quality.doppler_sweep(
+            dopplers_hz=dops, snr_db=dsnr, n_cases=args.cases, n_prbs=args.n_prbs,
+            params2d=params2d,
+        )
+        dtables[dsnr] = dtable
+        hdr = "time strategy         " + "".join(f"  {d:>5.0f}Hz" for d in dops)
+        print(f"\nDoppler tracking (NMSE dB vs truth, {dsnr:.0f} dB SNR):\n"
+              + hdr + "\n" + "-" * len(hdr))
+        for ti, row in dtable.items():
+            print(f"time_interp={ti:9s} " + "".join(f"  {row[d]:7.2f}" for d in dops) + tags.get(ti, ""))
+    dtable = {f"{snr:.0f}dB": t for snr, t in dtables.items()}
     ctable = quality.cfo_rmse_sweep(n_cases=max(8, args.cases), n_prbs=args.n_prbs)
     csnrs = sorted(next(iter(ctable.values())).keys())
     hdr = "cfo estimator        " + "".join(f"  {s:>5.0f}dB" for s in csnrs)
@@ -218,7 +239,9 @@ def main(argv=None) -> int:
     d.add_argument("--n-layers", default=2)
     d.set_defaults(fn=cmd_diagnose)
 
-    t = sub.add_parser("train", help="train the pilot denoiser (smoothing='learned')")
+    t = sub.add_parser("train", help="train the pilot denoiser (smoothing='learned'/'learned2d')")
+    t.add_argument("--model", choices=("1d", "2d"), default="1d",
+                   help="1d = frequency denoiser; 2d = time x frequency (Doppler)")
     t.add_argument("--steps", type=int, default=500)
     t.add_argument("--batch", type=int, default=256)
     t.add_argument("--n-re", type=int, default=128)

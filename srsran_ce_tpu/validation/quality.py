@@ -45,8 +45,8 @@ def channel_nmse_vs_truth(
         fn = estimator.build_ri(case.hop1, case.hop2, case.config, nL)
         rg = estimator.split_ri(case.received_rg)
         pil = estimator.split_ri(case.pilots)
-        if smoothing == "learned":
-            assert params is not None, "smoothing='learned' needs denoiser params"
+        if smoothing in ("learned", "learned2d"):
+            assert params is not None, f"smoothing={smoothing!r} needs denoiser params"
             res = fn(rg, pil, jnp.asarray(case.beta), params)
         else:
             res = fn(rg, pil, jnp.asarray(case.beta))
@@ -67,31 +67,38 @@ def doppler_sweep(
     dopplers_hz: Sequence[float] = (0.0, 100.0, 300.0, 600.0),
     snr_db: float = 30.0,
     n_cases: int = 8,
+    params2d=None,
     **case_kwargs,
 ) -> Dict[str, Dict[float, float]]:
-    """NMSE (dB) vs ground truth across Doppler for the two time strategies:
-    the reference's time-averaged broadcast (time_interp="none") vs per-DM-RS-symbol
-    linear time interpolation (time_interp="linear", no reference counterpart).
+    """NMSE (dB) vs ground truth across Doppler for the time strategies:
+    the reference's time-averaged broadcast (time_interp="none"), per-DM-RS-symbol
+    linear time interpolation (time_interp="linear", no reference counterpart),
+    and — when `params2d` is given — the trained 2-D time-frequency denoiser
+    (smoothing="learned2d") on the same time-interp path.
 
     CFO injection is disabled: a per-tap Doppler spread is not a common frequency
     offset, and letting the CFO estimator chase it would measure the CFO model,
     not the time tracking.
     """
+    rows = [("none", "filter", None), ("linear", "filter", None)]
+    if params2d is not None:
+        rows.append(("learned2d", "learned2d", params2d))
     out: Dict[str, Dict[float, float]] = {}
-    for ti in ("none", "linear"):
+    for label, smoothing, params in rows:
         row = {}
         for dop in dopplers_hz:
             nmse = channel_nmse_vs_truth(
-                "filter",
+                smoothing,
                 snr_db,
+                params=params,
                 n_cases=n_cases,
                 doppler_hz=float(dop),
-                time_interp=ti,
+                time_interp="none" if label == "none" else "linear",
                 cfo_hz=0.0,
                 **case_kwargs,
             )
             row[float(dop)] = 10.0 * float(np.log10(nmse + 1e-300))
-        out[ti] = row
+        out[label] = row
     return out
 
 
