@@ -437,6 +437,8 @@ def _process_hop(
         )
 
     # --- Smoothing (ce_rule_baseline.py:645-680) ---
+    h_pre = h_p  # pre-smoothing pilot estimates (multi-slot tracking blends here:
+    # raw adjacent differences are a valid noise proxy, smoothed ones are not)
     if hp.smoothing == "learned2d":
         # 2-D (time x freq) denoiser: the metrics path sees the time-averaged
         # profile as a single-symbol grid (models/denoiser.PilotDenoiser2D).
@@ -520,7 +522,7 @@ def _process_hop(
     noise_inc = dsp.fro_norm_sq(rx - est_rx)
     rsrp_inc = (beta_r**2) * dsp.fro_norm_sq(h_p) * hp.n_dsym
 
-    return epre_inc, cfo_hop, ta_inc, noise_inc, rsrp_inc, h_p, h_t
+    return epre_inc, cfo_hop, ta_inc, noise_inc, rsrp_inc, h_p, h_t, h_pre
 
 
 def _estimate_impl(
@@ -532,7 +534,15 @@ def _estimate_impl(
     params=None,
     out_layout: str = "ref",
     out_dtype=None,
+    h_prev=None,
+    track_w=None,
 ) -> EstimateResult:
+    """h_prev/track_w: optional multi-slot tracking state (models/tracking.py) —
+    per-hop previous pilot-lattice estimates and their accumulated weight. When
+    given, each hop's smoothed estimate is blended with its predecessor by an
+    adaptive gain before the grid fill, and the call returns
+    (EstimateResult, (blended_h_ps, w_new)) instead of EstimateResult alone.
+    Scalar metrics stay single-slot (reference parity)."""
     cdtype = received_rg.dtype
     rdtype = jnp.zeros((), cdtype).real.dtype
     config = plan.config
@@ -568,8 +578,9 @@ def _estimate_impl(
 
     h_ps = []
     h_ts = []
+    h_pres = []
     for hp, pil in hops:
-        e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t = _process_hop(
+        e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t, h_pre = _process_hop(
             hp, config, received_rg, pil, beta, sst, kernels, params
         )
         epre = epre + e_i
@@ -582,6 +593,48 @@ def _estimate_impl(
             cfo = cfo_h if cfo is None else (cfo + cfo_h) / 2.0
         h_ps.append(h_p)
         h_ts.append(h_t)
+        h_pres.append(h_pre)
+
+    # --- Multi-slot tracking blend (models/tracking.py; no reference counterpart).
+    # Pool the gain statistics across hops: sig2 = observation noise proxy from
+    # adjacent pilot differences, innov = distance to the tracked state. Gain a
+    # falls back to 1 on the first slot (w == 0), approaches the running-average
+    # gain 1/(w+1) on static channels, and snaps back toward 1 when the
+    # innovation exceeds the noise floor (channel moved).
+    track_out = None
+    if h_prev is not None:
+        assert all(h_t is None for h_t in h_ts), "tracking requires time_interp='none'"
+        sig2 = jnp.zeros((), rdtype)
+        innov = jnp.zeros((), rdtype)
+        n_s = n_i = 0
+        for h_pre, h_pr in zip(h_pres, h_prev):
+            d = h_pre[:, 1:] - h_pre[:, :-1]
+            sig2 = sig2 + jnp.sum(jnp.real(d) ** 2 + jnp.imag(d) ** 2) / 2.0
+            e = h_pre - h_pr
+            innov = innov + jnp.sum(jnp.real(e) ** 2 + jnp.imag(e) ** 2)
+            n_s += d.size
+            n_i += e.size
+        sig2 = jnp.maximum(sig2 / max(n_s, 1), jnp.asarray(1e-30, rdtype))
+        innov = jnp.maximum(innov / max(n_i, 1), jnp.asarray(1e-30, rdtype))
+        w = track_w.astype(rdtype)
+        a_static = 1.0 / (w + 1.0)
+        # Static channel: innov ~ sig2 * (1 + 1/w) (both terms are noise) so
+        # a_move clips to 0 and the running average a_static rules. A moved
+        # channel pushes innov >> 2*sig2 and the gain snaps toward 1.
+        a_move = jnp.clip(1.0 - 2.0 * sig2 / innov, 0.0, 1.0)
+        a = jnp.maximum(a_static, a_move)
+        a = jnp.where(w < 0.5, jnp.ones((), rdtype), a)
+        a_c = a.astype(cdtype)
+        h_blend = [h_pr + a_c * (h_pre - h_pr) for h_pre, h_pr in zip(h_pres, h_prev)]
+        # Re-smooth the blended pilot estimates — the tracked state lives in the
+        # raw domain so its noise statistics stay interpretable slot to slot, and
+        # data-adaptive smoothers (wiener) see the averaged (cleaner) input.
+        h_ps = [
+            _smooth(hp, config, h_b, kernels, params)
+            for (hp, _), h_b in zip(hops, h_blend)
+        ]
+        w_new = jnp.minimum(1.0 / jnp.maximum(a, jnp.asarray(1e-3, rdtype)), 64.0)
+        track_out = (tuple(h_blend), w_new)
 
     # --- Normalization (ce_rule_baseline.py:914-935) ---
     rsrp = rsrp / plan.n_pilots / nL
@@ -659,7 +712,10 @@ def _estimate_impl(
         if cfo is not None
         else jnp.full((), jnp.nan, dtype=rdtype)
     )
-    return EstimateResult(channel, noise, rsrp, epre, ta, cfo_hz)
+    res = EstimateResult(channel, noise, rsrp, epre, ta, cfo_hz)
+    if track_out is not None:
+        return res, track_out
+    return res
 
 
 # ---------------------------------------------------------------------------

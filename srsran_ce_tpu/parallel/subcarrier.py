@@ -527,7 +527,7 @@ def _sharded_problem_hopped(sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_lo
     h_ps = []
     h_ts = []
     for hp, pil_h in hops:
-        e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t = _est._process_hop(
+        e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t, _h_pre = _est._process_hop(
             hp, config, rg_full, pil_h, beta, sst
         )
         epre, noise, rsrp, ta = epre + e_i, noise + n_i, rsrp + r_i, ta + ta_i

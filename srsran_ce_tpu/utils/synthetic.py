@@ -99,6 +99,7 @@ def make_case(
     doppler_hz: float = 0.0,
     time_interp: str = "none",
     cfo_estimator: str = "first_pair",
+    noise_seed: Optional[int] = None,
 ) -> SyntheticCase:
     """Build one synthetic estimation problem plus its ground-truth channel.
 
@@ -206,8 +207,12 @@ def make_case(
         dsym_off += len(sym_idx)
 
     received *= cfo_rot[None, :n_sym]
+    # noise_seed: independent receiver-noise realization on an otherwise identical
+    # problem (same channel/pilots/payload) — multi-slot tracking tests re-sound
+    # the same channel with fresh noise. None preserves historical draws exactly.
+    nrng = np.random.default_rng(noise_seed) if noise_seed is not None else rng
     received += noise_std * (
-        rng.standard_normal(received.shape) + 1j * rng.standard_normal(received.shape)
+        nrng.standard_normal(received.shape) + 1j * nrng.standard_normal(received.shape)
     ) / np.sqrt(2.0)
 
     return SyntheticCase(

@@ -1,0 +1,144 @@
+"""Multi-slot tracking (models/tracking.py) — recursive refinement across soundings.
+
+The reference is stateless per slot; the tracker blends successive soundings of
+the same channel with an adaptive gain (running average on static channels,
+snap-back on movement). No reference counterpart."""
+import numpy as np
+import jax.numpy as jnp
+
+from srsran_ce_tpu.models import estimator, tracking
+from srsran_ce_tpu.utils import synthetic
+
+
+def _slots(n_slots, seed=5, snr_db=0.0, **kw):
+    """Same channel/pilots re-sounded with independent noise per slot."""
+    return [
+        synthetic.make_case(seed=seed, snr_db=snr_db, noise_seed=1000 + s, **kw)
+        for s in range(n_slots)
+    ]
+
+
+def _nmse(ch, truth):
+    return float(np.sum(np.abs(ch - truth) ** 2) / (np.sum(np.abs(truth) ** 2) + 1e-30))
+
+
+def _run_sequence(cases, fn, state):
+    outs = []
+    for c in cases:
+        res, h, w = fn(
+            estimator.split_ri(c.received_rg.astype(np.complex64)),
+            estimator.split_ri(c.pilots.astype(np.complex64)),
+            np.float32(c.beta),
+            state[0],
+            state[1],
+        )
+        state = (h, w)
+        outs.append(res)
+    return outs, state
+
+
+def test_first_slot_matches_stateless():
+    case = synthetic.make_case(seed=5, n_prbs=24, n_layers=2, snr_db=10.0)
+    fn = tracking.build_tracked_ri(case.hop1, case.hop2, case.config, 2)
+    state = tracking.init_state(case.hop1, case.hop2, case.config, 2)
+    res, _, w = fn(
+        estimator.split_ri(case.received_rg.astype(np.complex64)),
+        estimator.split_ri(case.pilots.astype(np.complex64)),
+        np.float32(case.beta),
+        state[0],
+        state[1],
+    )
+    ref = estimator.build_ri(case.hop1, case.hop2, case.config, 2)(
+        estimator.split_ri(case.received_rg.astype(np.complex64)),
+        estimator.split_ri(case.pilots.astype(np.complex64)),
+        np.float32(case.beta),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.channel_est_rg), np.asarray(ref.channel_est_rg), rtol=1e-5, atol=1e-6
+    )
+    assert float(w) >= 0.9  # first observation taken at full weight
+
+
+def test_tracking_gains_on_static_channel():
+    """8 soundings of a static channel at 0 dB: the tracked estimate must beat the
+    single-slot estimate by several dB (running average ~ 9 dB at N=8)."""
+    kw = dict(n_prbs=24, n_layers=1, cfo_hz=0.0, cfo_compensate=False)
+    cases = _slots(8, snr_db=0.0, **kw)
+    c0 = cases[0]
+    fn = tracking.build_tracked_ri(c0.hop1, c0.hop2, c0.config, 1)
+    state = tracking.init_state(c0.hop1, c0.hop2, c0.config, 1)
+    outs, _ = _run_sequence(cases, fn, state)
+    truth = c0.true_channel
+    single = estimator.estimate(
+        c0.received_rg.astype(np.complex64), c0.pilots.astype(np.complex64),
+        np.float32(c0.beta), c0.hop1, c0.hop2, c0.config,
+    )
+    nmse_single = _nmse(np.asarray(single.channel_est_rg).astype(np.complex128), truth)
+    ch_last = estimator.merge_ri(np.asarray(outs[-1].channel_est_rg)).astype(np.complex128)
+    nmse_tracked = _nmse(ch_last, truth)
+    gain_db = 10 * np.log10(nmse_single / nmse_tracked)
+    assert gain_db > 4.0, (nmse_single, nmse_tracked, gain_db)
+
+
+def test_tracking_does_not_lag_changing_channel():
+    """Independent channels per sounding (worst case): the tracker's gain must
+    snap back toward 1, keeping NMSE within ~2x of single-slot."""
+    kw = dict(n_prbs=24, n_layers=1, cfo_hz=0.0, cfo_compensate=False)
+    cases = [
+        synthetic.make_case(seed=50 + s, snr_db=20.0, **kw) for s in range(4)
+    ]
+    c0 = cases[0]
+    fn = tracking.build_tracked_ri(c0.hop1, c0.hop2, c0.config, 1)
+    state = tracking.init_state(c0.hop1, c0.hop2, c0.config, 1)
+    outs, _ = _run_sequence(cases, fn, state)
+    for c, res in list(zip(cases, outs))[1:]:
+        single = estimator.estimate(
+            c.received_rg.astype(np.complex64), c.pilots.astype(np.complex64),
+            np.float32(c.beta), c.hop1, c.hop2, c.config,
+        )
+        n_s = _nmse(np.asarray(single.channel_est_rg).astype(np.complex128), c.true_channel)
+        n_t = _nmse(
+            estimator.merge_ri(np.asarray(res.channel_est_rg)).astype(np.complex128),
+            c.true_channel,
+        )
+        assert n_t < 2.5 * n_s, (n_t, n_s)
+
+
+def test_batched_tracking_independent_problems():
+    kw = dict(n_prbs=24, n_layers=1, cfo_hz=0.0, cfo_compensate=False)
+    seq_a = _slots(3, seed=5, snr_db=5.0, **kw)
+    seq_b = _slots(3, seed=6, snr_db=5.0, **kw)
+    c0 = seq_a[0]
+    fn_b = tracking.build_tracked_ri(c0.hop1, c0.hop2, c0.config, 1, batched=True)
+    fn_1 = tracking.build_tracked_ri(c0.hop1, c0.hop2, c0.config, 1)
+    state_b = tracking.init_state(c0.hop1, c0.hop2, c0.config, 1, batch=2)
+    states_1 = [
+        tracking.init_state(c0.hop1, c0.hop2, c0.config, 1) for _ in range(2)
+    ]
+    for ca, cb in zip(seq_a, seq_b):
+        rg = np.stack([
+            estimator.split_ri(ca.received_rg.astype(np.complex64)),
+            estimator.split_ri(cb.received_rg.astype(np.complex64)),
+        ])
+        pil = np.stack([
+            estimator.split_ri(ca.pilots.astype(np.complex64)),
+            estimator.split_ri(cb.pilots.astype(np.complex64)),
+        ])
+        beta = np.ones(2, np.float32)
+        res_b, h_b, w_b = fn_b(rg, pil, beta, state_b[0], state_b[1])
+        state_b = (h_b, w_b)
+        for i, (c, st) in enumerate(zip((ca, cb), states_1)):
+            r1, h1, w1 = fn_1(
+                estimator.split_ri(c.received_rg.astype(np.complex64)),
+                estimator.split_ri(c.pilots.astype(np.complex64)),
+                np.float32(1.0),
+                st[0],
+                st[1],
+            )
+            states_1[i] = (h1, w1)
+            np.testing.assert_allclose(
+                np.asarray(res_b.channel_est_rg)[i],
+                np.asarray(r1.channel_est_rg),
+                rtol=1e-5,
+                atol=1e-6,
+            )
