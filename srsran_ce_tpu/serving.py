@@ -126,3 +126,93 @@ def process(
                     cfo_hz=float(cfo[k]),
                 )
     return results  # type: ignore[return-value]
+
+
+class TrackedServer:
+    """Stateful serving: multi-slot tracking (models/tracking.py) per stream.
+
+    A "stream" is a recurring sounding of the same physical link (same plan
+    signature, same cell/UE/port) identified by a caller-chosen `stream_id`.
+    The server buckets requests by plan signature like `process`, runs the
+    batched tracked executable, and threads each stream's (h, w) state across
+    calls — unseen streams start at zero state (first sounding passes through).
+
+    Host-side orchestration only; each signature compiles one executable per
+    batch size used.
+    """
+
+    def __init__(self, batch_size: int = 128, matmul_precision: Optional[str] = "high"):
+        self.batch_size = batch_size
+        self.matmul_precision = matmul_precision
+        self._state: Dict[Tuple, tuple] = {}  # (sig, stream_id) -> (h tuple, w)
+
+    def reset(self, stream_id=None) -> None:
+        """Drop tracking state — for one stream, or all when stream_id is None."""
+        if stream_id is None:
+            self._state.clear()
+        else:
+            self._state = {k: v for k, v in self._state.items() if k[1] != stream_id}
+
+    def process(
+        self, problems: List[Problem], stream_ids: List
+    ) -> List[ServeResult]:
+        import dataclasses as _dc
+
+        from .models import tracking
+
+        assert len(problems) == len(stream_ids)
+        buckets: Dict[Tuple, List[int]] = {}
+        for i, p in enumerate(problems):
+            buckets.setdefault(p.signature(), []).append(i)
+
+        results: List[Optional[ServeResult]] = [None] * len(problems)
+        for sig, idxs in buckets.items():
+            hop1, hop2, config, n_layers = sig
+            if self.matmul_precision is not None:
+                config = _dc.replace(config, matmul_precision=self.matmul_precision)
+            eff_sig = (hop1, hop2, config, n_layers)
+            fn = tracking.build_tracked_ri(
+                hop1, hop2, config, n_layers, batched=True, out_layout="serve"
+            )
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start : start + self.batch_size]
+                pad = self.batch_size - len(chunk) if len(idxs) > self.batch_size else 0
+                take = chunk + [chunk[-1]] * pad
+                rg_b = _assemble([problems[i].received_rg for i in take])
+                pil_b = _assemble([problems[i].pilots for i in take])
+                beta = np.asarray([problems[i].beta for i in take], np.float32)
+                # gather per-stream states (zero for unseen streams)
+                zero_h, zero_w = tracking.init_state(hop1, hop2, config, n_layers)
+                states = [
+                    self._state.get((eff_sig, stream_ids[i]), (zero_h, zero_w))
+                    for i in take
+                ]
+                h_b = tuple(
+                    np.stack([np.asarray(s[0][j]) for s in states])
+                    for j in range(len(zero_h))
+                )
+                w_b = np.asarray([s[1] for s in states], np.float32)
+                out, h_new, w_new = fn(rg_b, pil_b, jnp.asarray(beta), h_b, w_b)
+                ch = np.asarray(out.channel_est_rg)
+                noise = np.asarray(out.noise_est)
+                rsrp = np.asarray(out.rsrp)
+                epre = np.asarray(out.epre)
+                ta = np.asarray(out.time_alignment)
+                cfo = np.asarray(out.cfo_hz)
+                h_new = tuple(np.asarray(h) for h in h_new)
+                w_new = np.asarray(w_new)
+                for k, i in enumerate(chunk):
+                    grid = estimator.merge_ri(ch[k])
+                    results[i] = ServeResult(
+                        channel_est_rg=np.moveaxis(grid, (0, 1, 2), (2, 1, 0)),
+                        noise_est=float(noise[k]),
+                        rsrp=float(rsrp[k]),
+                        epre=float(epre[k]),
+                        time_alignment=float(ta[k]),
+                        cfo_hz=float(cfo[k]),
+                    )
+                    self._state[(eff_sig, stream_ids[i])] = (
+                        tuple(h[k] for h in h_new),
+                        float(w_new[k]),
+                    )
+        return results  # type: ignore[return-value]

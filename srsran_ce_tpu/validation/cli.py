@@ -199,9 +199,16 @@ def cmd_quality(args) -> int:
     for mode, row in ctable.items():
         tag = " (reference)" if mode == "first_pair" else " (WLS, ours)"
         print(f"cfo={mode:12s} " + "".join(f"  {row[s]:7.2f}" for s in csnrs) + tag)
+    ttable = quality.tracking_sweep(n_slots=8, n_cases=min(6, args.cases))
+    print("\nMulti-slot tracking (static channel, 0 dB SNR, NMSE dB vs truth):")
+    print(f"  single slot (reference): {ttable['single_slot_db']:7.2f}")
+    print(f"  tracked, 8 slots (ours): {ttable['tracked_8slots_db']:7.2f}")
     if args.report:
         Path(args.report).write_text(
-            json.dumps({"snr": table, "doppler": dtable, "cfo": ctable}, indent=2)
+            json.dumps(
+                {"snr": table, "doppler": dtable, "cfo": ctable, "tracking": ttable},
+                indent=2,
+            )
         )
     return 0
 

@@ -102,6 +102,57 @@ def doppler_sweep(
     return out
 
 
+def tracking_sweep(
+    n_slots: int = 8,
+    snr_db: float = 0.0,
+    n_cases: int = 6,
+    smoothing: str = "filter",
+    **case_kwargs,
+) -> Dict[str, float]:
+    """Multi-slot tracking gain on a static channel: NMSE (dB) of the single-slot
+    estimate vs the tracked estimate after `n_slots` soundings (models/tracking.py,
+    no reference counterpart)."""
+    from ..models import tracking
+
+    kw = dict(n_prbs=24, n_layers=1, cfo_hz=0.0, cfo_compensate=False)
+    kw.update(case_kwargs)
+    single_err = tracked_err = 0.0
+    den = 0.0
+    for i in range(n_cases):
+        cases = [
+            synthetic.make_case(
+                seed=7000 + i, snr_db=snr_db, smoothing=smoothing, noise_seed=100 * i + s, **kw
+            )
+            for s in range(n_slots)
+        ]
+        c0 = cases[0]
+        nL = c0.pilots.shape[2]
+        fn = tracking.build_tracked_ri(c0.hop1, c0.hop2, c0.config, nL)
+        state = tracking.init_state(c0.hop1, c0.hop2, c0.config, nL)
+        res = None
+        for c in cases:
+            res, h, w = fn(
+                estimator.split_ri(c.received_rg),
+                estimator.split_ri(c.pilots),
+                jnp.asarray(c.beta),
+                state[0],
+                state[1],
+            )
+            state = (h, w)
+        single = estimator.estimate(
+            c0.received_rg, c0.pilots, c0.beta, c0.hop1, c0.hop2, c0.config
+        )
+        truth = c0.true_channel
+        single_err += float(np.sum(np.abs(np.asarray(single.channel_est_rg) - truth) ** 2))
+        ch = estimator.merge_ri(np.asarray(res.channel_est_rg))
+        tracked_err += float(np.sum(np.abs(ch - truth) ** 2))
+        den += float(np.sum(np.abs(truth) ** 2))
+    return {
+        "single_slot_db": 10.0 * float(np.log10(single_err / den + 1e-300)),
+        f"tracked_{n_slots}slots_db": 10.0 * float(np.log10(tracked_err / den + 1e-300)),
+    }
+
+
 def cfo_rmse_sweep(
     snrs_db: Sequence[float] = (0.0, 5.0, 10.0),
     cfo_hz: float = 220.0,

@@ -77,3 +77,35 @@ def test_tail_padding_shares_executable():
             np.sum(np.abs(ch_ref) ** 2) + 1e-30
         )
         assert nmse < 1e-12, nmse
+
+
+def test_tracked_server_gains_across_soundings():
+    """TrackedServer threads per-stream state: re-sounding the same channels with
+    fresh noise must reduce NMSE vs truth across calls (multi-slot tracking)."""
+    kw = dict(n_prbs=24, n_layers=1, cfo_hz=0.0, cfo_compensate=False)
+    streams = {
+        "ue0": [synthetic.make_case(seed=80, snr_db=0.0, noise_seed=200 + s, **kw) for s in range(6)],
+        "ue1": [synthetic.make_case(seed=81, snr_db=0.0, noise_seed=300 + s, **kw) for s in range(6)],
+    }
+    server = serving.TrackedServer(batch_size=4, matmul_precision=None)
+    nmse_first = {}
+    nmse_last = {}
+    for s in range(6):
+        probs, sids = [], []
+        for sid, cases in streams.items():
+            probs.append(_problem(cases[s]))
+            sids.append(sid)
+        res = server.process(probs, sids)
+        for sid, cases, r in zip(streams.keys(), streams.values(), res):
+            truth = cases[0].true_channel
+            n = float(
+                np.sum(np.abs(r.channel_est_rg - truth) ** 2) / np.sum(np.abs(truth) ** 2)
+            )
+            if s == 0:
+                nmse_first[sid] = n
+            nmse_last[sid] = n
+    for sid in streams:
+        assert nmse_last[sid] < 0.4 * nmse_first[sid], (sid, nmse_first[sid], nmse_last[sid])
+    # reset drops the state: next call behaves like a first sounding again
+    server.reset()
+    assert not server._state
