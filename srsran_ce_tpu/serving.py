@@ -139,6 +139,11 @@ class TrackedServer:
 
     Host-side orchestration only; each signature compiles one executable per
     batch size used.
+
+    Submit at most ONE sounding per stream per `process` call: two requests for
+    the same stream in one call both read the same prior state (the second is
+    not chained onto the first — last write wins). Batch across streams, loop
+    across soundings.
     """
 
     def __init__(self, batch_size: int = 128, matmul_precision: Optional[str] = "high"):
