@@ -143,8 +143,11 @@ class EstimatorConfig:
                         only, ce_rule_baseline.py:415-428). "wls" = weighted
                         least-squares phase-slope fit over ALL consecutive DM-RS
                         symbol pairs, weighted by inner-product magnitude — lower
-                        CFO variance whenever a hop has > 2 DM-RS symbols, and
-                        identical to "first_pair" when it has exactly 2.
+                        CFO variance whenever a hop has > 2 DM-RS symbols. With
+                        exactly 2 DM-RS symbols and ONE CDM group it degenerates
+                        to the reference estimator exactly; with multiple CDM
+                        groups the per-group angles are magnitude-weighted rather
+                        than uniformly averaged (a small, deliberate difference).
       time_interp (no reference counterpart): the reference time-averages the
                         DM-RS symbols and broadcasts ONE frequency profile across
                         every allocated OFDM symbol (ce_rule_baseline.py:625,

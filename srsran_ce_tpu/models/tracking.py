@@ -23,6 +23,7 @@ per-hop pilot-lattice estimates (2, nL, n_re) plus a scalar weight. Use
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -52,6 +53,7 @@ def init_state(
     return h, w
 
 
+@functools.lru_cache(maxsize=256)
 def build_tracked_ri(
     hop1: HopConfig,
     hop2: Optional[HopConfig],
@@ -65,7 +67,9 @@ def build_tracked_ri(
 
     Thread (h_new_ri, w_new) into the next slot's call. All arrays ri-layout;
     with batched=True every argument gains a leading batch axis (state included)
-    and problems track independently.
+    and problems track independently. lru-cached on the full signature so
+    repeated calls (e.g. serving.TrackedServer, one per sounding) reuse one
+    compiled executable — mirrors estimator._build_ri_cached.
     """
     assert config.time_interp == "none", "tracking requires time_interp='none'"
     assert config.smoothing not in ("learned", "learned2d"), (

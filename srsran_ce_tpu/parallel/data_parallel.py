@@ -33,7 +33,9 @@ def build_dp_batched(
     fn(rg_ri[B,2,n_sc,n_sym], pil_ri[B,2,n_re,n_dsym,L], beta[B]) -> EstimateResult
     with every output sharded on its leading batch axis. B must be divisible by the
     mesh axis size. out_layout as in estimator.build_ri ("serve" = subcarrier-last
-    (layer, sym, sc) channel grid — the fast production layout).
+    (layer, sym, sc) channel grid — the fast production layout). With a learned
+    smoothing mode ("learned"/"learned2d") the returned fn takes the denoiser
+    params pytree as a trailing replicated (non-batched) argument.
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
@@ -43,10 +45,19 @@ def build_dp_batched(
     batch = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def single(rg_ri, pil_ri, beta):
+    out_shardings = _est.EstimateResult(
+        channel_est_rg=batch,
+        noise_est=batch,
+        rsrp=batch,
+        epre=batch,
+        time_alignment=batch,
+        cfo_hz=batch,
+    )
+
+    def single(rg_ri, pil_ri, beta, params=None):
         res = _est._estimate_impl(
             plan, _est._ri_to_complex(rg_ri), _est._ri_to_complex(pil_ri), beta,
-            "xla", None, out_layout
+            "xla", params, out_layout
         )
         return _est.EstimateResult(
             channel_est_rg=_est._complex_to_ri(res.channel_est_rg),
@@ -57,16 +68,16 @@ def build_dp_batched(
             cfo_hz=res.cfo_hz,
         )
 
-    fn = jax.jit(
-        jax.vmap(single),
-        in_shardings=(batch, batch, batch),
-        out_shardings=_est.EstimateResult(
-            channel_est_rg=batch,
-            noise_est=batch,
-            rsrp=batch,
-            epre=batch,
-            time_alignment=batch,
-            cfo_hz=batch,
-        ),
-    )
+    if config.smoothing in ("learned", "learned2d"):
+        fn = jax.jit(
+            jax.vmap(single, in_axes=(0, 0, 0, None)),
+            in_shardings=(batch, batch, batch, repl),
+            out_shardings=out_shardings,
+        )
+    else:
+        fn = jax.jit(
+            jax.vmap(lambda r, p, b: single(r, p, b)),
+            in_shardings=(batch, batch, batch),
+            out_shardings=out_shardings,
+        )
     return fn

@@ -230,17 +230,24 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
     cfo_hop = None
     if hp.cfo_possible:
         if hp.cfo_pair_dt is not None:
-            # WLS over all consecutive DM-RS pairs (mirrors estimator._process_hop)
+            # WLS over all consecutive DM-RS pairs (mirrors estimator._process_hop).
+            # All per-pair inner products ride ONE psum (stacked (n_pairs, nL))
+            # instead of n_pairs sequential collectives.
+            inner_loc = jnp.stack(
+                [
+                    jnp.sum(jnp.conj(rec_x[:, :, j]) * rec_x[:, :, j + 1], axis=1)
+                    for j in range(hp.n_dsym - 1)
+                ]
+            )  # (n_pairs, nL)
+            inner_all = _psum_c(inner_loc, axis)
             num = jnp.zeros((), rdtype)
             den = jnp.zeros((), rdtype)
             for j in range(hp.n_dsym - 1):
-                inner_loc = jnp.sum(
-                    jnp.conj(rec_x[:, :, j]) * rec_x[:, :, j + 1], axis=1
-                )  # (nL,)
-                inner_j = _psum_c(inner_loc, axis)
                 dt = float(hp.cfo_pair_dt[j])
                 for c in range(hp.n_cdm):
-                    pair = inner_j[2 * c] + (inner_j[2 * c + 1] if 2 * c + 1 < nL else 0.0)
+                    pair = inner_all[j, 2 * c] + (
+                        inner_all[j, 2 * c + 1] if 2 * c + 1 < nL else 0.0
+                    )
                     w = jnp.abs(pair).astype(rdtype)
                     th = jnp.angle(pair).astype(rdtype)
                     num = num + w * dt * th

@@ -179,6 +179,7 @@ class TrackedServer:
             fn = tracking.build_tracked_ri(
                 hop1, hop2, config, n_layers, batched=True, out_layout="serve"
             )
+            zero_h, zero_w = tracking.init_state(hop1, hop2, config, n_layers)
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
                 pad = self.batch_size - len(chunk) if len(idxs) > self.batch_size else 0
@@ -187,7 +188,6 @@ class TrackedServer:
                 pil_b = _assemble([problems[i].pilots for i in take])
                 beta = np.asarray([problems[i].beta for i in take], np.float32)
                 # gather per-stream states (zero for unseen streams)
-                zero_h, zero_w = tracking.init_state(hop1, hop2, config, n_layers)
                 states = [
                     self._state.get((eff_sig, stream_ids[i]), (zero_h, zero_w))
                     for i in take

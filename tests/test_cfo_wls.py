@@ -4,6 +4,8 @@ The reference estimates CFO from the inner product of the FIRST two DM-RS symbol
 only (ce_rule_baseline.py:415-428). The WLS mode fits the phase slope over ALL
 consecutive DM-RS pairs with magnitude weights — a beyond-parity accuracy feature.
 """
+import zlib
+
 import numpy as np
 import pytest
 
@@ -24,7 +26,7 @@ CASES = [
 @pytest.mark.parametrize("name,kwargs", CASES, ids=[c[0] for c in CASES])
 def test_wls_cfo_matches_oracle(name, kwargs):
     case = synthetic.make_case(
-        seed=hash(name) % 2**31, snr_db=25.0, cfo_hz=250.0, cfo_estimator="wls", **kwargs
+        seed=zlib.crc32(name.encode()), snr_db=25.0, cfo_hz=250.0, cfo_estimator="wls", **kwargs
     )
     res_j = estimator.estimate(
         case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config

@@ -4,6 +4,8 @@ The DP path must be bit-identical to the unsharded batched path; the SP
 (subcarrier + halo exchange) path must match the unsharded estimator at every
 shard seam — the halo-exchange bound in SURVEY.md §7 "hard parts".
 """
+import zlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -73,7 +75,7 @@ SP_CASES = [
 def test_sp_matches_unsharded(name, kwargs):
     n_sp = 4
     mesh = mesh_lib.make_mesh((2, n_sp), ("dp", "sp"))
-    case = synthetic.make_case(seed=abs(hash(name)) % 2**31, snr_db=30.0, **kwargs)
+    case = synthetic.make_case(seed=zlib.crc32(name.encode()), snr_db=30.0, **kwargs)
     nL = case.pilots.shape[2]
     fn = build_sp(case.hop1, case.hop2, case.config, nL, mesh)
     out = fn(_ri(case.received_rg), _ri(case.pilots), case.beta)
