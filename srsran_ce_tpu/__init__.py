@@ -8,7 +8,16 @@ time alignment, linear / CNN-inpainting interpolation to the full resource grid,
 noise-variance / RSRP / EPRE measurement — batched, jitted, and sharded over TPU
 device meshes.
 """
-from .config import NRE, EstimatorConfig, HopConfig, make_config, normal_cp_durations_ms
+from .config import (
+    NRE,
+    EstimatorConfig,
+    HopConfig,
+    baseline_config,
+    cnn_config,
+    make_config,
+    normal_cp_durations_ms,
+    tensorized_config,
+)
 
 __version__ = "0.1.0"
 
@@ -16,6 +25,9 @@ __all__ = [
     "NRE",
     "EstimatorConfig",
     "HopConfig",
+    "baseline_config",
+    "cnn_config",
     "make_config",
     "normal_cp_durations_ms",
+    "tensorized_config",
 ]

@@ -193,6 +193,34 @@ class EstimatorConfig:
         return np.asarray(self.cp_durations_ms, dtype=np.float64)
 
 
+# ---------------------------------------------------------------------------
+# Reference-variant presets. The reference ships three near-identical files
+# (src/ce_rule_baseline.py, src/ce_rule_tensorized.py, src/ce_dl_cnn.py —
+# SURVEY.md §2.1); here they are config presets over ONE shared core
+# (SURVEY.md §7 design stance #1).
+# ---------------------------------------------------------------------------
+
+
+def baseline_config(scs_hz: float, **kwargs) -> "EstimatorConfig":
+    """Preset matching `ce_rule_baseline.srs_channel_estimator` semantics
+    (linear interpolation, RC-filter smoothing unless overridden)."""
+    return make_config(scs_hz, **kwargs)
+
+
+def tensorized_config(scs_hz: float, **kwargs) -> "EstimatorConfig":
+    """Preset matching `ce_rule_tensorized` — mathematically identical to the
+    baseline (the reference files differ only in vectorization, SURVEY.md §2.1);
+    kept as a named alias so reference users find it."""
+    return make_config(scs_hz, **kwargs)
+
+
+def cnn_config(scs_hz: float, cnn_alpha: float = 0.0, **kwargs) -> "EstimatorConfig":
+    """Preset matching `ce_dl_cnn` — partial-convolution inpainting interpolation
+    plus the optional CNNSmoothingAlpha low-pass blend (ce_dl_cnn.py:690-717)."""
+    kwargs.setdefault("interp", "cnn")
+    return make_config(scs_hz, cnn_alpha=cnn_alpha, **kwargs)
+
+
 def normal_cp_durations_ms(scs_hz: float, n_symbols: int = 14) -> np.ndarray:
     """Normal-cyclic-prefix durations (ms) per OFDM symbol at a given SCS.
 

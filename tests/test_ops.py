@@ -105,3 +105,15 @@ def test_lerp_gather_linear_interp():
     got = np.asarray(dsp.lerp_gather(vals, left, right, alpha))
     want = np.array([1, 2, 3, 4, 5, 6, 7, 7], dtype=np.complex128)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_variant_presets():
+    """Reference-variant presets map onto the shared core's config space."""
+    from srsran_ce_tpu import baseline_config, cnn_config, tensorized_config
+
+    b = baseline_config(30e3)
+    t = tensorized_config(30e3)
+    c = cnn_config(30e3, cnn_alpha=0.2)
+    assert b == t  # mathematically identical in the reference too
+    assert b.interp == "linear" and c.interp == "cnn"
+    assert c.cnn_alpha == 0.2
