@@ -148,6 +148,52 @@ def init_params_2d(rng_key, n_dsym: int = 4, n_re: int = 128):
     return model.init(rng_key, jnp.zeros((1, n_dsym, n_re, 2), jnp.float32))
 
 
+def halo_width_2d(model: "PilotDenoiser2D | None" = None) -> int:
+    """Frequency-axis receptive-field half-width of the 2-D conv stack (the time
+    axis is never sharded)."""
+    m = model or PilotDenoiser2D()
+    return (m.kernel_f // 2) * (len(m.features) + 1)
+
+
+def apply_sharded_2d(params, h_t: jnp.ndarray, exchange) -> jnp.ndarray:
+    """Subcarrier-sharded 2-D denoiser: layer-wise halo exchange on the frequency
+    axis, SAME zero padding on the (local) time axis.
+
+    h_t: (n_layers, n_dsym, R) complex local per-symbol pilot block. `exchange`
+    as in apply_sharded. Same layer-wise rationale: zero halos at the outermost
+    shards reproduce each conv layer's SAME padding at the true band edges.
+    """
+    p = params["params"]
+    names = sorted(p.keys(), key=lambda s: int(s.rsplit("_", 1)[1]))
+    rdtype = jnp.real(h_t).dtype
+    x = jnp.stack([jnp.real(h_t), jnp.imag(h_t)], axis=-1).astype(jnp.float32)
+    x0 = x  # (nL, n_dsym, R, C)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+    )
+    for i, name in enumerate(names):
+        k = jnp.asarray(p[name]["kernel"], jnp.float32)  # (kt, kf, c_in, c_out)
+        b = jnp.asarray(p[name]["bias"], jnp.float32)
+        kt, kf = k.shape[0], k.shape[1]
+        hw = kf // 2
+        # exchange along the frequency axis (axis 2 of (nL, n_dsym, R, C))
+        xm = jnp.moveaxis(x, 2, -1)  # (nL, n_dsym, C, R)
+        left, right = exchange(xm, hw)
+        ext = jnp.concatenate([left, xm, right], axis=-1)
+        ext = jnp.moveaxis(ext, -1, 2)  # (nL, n_dsym, R + 2*hw, C)
+        x = jax.lax.conv_general_dilated(
+            ext,
+            k,
+            window_strides=(1, 1),
+            padding=((kt // 2, kt // 2), (0, 0)),  # SAME in time, VALID in freq
+            dimension_numbers=dn,
+        ) + b[None, None, None, :]
+        if i < len(names) - 1:
+            x = jax.nn.relu(x)
+    y = (x0 + x).astype(rdtype)
+    return jax.lax.complex(y[..., 0], y[..., 1]).astype(h_t.dtype)
+
+
 def apply_complex_2d(params, h_t: jnp.ndarray) -> jnp.ndarray:
     """Denoise (n_layers, n_dsym, n_re) complex per-symbol pilot estimates."""
     rdtype = jnp.real(h_t).dtype

@@ -27,8 +27,8 @@ blend), "mean" (psum), "none", "learned" (the trainable denoiser with
 layer-wise conv halo exchange — models/denoiser.apply_sharded; the built function
 then takes the params pytree as a trailing replicated argument), and "wiener"
 (global eigenbasis projection: gather the tiny raw pilot vector, shrink
-replicated, keep the local slice). The 2-D denoiser ("learned2d") is NOT
-implemented here (asserted) — DP-shard those problems instead.
+replicated, keep the local slice), and "learned2d" (the 2-D time-frequency
+denoiser with frequency-axis layer-wise halos — denoiser.apply_sharded_2d).
 The general/irregular geometries use the DP path (independent problems scale out
 embarrassingly); SP exists for wideband low-latency and for halo-exchange parity with
 the north-star benchmark config.
@@ -90,9 +90,6 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hop = hp.hop
     assert plan.hop2 is None, "subcarrier sharding supports single-hop problems"
     assert plan.config.interp in ("linear", "cnn"), "unknown interpolation"
-    assert plan.config.smoothing != "learned2d", (
-        "subcarrier sharding does not implement the 2-D denoiser yet (DP-shard instead)"
-    )
     prb_mask = hop.prb_mask_np
     assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
         "subcarrier sharding requires a contiguous full-band hop"
@@ -133,6 +130,11 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
 
         hw = _dn.halo_width()
         assert R >= hw, f"local pilot block ({R}) must cover the denoiser halo ({hw})"
+    elif plan.config.smoothing == "learned2d":
+        from ..models import denoiser as _dn
+
+        hw = _dn.halo_width_2d()
+        assert R >= hw, f"local pilot block ({R}) must cover the 2-D denoiser halo ({hw})"
 
     local_re_idx = np.stack(
         [offs[c] + comb * np.arange(R, dtype=np.int32) for c in range(hp.n_cdm)]
@@ -196,7 +198,7 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
 
     rg_ri_loc: (2, L, n_sym) local subcarrier block of the received grid (real pair)
     pil_ri_loc: (2, R, n_dsym, nL) local pilot block
-    params: denoiser pytree, required iff config.smoothing == "learned"
+    params: denoiser pytree, required iff config.smoothing is "learned"/"learned2d"
     Returns local EstimateResult with channel (2, L, n_sym, nL).
     """
     plan = sp.plan
@@ -339,9 +341,20 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
             return jax.lax.dynamic_slice(h_sm_all, (jnp.int32(0), start_w), (rows, sp.R))
         return h  # "none"
 
-    h_p = smooth_rows(h_p)
-    if ht is not None:
-        ht = smooth_rows(ht)
+    if hp.smoothing == "learned2d":
+        from ..models import denoiser as _dn
+
+        assert params is not None, "smoothing='learned2d' needs denoiser params"
+        ex = lambda x, wdt: _halo_exchange(x, wdt, axis, n_sp)
+        h_p = _dn.apply_sharded_2d(params, h_p[:, None, :], ex)[:, 0, :]
+        if ht is not None:
+            ht = _dn.apply_sharded_2d(
+                params, ht.reshape(nL, hp.n_dsym, sp.R), ex
+            ).reshape(nL * hp.n_dsym, sp.R)
+    else:
+        h_p = smooth_rows(h_p)
+        if ht is not None:
+            ht = smooth_rows(ht)
 
     # --- time alignment: gather the (tiny) smoothed pilots, shared PDP ---
     h_all = jax.lax.all_gather(h_p, axis, axis=1, tiled=True)  # (nL, n_re)
@@ -474,9 +487,6 @@ class HoppedShardPlan:
 
 def make_hopped_shard_plan(plan: EstimatorPlan, n_sp: int) -> HoppedShardPlan:
     assert plan.hop2 is not None, "use make_shard_plan for single-hop problems"
-    assert plan.config.smoothing != "learned2d", (
-        "subcarrier sharding does not implement the 2-D denoiser yet (DP-shard instead)"
-    )
     n_sc = len(plan.hop1.hop.prb_mask) * NRE
     assert n_sc % n_sp == 0, f"n_sp={n_sp} must divide n_sc={n_sc}"
     # the sharded fill writes every local column of a hop's symbol block (zeros
@@ -657,7 +667,7 @@ def build_sp_batched(
         cfo_hz=P(dp_axis),
     )
 
-    if config.smoothing == "learned":
+    if config.smoothing in ("learned", "learned2d"):
         def body_p(rg_ri_loc, pil_ri_loc, beta_loc, params):
             return jax.vmap(
                 lambda r, p, b: _sharded_problem(sp, sp_axis, r, p, b, params)
@@ -736,7 +746,7 @@ def build_sp(
         cfo_hz=P(),
     )
 
-    if config.smoothing == "learned":
+    if config.smoothing in ("learned", "learned2d"):
         def body_p(rg_ri_loc, pil_ri_loc, beta, params):
             return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta, params)
 

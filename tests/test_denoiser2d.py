@@ -107,3 +107,38 @@ def test_learned2d_dp_sharded():
         estimator.split_ri(case.received_rg), estimator.split_ri(case.pilots), case.beta
     )
     np.testing.assert_allclose(ch[0], np.asarray(ref.channel_est_rg), atol=1e-6)
+
+
+def test_learned2d_sp_matches_unsharded():
+    """Subcarrier-sharded learned2d (frequency-halo layer-wise conv) must equal the
+    unsharded path bit-tight, with non-trivial (briefly trained) weights."""
+    from srsran_ce_tpu.parallel import mesh as mesh_lib
+    from srsran_ce_tpu.parallel.subcarrier import build_sp
+
+    state, _ = training.train2d(n_steps=25, batch=64, n_re=32, n_dsym=4, seed=2, log_every=0)
+    case = synthetic.make_case(
+        seed=17, n_prbs=32, n_layers=2, snr_db=15.0, doppler_hz=250.0
+    )
+    cfg = _cfg(case.config, smoothing="learned2d", time_interp="linear")
+    mesh = mesh_lib.make_mesh((2, 4), ("dp", "sp"))
+    fn_sp = build_sp(case.hop1, case.hop2, cfg, 2, mesh)
+    out_sp = fn_sp(
+        estimator.split_ri(case.received_rg),
+        estimator.split_ri(case.pilots),
+        case.beta,
+        state.params,
+    )
+    fn_1 = estimator.build_ri(case.hop1, case.hop2, cfg, 2)
+    out_1 = fn_1(
+        estimator.split_ri(case.received_rg),
+        estimator.split_ri(case.pilots),
+        case.beta,
+        state.params,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sp.channel_est_rg),
+        np.asarray(out_1.channel_est_rg),
+        rtol=1e-10,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(float(out_sp.noise_est), float(out_1.noise_est), rtol=1e-8)
