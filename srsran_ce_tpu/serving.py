@@ -78,6 +78,7 @@ def process(
     problems: List[Problem],
     batch_size: int = 128,
     matmul_precision: Optional[str] = "high",
+    params=None,
 ) -> List[ServeResult]:
     """Estimate a heterogeneous list of problems; results in submission order.
 
@@ -85,7 +86,9 @@ def process(
     `batch_size` chunks (the tail chunk is padded by repeating its last problem,
     so each signature compiles exactly one executable). `matmul_precision`
     overrides every problem's config precision for serving (None keeps each
-    config's own setting).
+    config's own setting). `params` is the denoiser pytree, required for
+    problems whose config uses a learned smoothing mode (one shared pytree —
+    mixed 1-D/2-D learned problems need separate process calls).
     """
     import dataclasses as _dc
 
@@ -98,6 +101,9 @@ def process(
         hop1, hop2, config, n_layers = sig
         if matmul_precision is not None:
             config = _dc.replace(config, matmul_precision=matmul_precision)
+        learned = config.smoothing in ("learned", "learned2d")
+        if learned:
+            assert params is not None, f"smoothing={config.smoothing!r} needs params"
         fn = estimator.build_ri(
             hop1, hop2, config, n_layers, batched=True, out_layout="serve"
         )
@@ -108,7 +114,10 @@ def process(
             rg_b = _assemble([problems[i].received_rg for i in take])
             pil_b = _assemble([problems[i].pilots for i in take])
             beta = np.asarray([problems[i].beta for i in take], np.float32)
-            out = fn(rg_b, pil_b, jnp.asarray(beta))
+            if learned:
+                out = fn(rg_b, pil_b, jnp.asarray(beta), params)
+            else:
+                out = fn(rg_b, pil_b, jnp.asarray(beta))
             ch = np.asarray(out.channel_est_rg)  # (B, 2, nL, n_sym, n_sc)
             noise = np.asarray(out.noise_est)
             rsrp = np.asarray(out.rsrp)

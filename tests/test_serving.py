@@ -109,3 +109,24 @@ def test_tracked_server_gains_across_soundings():
     # reset drops the state: next call behaves like a first sounding again
     server.reset()
     assert not server._state
+
+
+def test_serving_learned_smoothing_with_params():
+    """serving.process supports learned modes: params pytree shared per call."""
+    from srsran_ce_tpu.models import training
+    import dataclasses as dc
+
+    case = synthetic.make_case(seed=44, n_prbs=16, n_layers=1, snr_db=15.0, smoothing="none")
+    cfg = dc.replace(case.config, smoothing="learned")
+    n_re = case.pilots.shape[0]
+    state, _ = training.init_state(seed=0, n_re=n_re)
+    probs = [serving.Problem(case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, cfg)]
+    res = serving.process(probs, batch_size=2, matmul_precision=None, params=state.params)
+    # zero-init residual == smoothing 'none'
+    ref = estimator.estimate(
+        case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+        np.float32(case.beta), case.hop1, case.hop2, case.config,
+    )
+    np.testing.assert_allclose(
+        res[0].channel_est_rg, np.asarray(ref.channel_est_rg), atol=1e-6
+    )
