@@ -100,13 +100,24 @@ def make_case(
     time_interp: str = "none",
     cfo_estimator: str = "first_pair",
     noise_seed: Optional[int] = None,
+    pilot_source: str = "qpsk",
 ) -> SyntheticCase:
     """Build one synthetic estimation problem plus its ground-truth channel.
 
     doppler_hz > 0 gives each multipath tap a random Doppler shift in
     [-doppler_hz, doppler_hz] (Jakes-like), making the true channel vary across
     OFDM symbols — the regime config.time_interp="linear" is built for.
-    doppler_hz == 0 reproduces the historical time-flat channel bit-for-bit."""
+    doppler_hz == 0 reproduces the historical time-flat channel bit-for-bit.
+
+    pilot_source selects what the transmitter sends at DM-RS REs:
+      "qpsk" (default): random unit-modulus QPSK with OCC-2 layer structure — the
+          historical draws, bit-for-bit.
+      "dmrs": standard Gold-sequence DM-RS configuration type 1 (TS 38.211
+          §6.4.1.1) via ops/sequences.pusch_dmrs_pilots (slot/N_ID derived from
+          `seed`).
+      "srs": low-PAPR Zadoff-Chu SRS sequences with cyclic-shift port separation
+          and group hopping (TS 38.211 §5.2.2 / §6.4.1.4) via ops/sequences.srs_pilots.
+    """
     rng = np.random.default_rng(seed)
     n_cdm = math.ceil(n_layers / 2)
     re_mask = comb_re_mask(comb, n_cdm)
@@ -181,13 +192,32 @@ def make_case(
     cfo_rot = np.exp(1j * 2.0 * np.pi * sst * cfo_norm)  # (14,)
 
     total_dsym = sum(len(h[1]) for h in hops)
-    pilots = _qpsk(rng, (n_re, total_dsym, n_layers))
-    # OCC-2 structure within each CDM pair so the estimator's adjacent-RE averaging
-    # cancels intra-CDM interference (frequency-domain orthogonal cover code).
-    occ = np.where(np.arange(n_re) % 2 == 0, 1.0, -1.0)
-    for c in range(n_cdm):
-        if c * 2 + 1 < n_layers:
-            pilots[:, :, c * 2 + 1] = pilots[:, :, c * 2] * occ[:, None]
+    if pilot_source == "qpsk":
+        pilots = _qpsk(rng, (n_re, total_dsym, n_layers))
+        # OCC-2 structure within each CDM pair so the estimator's adjacent-RE averaging
+        # cancels intra-CDM interference (frequency-domain orthogonal cover code).
+        occ = np.where(np.arange(n_re) % 2 == 0, 1.0, -1.0)
+        for c in range(n_cdm):
+            if c * 2 + 1 < n_layers:
+                pilots[:, :, c * 2 + 1] = pilots[:, :, c * 2] * occ[:, None]
+    elif pilot_source in ("dmrs", "srs"):
+        # Standard-compliant sequences (TS 38.211) — both carry the +1/-1
+        # intra-CDM alternation the estimator's pair-averaging inverts (DM-RS via
+        # the OCC-2 w_f table; SRS via cyclic shifts spaced n_cs_max/2 apart).
+        from ..ops import sequences
+
+        slot, n_id = seed % 20, seed % 1008
+        per_hop = []
+        for hop in hop_cfgs:
+            if pilot_source == "dmrs":
+                per_hop.append(sequences.pusch_dmrs_pilots(hop, n_layers, slot, n_id))
+            else:
+                per_hop.append(
+                    sequences.srs_pilots(hop, n_layers, slot, n_id, hopping="groupHopping")
+                )
+        pilots = np.concatenate(per_hop, axis=1)
+    else:
+        raise ValueError(f"unknown pilot_source {pilot_source!r}")
 
     # Received grid: channel * beta * pilot at DM-RS REs (sum over CDM layers),
     # channel * random QPSK elsewhere, plus AWGN; CFO rotates every symbol.
