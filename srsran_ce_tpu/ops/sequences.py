@@ -138,23 +138,30 @@ def pusch_dmrs_pilots(
     scrambling sequence mapped onto their own comb offsets, §6.4.1.1.3).
 
     The per-symbol sequence is r(m) with c_init = dmrs_c_init(slot, l, ...) and the
-    sequence offset anchored at the grid reference point (PRB 0), so hops at
-    different PRB starts take the correct slice of the same slot-wide sequence.
-    OCC-2 w_f from Table 6.4.1.1.3-1 separates the two ports of a CDM group — the
-    exact ±1 alternation the estimator's CDM pair-averaging inverts.
+    sequence ordinals anchored at the grid reference point (PRB 0) and derived from
+    the hop's *actual* PRB mask — hops at different PRB starts, and allocations with
+    interior maskPRBs holes, take exactly the slice of the slot-wide sequence the
+    standard maps onto their REs. OCC-2 w_f from Table 6.4.1.1.3-1 separates the
+    two ports of a CDM group — the exact ±1 alternation the estimator's CDM
+    pair-averaging inverts.
     """
     if not 1 <= n_layers <= 4:
         raise ValueError(f"DM-RS type 1 supports 1..4 layers, got {n_layers}")
     re_mask = hop.dmrs_re_mask_np  # (12, n_cdm)
     per_prb = int(re_mask[:, 0].sum())
-    n_re = hop.n_prbs * per_prb
+    comb = NRE // per_prb
     sym_idx = np.nonzero(hop.dmrs_symbol_mask_np)[0]
-    start = hop.prb_start * per_prb  # sequence anchor: grid reference point
+    # Sequence ordinals of the hop's pilot REs, anchored at PRB 0 of the grid.
+    sc_idx = np.nonzero(np.kron(hop.prb_mask_np, re_mask[:, 0]))[0]
+    delta = int(np.nonzero(re_mask[:, 0])[0][0])  # comb offset of CDM group 0
+    m_idx = (sc_idx - delta) // comb
+    n_re = m_idx.size
 
     pilots = np.zeros((n_re, len(sym_idx), n_layers), dtype=np.complex128)
-    occ = np.where(np.arange(n_re) % 2 == 0, 1.0, -1.0)
+    occ = np.where(m_idx % 2 == 0, 1.0, -1.0)
     for j, l_sym in enumerate(sym_idx):
-        r = pseudo_random_qpsk(dmrs_c_init(slot, int(l_sym), n_id, n_scid), n_re, start)
+        r = pseudo_random_qpsk(dmrs_c_init(slot, int(l_sym), n_id, n_scid), int(m_idx[-1]) + 1)
+        r = r[m_idx]
         for layer in range(n_layers):
             wf = occ if (layer % 2) else 1.0
             pilots[:, j, layer] = r * wf

@@ -101,6 +101,7 @@ def make_case(
     cfo_estimator: str = "first_pair",
     noise_seed: Optional[int] = None,
     pilot_source: str = "qpsk",
+    prb_hole: Optional[Tuple[int, int]] = None,
 ) -> SyntheticCase:
     """Build one synthetic estimation problem plus its ground-truth channel.
 
@@ -117,6 +118,11 @@ def make_case(
           `seed`).
       "srs": low-PAPR Zadoff-Chu SRS sequences with cyclic-shift port separation
           and group hopping (TS 38.211 §5.2.2 / §6.4.1.4) via ops/sequences.srs_pilots.
+
+    prb_hole = (h0, h1) blanks PRBs [h0, h1) *relative to each hop's band start* —
+    a non-contiguous maskPRBs, the reference's `maskPRBs` with interior zeros
+    (hop.nPRBs counts only set PRBs, matching the reference's pilot-count and
+    normalization semantics — verified black-box in tests/test_reference_parity.py).
     """
     rng = np.random.default_rng(seed)
     n_cdm = math.ceil(n_layers / 2)
@@ -154,14 +160,24 @@ def make_case(
         sym_idx1 = np.unique(np.linspace(0, n_sym - 1, n_dmrs_syms).round().astype(int))
         hops = [(prb_start, sym_idx1, 0, n_sym)]
 
+    if prb_hole is not None:
+        h0, h1 = int(prb_hole[0]), int(prb_hole[1])
+        if not (0 < h0 < h1 < n_prbs):
+            raise ValueError(f"prb_hole {prb_hole} must be interior to the {n_prbs}-PRB band")
+        n_re = (n_prbs - (h1 - h0)) * dmrs_per_prb
+
     hop_cfgs = []
     for p0, sym_idx, start_sym, n_alloc in hops:
         sym_mask = np.zeros(n_sym, dtype=bool)
         sym_mask[sym_idx] = True
         prb_mask = np.zeros(n_prb_total, dtype=bool)
         prb_mask[p0 : p0 + n_prbs] = True
+        if prb_hole is not None:
+            prb_mask[p0 + h0 : p0 + h1] = False
         hop_cfgs.append(
-            HopConfig.make(sym_mask, re_mask, p0, n_prbs, prb_mask, start_sym, n_alloc)
+            HopConfig.make(
+                sym_mask, re_mask, p0, int(prb_mask.sum()), prb_mask, start_sym, n_alloc
+            )
         )
     hop1 = hop_cfgs[0]
     hop2 = hop_cfgs[1] if two_hops else None

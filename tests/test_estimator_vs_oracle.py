@@ -64,6 +64,8 @@ CASES = [
     ("wideband_273_4layer", dict(n_prbs=273, n_layers=4, scs_hz=30e3)),
     ("comb6", dict(n_prbs=24, n_layers=1, comb=6)),
     ("two_hops_4layer", dict(n_prbs=12, n_layers=4, two_hops=True)),
+    ("prb_mask_hole", dict(n_prbs=24, n_layers=2, prb_hole=(10, 14))),
+    ("prb_mask_hole_cnn", dict(n_prbs=24, n_layers=1, interp="cnn", prb_hole=(6, 8))),
     ("wiener", dict(n_prbs=24, n_layers=1, smoothing="wiener")),
     ("wiener_2layer", dict(n_prbs=24, n_layers=2, smoothing="wiener")),
     ("wiener_hopped", dict(n_prbs=12, n_layers=1, smoothing="wiener", two_hops=True)),

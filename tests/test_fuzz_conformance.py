@@ -50,6 +50,12 @@ def _draw_geometry(rng: np.random.Generator) -> dict:
         pad = int(rng.integers(1, 30))
         kw["n_prb_total"] = n_prbs + 2 * pad
         kw["prb_start"] = pad
+    if n_prbs >= 4 and rng.random() < 0.2:
+        # non-contiguous maskPRBs: interior hole (reference supports arbitrary
+        # maskPRBs, validate_all.py:150-197 reassembles them from mask runs)
+        h0 = int(rng.integers(1, n_prbs - 2))
+        h1 = int(rng.integers(h0 + 1, n_prbs))
+        kw["prb_hole"] = (h0, h1)
     return kw
 
 

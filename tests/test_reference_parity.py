@@ -88,6 +88,9 @@ PARITY_CASES = [
     ("baseline", dict(n_prbs=24, n_layers=3), 0.0),
     ("cnn", dict(n_prbs=52, n_layers=1, interp="cnn"), 0.0),
     ("cnn", dict(n_prbs=52, n_layers=2, interp="cnn", cnn_alpha=0.4), 0.4),
+    # non-contiguous maskPRBs (interior hole): nPRBs = set-PRB count
+    ("tensorized", dict(n_prbs=24, n_layers=1, prb_hole=(10, 14)), 0.0),
+    ("baseline", dict(n_prbs=16, n_layers=2, prb_hole=(5, 7), two_hops=True), 0.0),
 ]
 
 
