@@ -74,11 +74,32 @@ class ServeResult:
     cfo_hz: float
 
 
+def _scatter_out(out, chunk, results) -> None:
+    """Fetch one dispatched batch from the device and scatter per-problem results."""
+    ch = np.asarray(out.channel_est_rg)  # (B, 2, nL, n_sym, n_sc)
+    noise = np.asarray(out.noise_est)
+    rsrp = np.asarray(out.rsrp)
+    epre = np.asarray(out.epre)
+    ta = np.asarray(out.time_alignment)
+    cfo = np.asarray(out.cfo_hz)
+    for k, i in enumerate(chunk):
+        grid = estimator.merge_ri(ch[k])  # (nL, n_sym, n_sc) complex
+        results[i] = ServeResult(
+            channel_est_rg=np.moveaxis(grid, (0, 1, 2), (2, 1, 0)),
+            noise_est=float(noise[k]),
+            rsrp=float(rsrp[k]),
+            epre=float(epre[k]),
+            time_alignment=float(ta[k]),
+            cfo_hz=float(cfo[k]),
+        )
+
+
 def process(
     problems: List[Problem],
     batch_size: int = 128,
     matmul_precision: Optional[str] = "high",
     params=None,
+    inflight: int = 3,
 ) -> List[ServeResult]:
     """Estimate a heterogeneous list of problems; results in submission order.
 
@@ -89,14 +110,23 @@ def process(
     config's own setting). `params` is the denoiser pytree, required for
     problems whose config uses a learned smoothing mode (one shared pytree —
     mixed 1-D/2-D learned problems need separate process calls).
+
+    Dispatch is pipelined: jit calls return before the device finishes, so up to
+    `inflight` dispatched batches stay un-fetched while the host packs the next
+    one (the native assembler and the TPU then run concurrently; fetching a
+    result is what blocks). `inflight=1` restores strict pack -> run -> fetch
+    serialization; the default keeps the device fed without holding more than a
+    few batches of output in HBM.
     """
     import dataclasses as _dc
+    from collections import deque
 
     buckets: Dict[Tuple, List[int]] = {}
     for i, p in enumerate(problems):
         buckets.setdefault(p.signature(), []).append(i)
 
     results: List[Optional[ServeResult]] = [None] * len(problems)
+    pending: deque = deque()  # (out, chunk) dispatched but not yet fetched
     for sig, idxs in buckets.items():
         hop1, hop2, config, n_layers = sig
         if matmul_precision is not None:
@@ -118,22 +148,11 @@ def process(
                 out = fn(rg_b, pil_b, jnp.asarray(beta), params)
             else:
                 out = fn(rg_b, pil_b, jnp.asarray(beta))
-            ch = np.asarray(out.channel_est_rg)  # (B, 2, nL, n_sym, n_sc)
-            noise = np.asarray(out.noise_est)
-            rsrp = np.asarray(out.rsrp)
-            epre = np.asarray(out.epre)
-            ta = np.asarray(out.time_alignment)
-            cfo = np.asarray(out.cfo_hz)
-            for k, i in enumerate(chunk):
-                grid = estimator.merge_ri(ch[k])  # (nL, n_sym, n_sc) complex
-                results[i] = ServeResult(
-                    channel_est_rg=np.moveaxis(grid, (0, 1, 2), (2, 1, 0)),
-                    noise_est=float(noise[k]),
-                    rsrp=float(rsrp[k]),
-                    epre=float(epre[k]),
-                    time_alignment=float(ta[k]),
-                    cfo_hz=float(cfo[k]),
-                )
+            pending.append((out, chunk))
+            if len(pending) >= max(1, inflight):
+                _scatter_out(*pending.popleft(), results=results)
+    while pending:
+        _scatter_out(*pending.popleft(), results=results)
     return results  # type: ignore[return-value]
 
 

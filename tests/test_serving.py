@@ -79,6 +79,23 @@ def test_tail_padding_shares_executable():
         assert nmse < 1e-12, nmse
 
 
+def test_pipelined_dispatch_matches_serial():
+    """inflight > 1 (async pipelined dispatch) must be bit-identical to the strict
+    pack -> run -> fetch serialization (inflight=1), across mixed signatures and
+    tail-padded chunks."""
+    specs = [dict(n_prbs=16, n_layers=1), dict(n_prbs=24, n_layers=2)]
+    cases = []
+    for j, sp in enumerate(specs):
+        for i in range(5):
+            cases.append(synthetic.make_case(seed=500 + 10 * j + i, snr_db=25.0, **sp))
+    problems = [_problem(c) for c in cases]
+    serial = serving.process(problems, batch_size=2, matmul_precision=None, inflight=1)
+    piped = serving.process(problems, batch_size=2, matmul_precision=None, inflight=4)
+    for a, b in zip(serial, piped):
+        np.testing.assert_array_equal(a.channel_est_rg, b.channel_est_rg)
+        assert a.noise_est == b.noise_est and a.cfo_hz == b.cfo_hz
+
+
 def test_tracked_server_gains_across_soundings():
     """TrackedServer threads per-stream state: re-sounding the same channels with
     fresh noise must reduce NMSE vs truth across calls (multi-slot tracking)."""
