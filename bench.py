@@ -61,7 +61,9 @@ BENCH_CONFIGS = {
     "c1_tensorized_52prb": (dict(n_prbs=52, n_layers=1, comb=2, scs_hz=30e3), (64, 256)),
     "c2_mmse_4port_106prb": (dict(n_prbs=106, n_layers=4, comb=2, scs_hz=30e3), (128, 256)),
     "c3_cnn_273prb": (dict(n_prbs=273, n_layers=1, comb=2, scs_hz=30e3, interp="cnn"), (64, 128)),
-    "c4_hopped_24prb": (dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, two_hops=True), (128, 256)),
+    # BASELINE configs[4] says "4096 concurrent (cell, UE, port) estimations" — run
+    # the hopped-SRS geometry at literally 4096 resident problems per dispatch.
+    "c4_hopped_24prb": (dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, two_hops=True), (256, 4096)),
 }
 
 HEADLINE = "c2_mmse_4port_106prb"
@@ -163,6 +165,15 @@ def bench_config(name, kwargs, batch):
     compile_s = time.time() - t_compile
     per_batch = max(per_batch, 1e-9)
     grid_res = case.received_rg.size * nL
+
+    # HBM roofline floor: unavoidable traffic per chained iteration = read the
+    # carried grid + pilots, write the serve-layout channel grid (f32 ri pairs).
+    # v5e HBM bandwidth ~819 GB/s. The front's intermediates add real traffic on
+    # top; x_over_hbm_floor ~= how far the pipeline sits from speed-of-light.
+    hbm_bw = 819e9
+    in_bytes = rg.size * 4 + pil.size * 4
+    out_bytes = 2 * nL * case.received_rg.size * 4
+    floor_s = batch * (in_bytes + out_bytes) / hbm_bw
     return {
         "latency_ms_per_batch": per_batch * 1e3,
         "batch": batch,
@@ -171,6 +182,8 @@ def bench_config(name, kwargs, batch):
         "grid_res_per_problem": grid_res,
         "times_s": {str(k): v for k, v in times.items()},
         "setup_s": compile_s,
+        "hbm_floor_ms": floor_s * 1e3,
+        "x_over_hbm_floor": per_batch / floor_s,
     }
 
 
