@@ -96,6 +96,53 @@ def test_pipelined_dispatch_matches_serial():
         assert a.noise_est == b.noise_est and a.cfo_hz == b.cfo_hz
 
 
+def test_delay_spread_estimator():
+    """Flat channels read ~0; the default dispersive TDL reads in the plausible
+    range; 2-layer OCC'd problems work through the pair-averaged lattice."""
+    flat = synthetic.make_case(seed=1, n_prbs=52, n_layers=1, n_taps=1, snr_db=10.0)
+    tau_flat = serving.estimate_delay_spread(_problem(flat))
+    assert tau_flat < 5e-8, tau_flat
+    disp = synthetic.make_case(seed=2, n_prbs=52, n_layers=1, snr_db=10.0)
+    tau_disp = serving.estimate_delay_spread(_problem(disp))
+    assert 3e-8 < tau_disp < 1e-6, tau_disp
+    disp2 = synthetic.make_case(seed=3, n_prbs=52, n_layers=2, snr_db=10.0)
+    tau_2l = serving.estimate_delay_spread(_problem(disp2))
+    assert 3e-8 < tau_2l < 1e-6, tau_2l
+
+
+def test_wiener_auto_delay_matches_prior_to_channel():
+    """On flat channels at low SNR, the auto-matched MMSE prior must beat the
+    default 250 ns prior clearly (a flat channel supports maximal smoothing)."""
+    import dataclasses
+
+    grid = (2e-8, 1e-7, 2.5e-7, 1e-6)
+    cases = [
+        synthetic.make_case(seed=20 + i, n_prbs=52, n_layers=1, n_taps=1,
+                            snr_db=0.0, cfo_hz=0.0, smoothing="wiener")
+        for i in range(4)
+    ]
+    problems = [_problem(c) for c in cases]
+    fixed = serving.process(problems, batch_size=4, matmul_precision=None)
+    auto = serving.process(problems, batch_size=4, matmul_precision=None,
+                           wiener_auto_delay=grid)
+
+    def nmse_db(r, c):
+        sym = 4
+        err = r.channel_est_rg[:, sym, :] - c.true_channel[:, sym, :]
+        e = np.sum(np.abs(err) ** 2) / np.sum(np.abs(c.true_channel[:, sym, :]) ** 2)
+        return 10.0 * np.log10(e)
+
+    f = np.mean([nmse_db(r, c) for r, c in zip(fixed, cases)])
+    a = np.mean([nmse_db(r, c) for r, c in zip(auto, cases)])
+    assert a < f - 2.0, f"auto {a:.2f} dB vs fixed {f:.2f} dB"
+    # non-wiener problems pass through wiener_auto_delay untouched
+    plain = _problem(synthetic.make_case(seed=9, n_prbs=24, n_layers=1))
+    r1 = serving.process([plain], batch_size=2, matmul_precision=None)
+    r2 = serving.process([plain], batch_size=2, matmul_precision=None,
+                         wiener_auto_delay=grid)
+    np.testing.assert_array_equal(r1[0].channel_est_rg, r2[0].channel_est_rg)
+
+
 def test_tracked_server_gains_across_soundings():
     """TrackedServer threads per-stream state: re-sounding the same channels with
     fresh noise must reduce NMSE vs truth across calls (multi-slot tracking)."""
