@@ -132,6 +132,64 @@ def estimate_delay_spread(problem: Problem) -> float:
     return float(np.sqrt(np.sum(w * dist**2)) / (m * df))
 
 
+def estimate_doppler(problem: Problem) -> float:
+    """Doppler spread (Hz, uniform-spread model half-width F) of one problem.
+
+    Host-side numpy companion to `estimate_delay_spread`, for the time axis:
+    per-DM-RS-symbol LS estimates (CDM group 0, pair-averaged) give the
+    time-correlation magnitudes |r(Δt)| across all symbol pairs; under a
+    uniform per-tap Doppler model (f ~ U[-F, F], ρ(Δt) = sinc(2FΔt)) the
+    small-angle expansion log|r| = log p - (2πF)²Δt²/6 is a line in Δt², so a
+    least-squares fit over the pairs separates the power intercept from the
+    decay slope — no noise-variance estimate needed when the hop has ≥ 3 DM-RS
+    symbols (2-symbol hops fall back to a noise-corrected single-ratio).
+    Magnitudes are CFO-invariant (CFO rotates whole symbols). Jakes max
+    Doppler ≈ 1.22 F. Returns 0.0 for single-DM-RS-symbol hops.
+
+    Accuracy (synthetic, 10 dB SNR, 52 PRB): medians 0/72/234/519 Hz for true
+    F = 0/100/300/600 — a reliable ordering signal for `process`'s
+    auto_time_interp_hz mode-selection threshold.
+    """
+    from .models.plan import make_plan
+
+    n_layers = int(problem.pilots.shape[-1])
+    plan = make_plan(problem.hop1, problem.hop2, problem.config, n_layers)
+    hp = plan.hop1
+    if hp.n_dsym < 2:
+        return 0.0
+    rg = np.asarray(problem.received_rg)
+    pil = np.asarray(problem.pilots).astype(np.complex128)
+    h = rg[hp.re_idx[0][:, None], hp.dmrs_sym_idx[None, :]] * np.conj(pil[:, : hp.n_dsym, 0])
+    l0, l1 = hp.layer_slices[0]
+    if l1 - l0 == 2 and h.shape[0] % 2 == 0:
+        h = 0.5 * (h[0::2] + h[1::2])
+
+    cfg = problem.config
+    cpds = cfg.cp_durations_np * cfg.scs_hz / 1000.0  # symbol-duration units
+    vec = np.empty(14)
+    vec[0] = cpds[0]
+    vec[1:] = cpds[1:14] + 1.0
+    t = np.cumsum(vec)[hp.dmrs_sym_idx] / cfg.scs_hz  # seconds
+
+    n = hp.n_dsym
+    xs, ys = [], []
+    for j in range(n):
+        for k in range(j + 1, n):
+            r = np.abs(np.mean(h[:, k] * np.conj(h[:, j])))
+            xs.append((t[k] - t[j]) ** 2)
+            ys.append(np.log(max(r, 1e-30)))
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    if np.unique(np.round(xs, 16)).size >= 2:
+        b = np.polyfit(xs, ys, 1)[0]
+        return float(np.sqrt(max(-b, 0.0) * 6.0) / (2.0 * np.pi))
+    # single pair gap: noise-correct the power from frequency-adjacent diffs
+    sig2 = float(np.mean(np.abs(np.diff(h[:, 0])) ** 2)) / 2.0
+    p = max(float(np.mean(np.abs(h) ** 2)) - sig2, 1e-30)
+    ratio = min(float(np.exp(ys[0])) / p, 1.0 - 1e-9)
+    return float(np.sqrt(max(-np.log(ratio), 0.0) * 6.0) / (2.0 * np.pi * np.sqrt(xs[0])))
+
+
 def _snap_wiener_delay(problems: List[Problem], grid) -> List[Problem]:
     """Replace each wiener problem's delay-spread prior with the nearest grid
     value (log-spaced snap) to its measured delay spread. The grid bounds the
@@ -177,6 +235,7 @@ def process(
     params=None,
     inflight: int = 3,
     wiener_auto_delay=None,
+    auto_time_interp_hz: Optional[float] = None,
 ) -> List[ServeResult]:
     """Estimate a heterogeneous list of problems; results in submission order.
 
@@ -201,12 +260,30 @@ def process(
     nearest grid value, so every problem is served with a matched MMSE prior —
     runtime adaptivity via plan bucketing instead of in-graph branching (a
     vmapped lax.switch would execute every branch for every problem).
+
+    `auto_time_interp_hz`: optional Doppler threshold (Hz). Problems whose
+    measured Doppler spread (`estimate_doppler`) exceeds it are served with
+    time_interp="linear" (per-DM-RS-symbol smoothing + time interpolation,
+    ~3-4x the serve cost); static channels keep the cheap reference-style
+    broadcast path. Same bucketing mechanism as wiener_auto_delay.
     """
     import dataclasses as _dc
     from collections import deque
 
     if wiener_auto_delay is not None:
         problems = _snap_wiener_delay(problems, wiener_auto_delay)
+    if auto_time_interp_hz is not None:
+        thr = float(auto_time_interp_hz)
+        problems = [
+            _dc.replace(p, config=_dc.replace(p.config, time_interp="linear"))
+            if (
+                p.config.time_interp == "none"
+                and p.config.smoothing != "learned2d"
+                and estimate_doppler(p) > thr
+            )
+            else p
+            for p in problems
+        ]
 
     buckets: Dict[Tuple, List[int]] = {}
     for i, p in enumerate(problems):

@@ -143,6 +143,39 @@ def test_wiener_auto_delay_matches_prior_to_channel():
     np.testing.assert_array_equal(r1[0].channel_est_rg, r2[0].channel_est_rg)
 
 
+def test_doppler_estimator_and_auto_time_interp():
+    """Static channels read ~0 Hz and stay on the broadcast path; Doppler
+    channels read high, get switched to time_interp, and track better."""
+    static = synthetic.make_case(seed=4, n_prbs=52, n_layers=1, snr_db=30.0, cfo_hz=0.0)
+    moving = synthetic.make_case(seed=5, n_prbs=52, n_layers=1, snr_db=30.0,
+                                 cfo_hz=0.0, doppler_hz=600.0)
+    f_static = serving.estimate_doppler(_problem(static))
+    f_moving = serving.estimate_doppler(_problem(moving))
+    assert f_static < 120.0, f_static
+    assert f_moving > 250.0, f_moving
+
+    problems = [_problem(static), _problem(moving)]
+    plain = serving.process(problems, batch_size=2, matmul_precision=None)
+    auto = serving.process(problems, batch_size=2, matmul_precision=None,
+                           auto_time_interp_hz=150.0)
+    # static problem: config untouched (same estimate up to batch-shape float
+    # reassociation — the bucket composition changes when the moving problem
+    # switches signature)
+    np.testing.assert_allclose(
+        plain[0].channel_est_rg, auto[0].channel_est_rg, rtol=2e-5, atol=1e-6
+    )
+
+    def nmse_db(r, c, sym):
+        err = r.channel_est_rg[:, sym, :] - c.true_channel[:, sym, :]
+        e = np.sum(np.abs(err) ** 2) / np.sum(np.abs(c.true_channel[:, sym, :]) ** 2)
+        return 10.0 * np.log10(e)
+
+    # moving problem: time interpolation must track far better at a mid-slot
+    # symbol (6 sits between DM-RS symbols 4 and 9)
+    gain = nmse_db(plain[1], moving, 6) - nmse_db(auto[1], moving, 6)
+    assert gain > 5.0, f"time-interp gain only {gain:.2f} dB"
+
+
 def test_tracked_server_gains_across_soundings():
     """TrackedServer threads per-stream state: re-sounding the same channels with
     fresh noise must reduce NMSE vs truth across calls (multi-slot tracking)."""
