@@ -203,10 +203,16 @@ def cmd_quality(args) -> int:
     print("\nMulti-slot tracking (static channel, 0 dB SNR, NMSE dB vs truth):")
     print(f"  single slot (reference): {ttable['single_slot_db']:7.2f}")
     print(f"  tracked, 8 slots (ours): {ttable['tracked_8slots_db']:7.2f}")
+    atable = quality.delay_adapt_sweep(n_cases=min(6, args.cases), n_prbs=args.n_prbs)
+    print("\nAuto-matched MMSE prior (serving wiener_auto_delay, 10 dB SNR, NMSE dB):")
+    print("channel class    fixed 250ns    auto-matched")
+    for label, row in atable.items():
+        print(f"{label:15s} {row['fixed_db']:11.2f} {row['auto_db']:15.2f}")
     if args.report:
         Path(args.report).write_text(
             json.dumps(
-                {"snr": table, "doppler": dtable, "cfo": ctable, "tracking": ttable},
+                {"snr": table, "doppler": dtable, "cfo": ctable, "tracking": ttable,
+                 "delay_adapt": atable},
                 indent=2,
             )
         )

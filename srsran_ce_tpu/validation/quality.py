@@ -102,6 +102,59 @@ def doppler_sweep(
     return out
 
 
+def delay_adapt_sweep(
+    snr_db: float = 10.0,
+    n_cases: int = 6,
+    grid: Sequence[float] = (1e-9, 5e-8, 1.25e-7, 2.5e-7, 5e-7, 1e-6),
+    **case_kwargs,
+) -> Dict[str, Dict[str, float]]:
+    """Fixed-prior vs auto-matched MMSE prior (serving.wiener_auto_delay), NMSE
+    (dB) vs ground truth across channel dispersion classes (tap counts span
+    flat -> rich multipath; the fixed prior is the 250 ns default)."""
+    from .. import serving
+
+    kw = dict(n_prbs=52, n_layers=1, cfo_hz=0.0)
+    kw.update(case_kwargs)
+    out: Dict[str, Dict[str, float]] = {}
+    for label, taps in (("flat_1tap", 1), ("default_6tap", 6), ("rich_12tap", 12)):
+        cases = [
+            synthetic.make_case(
+                seed=940 + i, snr_db=snr_db, smoothing="wiener", n_taps=taps, **kw
+            )
+            for i in range(n_cases)
+        ]
+        probs = [
+            serving.Problem(
+                c.received_rg.astype(np.complex64),
+                c.pilots.astype(np.complex64),
+                1.0,
+                c.hop1,
+                c.hop2,
+                c.config,
+            )
+            for c in cases
+        ]
+
+        def nmse_db(results) -> float:
+            err = den = 0.0
+            for r, c in zip(results, cases):
+                hop = c.hop1
+                sc = slice(NRE * hop.prb_start, NRE * (hop.prb_start + hop.n_prbs))
+                est = r.channel_est_rg[sc, :, :]
+                tru = c.true_channel[sc, :, :]
+                err += float(np.sum(np.abs(est - tru) ** 2))
+                den += float(np.sum(np.abs(tru) ** 2))
+            return 10.0 * float(np.log10(err / den + 1e-300))
+
+        fixed = serving.process(probs, batch_size=max(4, n_cases), matmul_precision=None)
+        auto = serving.process(
+            probs, batch_size=max(4, n_cases), matmul_precision=None,
+            wiener_auto_delay=tuple(grid),
+        )
+        out[label] = {"fixed_db": nmse_db(fixed), "auto_db": nmse_db(auto)}
+    return out
+
+
 def tracking_sweep(
     n_slots: int = 8,
     snr_db: float = 0.0,
