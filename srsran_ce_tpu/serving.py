@@ -74,6 +74,32 @@ class ServeResult:
     cfo_hz: float
 
 
+def _hop1_pilot_estimates(problem: Problem):
+    """Raw LS pilot estimates on CDM group 0 of hop 1, shared by the host-side
+    measurement probes: (m, n_dsym) complex128 (pair-averaged onto the decimated
+    lattice when the group carries two OCC'd layers), the pilot-lattice spacing
+    df (Hz), and the hop plan."""
+    from .models.plan import make_plan
+
+    n_layers = int(problem.pilots.shape[-1])
+    plan = make_plan(problem.hop1, problem.hop2, problem.config, n_layers)
+    hp = plan.hop1
+    rg = np.asarray(problem.received_rg)
+    pil = np.asarray(problem.pilots).astype(np.complex128)
+    h = rg[hp.re_idx[0][:, None], hp.dmrs_sym_idx[None, :]] * np.conj(pil[:, : hp.n_dsym, 0])
+    h = h / max(abs(float(problem.beta)), 1e-30)
+    sc = hp.re_idx[0].astype(np.int64)
+    comb = int(np.median(np.diff(sc))) if sc.size > 1 else 1
+    df = comb * plan.scs_hz
+    l0, l1 = hp.layer_slices[0]
+    if l1 - l0 == 2 and h.shape[0] % 2 == 0:
+        # OCC'd partner layer cancels under adjacent-pair averaging; the
+        # decimated lattice doubles the spacing.
+        h = 0.5 * (h[0::2] + h[1::2])
+        df *= 2.0
+    return h, df, hp
+
+
 def estimate_delay_spread(problem: Problem) -> float:
     """RMS delay spread (seconds) of one problem, from its raw pilot estimates.
 
@@ -92,26 +118,8 @@ def estimate_delay_spread(problem: Problem) -> float:
     wiener_auto_delay mode to serve each problem with a matched MMSE prior —
     a mismatched `wiener_delay_spread_s` costs up to 5-8 dB channel NMSE.
     """
-    from .models.plan import make_plan
-
-    n_layers = int(problem.pilots.shape[-1])
-    plan = make_plan(problem.hop1, problem.hop2, problem.config, n_layers)
-    hp = plan.hop1
-    rg = np.asarray(problem.received_rg)
-    pil = np.asarray(problem.pilots).astype(np.complex128)
-
-    rx = rg[hp.re_idx[0][:, None], hp.dmrs_sym_idx[None, :]]  # (n_re, n_dsym)
-    h = np.mean(rx * np.conj(pil[:, : hp.n_dsym, 0]), axis=1)
-    h = h / max(abs(float(problem.beta)), 1e-30)
-    sc = hp.re_idx[0].astype(np.int64)
-    comb = int(np.median(np.diff(sc))) if sc.size > 1 else 1
-    df = comb * plan.scs_hz
-    l0, l1 = hp.layer_slices[0]
-    if l1 - l0 == 2 and h.size % 2 == 0:
-        # OCC'd partner layer cancels under adjacent-pair averaging; the
-        # decimated lattice doubles the spacing.
-        h = 0.5 * (h[0::2] + h[1::2])
-        df *= 2.0
+    ht, df, _ = _hop1_pilot_estimates(problem)
+    h = np.mean(ht, axis=1)  # time-average over the hop's DM-RS symbols
     m = h.size
     if m < 8:
         return 0.0
@@ -150,19 +158,9 @@ def estimate_doppler(problem: Problem) -> float:
     F = 0/100/300/600 — a reliable ordering signal for `process`'s
     auto_time_interp_hz mode-selection threshold.
     """
-    from .models.plan import make_plan
-
-    n_layers = int(problem.pilots.shape[-1])
-    plan = make_plan(problem.hop1, problem.hop2, problem.config, n_layers)
-    hp = plan.hop1
+    h, _, hp = _hop1_pilot_estimates(problem)
     if hp.n_dsym < 2:
         return 0.0
-    rg = np.asarray(problem.received_rg)
-    pil = np.asarray(problem.pilots).astype(np.complex128)
-    h = rg[hp.re_idx[0][:, None], hp.dmrs_sym_idx[None, :]] * np.conj(pil[:, : hp.n_dsym, 0])
-    l0, l1 = hp.layer_slices[0]
-    if l1 - l0 == 2 and h.shape[0] % 2 == 0:
-        h = 0.5 * (h[0::2] + h[1::2])
 
     cfg = problem.config
     cpds = cfg.cp_durations_np * cfg.scs_hz / 1000.0  # symbol-duration units

@@ -56,6 +56,9 @@ def cmd_selftest(args) -> int:
         dict(n_prbs=16, n_layers=4, comb=2, scs_hz=30e3),
         dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, cfo_compensate=False, smoothing="none"),
         dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, n_rx_ports=2),
+        dict(n_prbs=24, n_layers=2, comb=2, scs_hz=30e3, pilot_source="dmrs"),
+        dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, prb_hole=(10, 14)),
+        dict(n_prbs=16, n_layers=1, comb=2, scs_hz=30e3, pilot_source="srs", smoothing="wiener"),
     ]
     with tempfile.TemporaryDirectory() as td:
         header = synth_vectors.generate_suite(td, specs)
