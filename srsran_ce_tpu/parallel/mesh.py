@@ -41,19 +41,44 @@ def make_mesh(
     return jax.make_mesh(shape, tuple(axis_names), devices=devices, axis_types=axis_types)
 
 
-def multihost_initialize():
-    """Initialize jax.distributed for multi-host pods (no-op if single process).
+def multihost_initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize jax.distributed for multi-host pods; returns True if a
+    multi-process runtime is (now) active.
 
     The reference framework has no multi-host story; this is the JAX-native
-    equivalent of what would otherwise be an MPI/NCCL bootstrap.
+    equivalent of what would otherwise be an MPI/NCCL bootstrap. With no
+    arguments, cluster auto-detection is attempted (TPU pod metadata /
+    JAX_COORDINATOR_ADDRESS et al.); explicit arguments configure a manual
+    rendezvous (see tests/test_multiprocess.py for a live 2-process example).
+
+    Must be called BEFORE any operation that touches the XLA backend —
+    including jax.devices()/jax.process_count() — or JAX will already have
+    started a single-process runtime (this is why the idempotence guard below
+    inspects the distributed client directly rather than calling
+    jax.process_count()).
     """
     try:
-        if jax.process_count() > 1:
-            return  # already initialized
-        jax.distributed.initialize()
-    except Exception:
-        # Single-process (CPU tests, one-chip bench) — nothing to do.
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return jax.process_count() > 1  # already initialized
+    except Exception:  # pragma: no cover - private-API drift
         pass
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return jax.process_count() > 1
+    except Exception:
+        # No cluster configuration found (CPU tests, one-chip bench) —
+        # single-process operation.
+        return False
 
 
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:

@@ -56,6 +56,14 @@ def _draw_geometry(rng: np.random.Generator) -> dict:
         h0 = int(rng.integers(1, n_prbs - 2))
         h1 = int(rng.integers(h0 + 1, n_prbs))
         kw["prb_hole"] = (h0, h1)
+    if comb == 2 and rng.random() < 0.3:
+        # standard TS 38.211 sequences instead of random QPSK pilots
+        hole = kw.get("prb_hole")
+        n_prbs_eff = n_prbs - (hole[1] - hole[0] if hole else 0)
+        if n_prbs_eff * 6 >= 36:
+            kw["pilot_source"] = str(rng.choice(["dmrs", "srs"]))
+        else:
+            kw["pilot_source"] = "dmrs"
     return kw
 
 
