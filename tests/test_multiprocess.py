@@ -74,16 +74,70 @@ print(f"proc {pid}: MULTIPROC_OK", flush=True)
 """
 
 
-def test_two_process_distributed_dp():
+_WORKER_SP = r"""
+import os, sys
+sys.path.insert(0, os.environ["CE_REPO"])
+import jax
+from srsran_ce_tpu.parallel import mesh as mesh_lib
+
+pid = int(os.environ["CE_PROC_ID"])
+ok = mesh_lib.multihost_initialize(
+    coordinator_address=os.environ["CE_COORD"], num_processes=2, process_id=pid
+)
+assert ok and jax.process_count() == 2
+
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from srsran_ce_tpu.models import estimator
+from srsran_ce_tpu.parallel.subcarrier import build_sp_batched
+from srsran_ce_tpu.utils import oracle, synthetic
+
+# sp axis spans BOTH processes: the overlap-save halo ppermute between shard 3
+# (this side of the boundary, process 0) and shard 4 (process 1) is a genuine
+# cross-process edge-tap exchange — the north-star "halo over ICI" collective,
+# here riding the loopback coordination transport.
+mesh = mesh_lib.make_mesh((1, 8), ("dp", "sp"))
+case = synthetic.make_case(seed=321, n_prbs=16, n_layers=1, snr_db=25.0)
+rg = estimator.split_ri(case.received_rg.astype(np.complex64))[None]   # (1,2,n_sc,14)
+pil = estimator.split_ri(case.pilots.astype(np.complex64))[None]
+beta = np.ones(1, np.float32)
+
+rg_sh = NamedSharding(mesh, P("dp", None, "sp", None))
+repl = NamedSharding(mesh, P("dp"))
+n_sc = rg.shape[2]
+half = slice(pid * n_sc // 2, (pid + 1) * n_sc // 2)  # this process's 4 shards
+rg_g = jax.make_array_from_process_local_data(rg_sh, rg[:, :, half, :], rg.shape)
+pil_g = jax.make_array_from_process_local_data(repl, pil, pil.shape)
+beta_g = jax.make_array_from_process_local_data(repl, beta, beta.shape)
+
+fn = build_sp_batched(case.hop1, case.hop2, case.config, 1, mesh)
+out = fn(rg_g, pil_g, beta_g)
+ref = oracle.estimate(case.received_rg, case.pilots, 1.0, case.hop1, case.hop2, case.config)
+
+err = den = 0.0
+for shard in out.channel_est_rg.addressable_shards:
+    sc = shard.index[2]
+    got = np.asarray(shard.data)[0]
+    est = (got[0] + 1j * got[1]).astype(np.complex128)
+    tru = ref.channel_est_rg[sc]
+    err += float(np.sum(np.abs(est - tru) ** 2))
+    den += float(np.sum(np.abs(tru) ** 2))
+assert err / den < 1e-9, (pid, err / den)
+noise = float(np.asarray(out.noise_est.addressable_shards[0].data)[0])
+assert abs(noise - ref.noise_est) < 1e-6 * max(ref.noise_est, 1e-12)
+print(f"proc {pid}: sp halo-exchange across processes matches oracle", flush=True)
+print(f"proc {pid}: MULTIPROC_OK", flush=True)
+"""
+
+
+def _spawn_pair(worker: str):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
-
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {
         "PATH": os.environ.get("PATH", ""),
         "HOME": os.environ.get("HOME", "/root"),
-        # clean interpreter: no axon sitecustomize (PYTHONPATH empty), CPU platform
         "PYTHONPATH": "",
         "JAX_PLATFORMS": "cpu",
         "PALLAS_AXON_POOL_IPS": "",
@@ -91,19 +145,17 @@ def test_two_process_distributed_dp():
         "CE_REPO": repo,
         "CE_COORD": f"localhost:{port}",
     }
-    procs = []
-    for pid in range(2):
-        e = dict(env, CE_PROC_ID=str(pid))
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, "-c", _WORKER],
-                env=e,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
-                cwd=repo,
-            )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker],
+            env=dict(env, CE_PROC_ID=str(pid)),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=repo,
         )
+        for pid in range(2)
+    ]
     outs = []
     for p in procs:
         try:
@@ -116,3 +168,15 @@ def test_two_process_distributed_dp():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert "MULTIPROC_OK" in out, f"proc {pid} incomplete:\n{out}"
+
+
+def test_two_process_sp_halo_exchange():
+    """Subcarrier sharding with the sp axis spanning two processes: the RC-filter
+    halo exchange crosses the process boundary and must still be oracle-exact."""
+    _spawn_pair(_WORKER_SP)
+
+
+def test_two_process_distributed_dp():
+    """Distributed rendezvous, cross-process barrier, and dp-sharded estimation
+    from process-local data."""
+    _spawn_pair(_WORKER)
