@@ -747,10 +747,17 @@ def split_ri(x: np.ndarray) -> np.ndarray:
 
 
 def merge_ri(x_ri: np.ndarray) -> np.ndarray:
-    """Host-side (2, ...) real-pair -> complex conversion."""
+    """Host-side (2, ...) real-pair -> complex conversion.
+
+    Writes through .real/.imag views: two plain copy passes, no complex-multiply
+    temporaries (`re + 1j*im` costs ~3 full passes plus two temporaries — it
+    dominated serving's host-side scatter before this)."""
     x_ri = np.asarray(x_ri)
     cdt = np.complex128 if x_ri.dtype == np.float64 else np.complex64
-    return (x_ri[0] + 1j * x_ri[1]).astype(cdt)
+    out = np.empty(x_ri.shape[1:], cdt)
+    out.real = x_ri[0]
+    out.imag = x_ri[1]
+    return out
 
 
 @functools.lru_cache(maxsize=256)

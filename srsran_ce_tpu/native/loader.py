@@ -71,6 +71,14 @@ def _get_lib() -> ctypes.CDLL:
                 ctypes.c_int64,
                 ctypes.c_int64,
             ]
+        lib.ri_to_complex_mt.restype = None
+        lib.ri_to_complex_mt.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
         lib.assemble_batch_ri.restype = None
         lib.assemble_batch_ri.argtypes = [
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
@@ -132,14 +140,21 @@ def complex_to_ri(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def ri_to_complex(x: np.ndarray) -> np.ndarray:
-    """(B, 2, ...) float32 planar -> (B, ...) complex64, native speed."""
+def ri_to_complex(x: np.ndarray, n_threads: int = 0) -> np.ndarray:
+    """(B, 2, ...) float32 planar -> (B, ...) complex64, native speed.
+
+    n_threads > 1 splits the interleave over problems (serving result-scatter
+    merges whole output batches this way); 0 = auto (min(8, cpu count))."""
+    import os
+
     lib = _get_lib()
     x = np.ascontiguousarray(x, dtype=np.float32)
     b = x.shape[0]
     n = x.size // (2 * b)
     out = np.empty((b,) + x.shape[2:], np.complex64)
-    lib.ri_to_complex(_f32p(x), _f32p(out.view(np.float32)), b, n)
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.ri_to_complex_mt(_f32p(x), _f32p(out.view(np.float32)), b, n, n_threads)
     return out
 
 

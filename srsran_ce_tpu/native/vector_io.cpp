@@ -123,4 +123,30 @@ void ri_to_complex(const float* planar, float* interleaved, int64_t b, int64_t n
   }
 }
 
+// Threaded ri_to_complex: the serving result-scatter path merges whole output
+// batches ((B, 2, grid) -> (B, grid) complex64); splitting over problems
+// parallelizes the interleave the same way assemble_batch_ri parallelizes the
+// deinterleave on the input side.
+void ri_to_complex_mt(const float* planar, float* interleaved, int64_t b, int64_t n,
+                      int32_t n_threads) {
+  n_threads = std::max<int32_t>(1, std::min<int32_t>(n_threads, (int32_t)b));
+  if (n_threads == 1) return ri_to_complex(planar, interleaved, b, n);
+  std::vector<std::thread> ts;
+  ts.reserve(n_threads);
+  for (int32_t t = 0; t < n_threads; ++t) {
+    ts.emplace_back([=]() {
+      for (int64_t i = t; i < b; i += n_threads) {
+        float* dst = interleaved + 2 * i * n;
+        const float* src_re = planar + 2 * i * n;
+        const float* src_im = src_re + n;
+        for (int64_t j = 0; j < n; ++j) {
+          dst[2 * j] = src_re[j];
+          dst[2 * j + 1] = src_im[j];
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
 }  // extern "C"
