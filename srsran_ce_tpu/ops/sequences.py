@@ -117,10 +117,56 @@ def dmrs_c_init(
     )
 
 
-# DM-RS configuration type 1 frequency cover code w_f(k') per antenna port
-# (TS 38.211 Table 6.4.1.1.3-1): ports {0,1} share CDM group 0 (even REs of the
-# comb), ports {2,3} CDM group 1; within a group the second port alternates sign.
+# DM-RS frequency cover code w_f(k') per antenna port (TS 38.211 Tables
+# 6.4.1.1.3-1/-2): within a CDM group the second port alternates sign over k'.
+# Config type 1: CDM group λ rides the comb offset Δ = λ (6 REs/PRB, k = 4n+2k'+Δ).
+# Config type 2: CDM group λ rides two adjacent-RE clusters per PRB at
+# Δ = 2λ (4 REs/PRB, k = 6n+k'+Δ). Both map sequence ordinal m = 2n + k'.
 _OCC2_WF = {0: (1.0, 1.0), 1: (1.0, -1.0)}
+
+
+def dmrs_re_mask(config_type: int, n_cdm: int = 1) -> np.ndarray:
+    """(12, n_cdm) per-PRB DM-RS RE mask of TS 38.211 §6.4.1.1.3.
+
+    Type 1: CDM group λ occupies the comb-2 offsets {Δ, Δ+2, .., Δ+10}, Δ = λ
+    (6 REs/PRB; λ in 0..1). Type 2: CDM group λ occupies the adjacent pairs
+    {Δ, Δ+1, Δ+6, Δ+7}, Δ = 2λ (4 REs/PRB; λ in 0..2).
+    """
+    mask = np.zeros((NRE, n_cdm), dtype=bool)
+    if config_type == 1:
+        if not 1 <= n_cdm <= 2:
+            raise ValueError(f"DM-RS type 1 has 2 CDM groups, got n_cdm={n_cdm}")
+        for lam in range(n_cdm):
+            mask[lam::2, lam] = True
+    elif config_type == 2:
+        if not 1 <= n_cdm <= 3:
+            raise ValueError(f"DM-RS type 2 has 3 CDM groups, got n_cdm={n_cdm}")
+        for lam in range(n_cdm):
+            for k in (2 * lam, 2 * lam + 1, 2 * lam + 6, 2 * lam + 7):
+                mask[k, lam] = True
+    else:
+        raise ValueError(f"DM-RS configuration type must be 1 or 2: {config_type}")
+    return mask
+
+
+def _dmrs_sequence_ordinals(
+    sc_idx: np.ndarray, delta: int, config_type: int, comb: int
+) -> np.ndarray:
+    """Sequence ordinals m of pilot subcarriers (anchored at grid PRB 0).
+
+    Type 1: k = 4n + 2k' + Δ  ->  m = 2n + k' = (k - Δ) / comb (standard comb = 2;
+            wider combs generalize the same uniform-lattice rule).
+    Type 2: k = 6n + k' + Δ   ->  m = 2n + k' = 2*((k-Δ) // 6) + (k-Δ) % 6.
+    In both, w_f alternates with k' = m mod 2.
+    """
+    off = sc_idx - delta
+    if config_type == 1:
+        if np.any(off % comb):
+            raise ValueError(f"type-1 DM-RS RE mask is not a comb-{comb} at offset Δ")
+        return off // comb
+    if np.any(off % 6 > 1):
+        raise ValueError("type-2 DM-RS RE mask is not adjacent pairs at offset Δ")
+    return 2 * (off // 6) + off % 6
 
 
 def pusch_dmrs_pilots(
@@ -129,32 +175,40 @@ def pusch_dmrs_pilots(
     slot: int,
     n_id: int,
     n_scid: int = 0,
+    config_type: int = 1,
 ) -> np.ndarray:
-    """Standard DM-RS (configuration type 1) pilots for one hop, framework layout.
+    """Standard DM-RS (configuration type 1 or 2) pilots for one hop, framework layout.
 
     Returns (n_re, n_dsym, n_layers) complex128 where n_re = n_prbs * pilots-per-PRB
     of CDM group 0 — the layout `models/estimator.estimate` consumes (layer pairs
     [0,1] ride CDM group 0, [2,3] CDM group 1; both groups carry the *same*
-    scrambling sequence mapped onto their own comb offsets, §6.4.1.1.3).
+    scrambling sequence mapped onto their own frequency offsets, §6.4.1.1.3).
 
     The per-symbol sequence is r(m) with c_init = dmrs_c_init(slot, l, ...) and the
     sequence ordinals anchored at the grid reference point (PRB 0) and derived from
     the hop's *actual* PRB mask — hops at different PRB starts, and allocations with
     interior maskPRBs holes, take exactly the slice of the slot-wide sequence the
-    standard maps onto their REs. OCC-2 w_f from Table 6.4.1.1.3-1 separates the
-    two ports of a CDM group — the exact ±1 alternation the estimator's CDM
-    pair-averaging inverts.
+    standard maps onto their REs. OCC-2 w_f from Tables 6.4.1.1.3-1/-2 separates
+    the two ports of a CDM group — the exact ±1 alternation the estimator's CDM
+    pair-averaging inverts (type 2's k' pairs are *adjacent* subcarriers, so the
+    constant-channel pairing assumption is even stronger than type 1's).
     """
     if not 1 <= n_layers <= 4:
-        raise ValueError(f"DM-RS type 1 supports 1..4 layers, got {n_layers}")
+        raise ValueError(f"DM-RS supports 1..4 layers here, got {n_layers}")
+    if config_type not in (1, 2):
+        raise ValueError(f"DM-RS configuration type must be 1 or 2: {config_type}")
     re_mask = hop.dmrs_re_mask_np  # (12, n_cdm)
     per_prb = int(re_mask[:, 0].sum())
     comb = NRE // per_prb
+    if config_type == 2 and per_prb != 4:
+        raise ValueError(
+            f"DM-RS type 2 has 4 REs/PRB per CDM group, hop RE mask has {per_prb}"
+        )
     sym_idx = np.nonzero(hop.dmrs_symbol_mask_np)[0]
     # Sequence ordinals of the hop's pilot REs, anchored at PRB 0 of the grid.
     sc_idx = np.nonzero(np.kron(hop.prb_mask_np, re_mask[:, 0]))[0]
-    delta = int(np.nonzero(re_mask[:, 0])[0][0])  # comb offset of CDM group 0
-    m_idx = (sc_idx - delta) // comb
+    delta = int(np.nonzero(re_mask[:, 0])[0][0])  # frequency offset of CDM group 0
+    m_idx = _dmrs_sequence_ordinals(sc_idx, delta, config_type, comb)
     n_re = m_idx.size
 
     pilots = np.zeros((n_re, len(sym_idx), n_layers), dtype=np.complex128)
@@ -188,6 +242,14 @@ def zadoff_chu(q: int, n_zc: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=256)
 def _low_papr_cached(u: int, v: int, m_zc: int) -> np.ndarray:
+    if m_zc == 30:
+        # TS 38.211 §5.2.2.2: for M_ZC = 30 the base sequence is given in closed
+        # form, r̄(n) = exp(-j π (u+1)(n+1)(n+2) / 31) — a length-31 Zadoff-Chu of
+        # root u+1 sampled at m = n+1 (no cyclic extension, no φ table).
+        n = np.arange(30, dtype=np.float64)
+        out = np.exp(-1j * np.pi * (u + 1) * (n + 1.0) * (n + 2.0) / 31.0)
+        out.setflags(write=False)
+        return out
     n_zc = largest_prime_below(m_zc)
     qbar = n_zc * (u + 1) / 31.0
     q = int(np.floor(qbar + 0.5)) + v * (-1) ** int(np.floor(2.0 * qbar))
@@ -198,19 +260,22 @@ def _low_papr_cached(u: int, v: int, m_zc: int) -> np.ndarray:
 
 
 def low_papr_base_sequence(u: int, v: int, m_zc: int) -> np.ndarray:
-    """Base sequence r̄_{u,v}(n), n = 0..M_ZC-1, for M_ZC >= 36 (TS 38.211
-    §5.2.2.1): cyclically-extended Zadoff-Chu of root q(u, v) and length
-    N_ZC = largest prime < M_ZC. Group u in 0..29, base number v in {0, 1}
-    (v = 1 only defined for M_ZC >= 72, i.e. 6+ PRBs at comb-2).
+    """Base sequence r̄_{u,v}(n), n = 0..M_ZC-1 (TS 38.211 §5.2.2).
 
-    Lengths below 36 use tabulated computer-generated sequences in the spec
-    (Tables 5.2.2.2-1..4) which are not reproduced here — allocations that small
-    (< 3 PRBs at comb-2) raise, rather than silently substituting wrong pilots.
+    M_ZC >= 36 (§5.2.2.1): cyclically-extended Zadoff-Chu of root q(u, v) and
+    length N_ZC = largest prime < M_ZC. M_ZC = 30 (§5.2.2.2): the closed-form
+    length-31 ZC expression (5 PRBs at comb-2 / 10 at comb-4). Group u in 0..29,
+    base number v in {0, 1} (v = 1 only defined for M_ZC >= 72).
+
+    Lengths in {6, 12, 18, 24} use tabulated computer-generated φ(n) sequences in
+    the spec (Tables 5.2.2.2-1..4); the tables are not available in this
+    environment, so those lengths raise rather than silently substituting wrong
+    pilots — use >= 5 PRBs at comb-2 (M_ZC = 30) or >= 6 (M_ZC >= 36).
     """
-    if m_zc < 36:
+    if m_zc < 36 and m_zc != 30:
         raise ValueError(
-            f"M_ZC={m_zc} < 36 requires the tabulated short sequences of TS 38.211 "
-            "§5.2.2.2 (not implemented); use >= 3 PRBs at comb-2 / 6 at comb-4."
+            f"M_ZC={m_zc} requires the tabulated short sequences of TS 38.211 "
+            "§5.2.2.2 Tables -1..-4 (not implemented); supported: M_ZC == 30 or >= 36."
         )
     if not 0 <= u < 30:
         raise ValueError(f"sequence group u must be in 0..29: {u}")

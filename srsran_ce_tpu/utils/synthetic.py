@@ -102,6 +102,7 @@ def make_case(
     noise_seed: Optional[int] = None,
     pilot_source: str = "qpsk",
     prb_hole: Optional[Tuple[int, int]] = None,
+    dmrs_type: int = 1,
 ) -> SyntheticCase:
     """Build one synthetic estimation problem plus its ground-truth channel.
 
@@ -126,7 +127,16 @@ def make_case(
     """
     rng = np.random.default_rng(seed)
     n_cdm = math.ceil(n_layers / 2)
-    re_mask = comb_re_mask(comb, n_cdm)
+    if dmrs_type == 2:
+        # DM-RS configuration type 2 (TS 38.211 §6.4.1.1.3): adjacent-pair clusters,
+        # 4 REs/PRB per CDM group; only meaningful with standard pilots.
+        if pilot_source != "dmrs":
+            raise ValueError("dmrs_type=2 requires pilot_source='dmrs'")
+        from ..ops import sequences as _seq
+
+        re_mask = _seq.dmrs_re_mask(2, n_cdm)
+    else:
+        re_mask = comb_re_mask(comb, n_cdm)
     dmrs_per_prb = int(re_mask[:, 0].sum())
     n_re = n_prbs * dmrs_per_prb
 
@@ -226,7 +236,11 @@ def make_case(
         per_hop = []
         for hop in hop_cfgs:
             if pilot_source == "dmrs":
-                per_hop.append(sequences.pusch_dmrs_pilots(hop, n_layers, slot, n_id))
+                per_hop.append(
+                    sequences.pusch_dmrs_pilots(
+                        hop, n_layers, slot, n_id, config_type=dmrs_type
+                    )
+                )
             else:
                 per_hop.append(
                     sequences.srs_pilots(hop, n_layers, slot, n_id, hopping="groupHopping")

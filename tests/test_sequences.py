@@ -208,3 +208,108 @@ def test_default_qpsk_draws_unchanged():
     b = synthetic.make_case(seed=5, n_prbs=4, pilot_source="qpsk")
     np.testing.assert_array_equal(a.received_rg, b.received_rg)
     np.testing.assert_array_equal(a.pilots, b.pilots)
+
+
+# ---------------------------------------------------------------------------
+# Short low-PAPR sequences (M_ZC = 30) and DM-RS configuration type 2
+# ---------------------------------------------------------------------------
+
+
+def test_low_papr_m30_closed_form():
+    """TS 38.211 §5.2.2.2: M_ZC = 30 is the length-31 ZC of root u+1 at m = n+1."""
+    n = np.arange(30, dtype=np.float64)
+    for u in (0, 7, 29):
+        seq = sequences.low_papr_base_sequence(u, 0, 30)
+        expect = np.exp(-1j * np.pi * (u + 1) * (n + 1.0) * (n + 2.0) / 31.0)
+        np.testing.assert_allclose(seq, expect, atol=1e-12)
+        np.testing.assert_allclose(np.abs(seq), 1.0, atol=1e-12)
+        assert sequences.papr_db(seq) < 5.0
+    # distinct groups give distinct sequences; v=1 undefined below 72
+    assert np.abs(
+        sequences.low_papr_base_sequence(0, 0, 30)
+        - sequences.low_papr_base_sequence(1, 0, 30)
+    ).max() > 0.1
+    with pytest.raises(ValueError):
+        sequences.low_papr_base_sequence(0, 1, 30)
+    # the four tabulated lengths still raise rather than guess
+    for m_zc in (6, 12, 18, 24):
+        with pytest.raises(ValueError):
+            sequences.low_papr_base_sequence(0, 0, m_zc)
+
+
+def test_srs_5prb_comb2_end_to_end():
+    """5 PRBs at comb-2 is M_ZC = 30 — previously unsupported, now closed-form."""
+    case = synthetic.make_case(seed=11, snr_db=25.0, n_prbs=5, n_layers=2,
+                               pilot_source="srs")
+    res_j = estimator.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    res_o = oracle.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    ch_j, ch_o = np.asarray(res_j.channel_est_rg), res_o.channel_est_rg
+    nmse = np.sum(np.abs(ch_j - ch_o) ** 2) / np.sum(np.abs(ch_o) ** 2)
+    assert nmse < 1e-18
+
+
+def test_dmrs_type2_mask_layout():
+    m = sequences.dmrs_re_mask(2, 3)
+    assert m.shape == (12, 3)
+    for lam in range(3):
+        np.testing.assert_array_equal(
+            np.nonzero(m[:, lam])[0], [2 * lam, 2 * lam + 1, 2 * lam + 6, 2 * lam + 7]
+        )
+    # type 1 helper matches the comb builder used everywhere else
+    np.testing.assert_array_equal(
+        sequences.dmrs_re_mask(1, 2), synthetic.comb_re_mask(2, 2)
+    )
+    with pytest.raises(ValueError):
+        sequences.dmrs_re_mask(3, 1)
+    with pytest.raises(ValueError):
+        sequences.dmrs_re_mask(2, 4)
+
+
+def test_dmrs_type2_pilots_occ_and_ordinals():
+    import math
+
+    from srsran_ce_tpu.config import HopConfig
+
+    n_prbs, n_layers = 12, 4
+    re_mask = sequences.dmrs_re_mask(2, math.ceil(n_layers / 2))
+    sym_mask = np.zeros(14, bool)
+    sym_mask[[2, 7, 11]] = True
+    hop = HopConfig.make(sym_mask, re_mask, 0, n_prbs, np.ones(n_prbs, bool), 0, 14)
+    p = sequences.pusch_dmrs_pilots(hop, n_layers, slot=5, n_id=301, config_type=2)
+    assert p.shape == (n_prbs * 4, 3, n_layers)
+    np.testing.assert_allclose(np.abs(p), 1.0, atol=1e-12)
+    # w_f alternates with k' = m mod 2; for a contiguous type-2 allocation the
+    # selected REs are consecutive ordinals, so ports alternate sign per RE
+    occ = np.where(np.arange(p.shape[0]) % 2 == 0, 1.0, -1.0)
+    np.testing.assert_allclose(p[:, :, 1], p[:, :, 0] * occ[:, None], atol=1e-12)
+    np.testing.assert_allclose(p[:, :, 3], p[:, :, 2] * occ[:, None], atol=1e-12)
+    # both CDM groups carry the same scrambling sequence (mapped to own offsets)
+    np.testing.assert_allclose(p[:, :, 2], p[:, :, 0], atol=1e-12)
+    # a type-1 mask with config_type=2 is rejected
+    hop1 = _hop(n_prbs=n_prbs)
+    with pytest.raises(ValueError):
+        sequences.pusch_dmrs_pilots(hop1, 1, slot=0, n_id=1, config_type=2)
+
+
+def test_dmrs_type2_end_to_end():
+    """Type-2 adjacent-pair CDM flows through the estimator's pair averaging."""
+    case = synthetic.make_case(seed=21, snr_db=30.0, n_prbs=24, n_layers=4,
+                               pilot_source="dmrs", dmrs_type=2, cfo_hz=0.0)
+    res_j = estimator.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    res_o = oracle.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
+    ch_j, ch_o = np.asarray(res_j.channel_est_rg), res_o.channel_est_rg
+    nmse = np.sum(np.abs(ch_j - ch_o) ** 2) / np.sum(np.abs(ch_o) ** 2)
+    assert nmse < 1e-18
+    # and the estimate tracks the true channel (layer separation works)
+    sym = 7
+    err = res_o.channel_est_rg[:, sym, :] - case.true_channel[:, sym, :]
+    nmse_true = np.sum(np.abs(err) ** 2) / np.sum(np.abs(case.true_channel[:, sym, :]) ** 2)
+    assert nmse_true < 1e-2, f"channel NMSE vs truth {nmse_true}"
