@@ -43,6 +43,36 @@ class EstimateResult:
     cfo_hz: jnp.ndarray  # scalar real, Hz (NaN if not estimable)
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class FactoredResult:
+    """Rank-1 factored serving output (`out_layout="factored"`).
+
+    When time interpolation is off, the dense grid the reference materializes is
+    exactly rank-1 in time per hop: each hop broadcasts one smoothed frequency
+    profile across its allocated symbols (ce_rule_baseline.py:333-358) and the
+    final CFO rotation is a per-symbol scalar (ce_rule_baseline.py:938-945). So
+
+        channel_est_rg[sc, sym, l] == profiles[h, l, sc] * sym_rot[sym]
+
+    for `sym` in hop h's allocated symbol range and zero elsewhere (hop symbol
+    ranges never overlap — reference assert, ce_rule_baseline.py:877-885).
+    Returning the factors instead of the product shrinks the output ~n_sym x
+    (14x for a full slot): the write cost and the device->host transfer of a
+    serving pipeline drop with it, and a downstream equalizer can fold
+    `sym_rot` into its own per-symbol pass instead of ever expanding the grid.
+    Use `estimator.reconstruct_factored` to expand to the reference layout.
+    """
+
+    profiles: jnp.ndarray  # (n_hops, n_layers, n_sc) complex — zero outside band
+    sym_rot: jnp.ndarray  # (n_sym,) complex — CFO rotation (ones when off)
+    noise_est: jnp.ndarray  # scalar real
+    rsrp: jnp.ndarray  # scalar real
+    epre: jnp.ndarray  # scalar real
+    time_alignment: jnp.ndarray  # scalar real, seconds
+    cfo_hz: jnp.ndarray  # scalar real, Hz (NaN if not estimable)
+
+
 def prefetch_plan_constants(plan: EstimatorPlan) -> None:
     """Eagerly compute device-resident plan constants (the CNN inpainting operators)
     BEFORE tracing, so the jitted program captures them as baked constants instead of
@@ -556,15 +586,24 @@ def _estimate_impl(
     # (layer, sym, sc): the minor-most axis is the long frequency axis, so block
     # writes tile the full 128-lane width instead of padding a length-nL lane
     # (for nL<=4 the ref layout wastes ~97% of write bandwidth on tile padding).
-    assert out_layout in ("ref", "serve")
+    assert out_layout in ("ref", "serve", "factored")
     # out_dtype (e.g. bfloat16): reduced-precision serving output. The grid buffer
     # is then ri-layout REAL (2, ...) from the start — complex bf16 does not exist,
     # and casting at the write point is what halves the dominant HBM write cost.
     assert out_dtype is None or out_layout == "serve", "out_dtype requires serve layout"
-    grid_shape = (nL, n_sym, n_sc) if out_layout == "serve" else (n_sc, n_sym, nL)
-    if out_dtype is not None:
+    n_hops = 2 if plan.has_hop2 else 1
+    if out_layout == "factored":
+        # Rank-1-in-time output (see FactoredResult): valid only when each hop
+        # broadcasts a single frequency profile over its symbols.
+        assert plan.hop1.time_interp_mat is None and (
+            not plan.has_hop2 or plan.hop2.time_interp_mat is None
+        ), "out_layout='factored' requires time_interp='none'"
+        channel = jnp.zeros((n_hops, nL, n_sc), dtype=cdtype)
+    elif out_dtype is not None:
+        grid_shape = (nL, n_sym, n_sc) if out_layout == "serve" else (n_sc, n_sym, nL)
         channel = jnp.zeros((2,) + grid_shape, dtype=out_dtype)
     else:
+        grid_shape = (nL, n_sym, n_sc) if out_layout == "serve" else (n_sc, n_sym, nL)
         channel = jnp.zeros(grid_shape, dtype=cdtype)
     epre = jnp.zeros((), rdtype)
     noise = jnp.zeros((), rdtype)
@@ -655,7 +694,15 @@ def _estimate_impl(
     else:
         rot = jnp.ones((n_sym,), dtype=cdtype)
 
-    for (hp, _), h_p, h_t in zip(hops, h_ps, h_ts):
+    for h, ((hp, _), h_p, h_t) in enumerate(zip(hops, h_ps, h_ts)):
+        if out_layout == "factored":
+            # Store the hop's smoothed full-band profile; the symbol broadcast and
+            # CFO rotation stay factored (profiles ⊗ sym_rot, see FactoredResult).
+            full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
+            channel = jax.lax.dynamic_update_slice(
+                channel, full[None], (h, 0, hp.sc_start)
+            )
+            continue
         rot_slice = jax.lax.slice_in_dim(rot, hp.sym_start, hp.sym_start + hp.n_alloc_syms, axis=0)
         if h_t is not None:
             # Time-interpolated fill: per-symbol frequency profiles combined with
@@ -712,7 +759,10 @@ def _estimate_impl(
         if cfo is not None
         else jnp.full((), jnp.nan, dtype=rdtype)
     )
-    res = EstimateResult(channel, noise, rsrp, epre, ta, cfo_hz)
+    if out_layout == "factored":
+        res = FactoredResult(channel, rot, noise, rsrp, epre, ta, cfo_hz)
+    else:
+        res = EstimateResult(channel, noise, rsrp, epre, ta, cfo_hz)
     if track_out is not None:
         return res, track_out
     return res
@@ -760,6 +810,42 @@ def merge_ri(x_ri: np.ndarray) -> np.ndarray:
     return out
 
 
+def reconstruct_factored(
+    profiles: np.ndarray,
+    sym_rot: np.ndarray,
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    n_sym: int = 14,
+) -> np.ndarray:
+    """Expand a FactoredResult to the reference-layout dense grid (host-side).
+
+    profiles: (..., n_hops, n_layers, n_sc) complex; sym_rot: (..., n_sym) complex
+    (leading batch axes allowed; use merge_ri first if holding ri arrays).
+    Returns (..., n_sc, n_sym, n_layers) — identical to what out_layout="ref"
+    would have materialized on device up to one ulp of the final complex multiply
+    (numpy's and XLA's complex products round differently), exact where the CFO
+    rotation is 1.
+    """
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    plan = make_plan(hop1, hop2, config, n_layers)
+    hop_plans = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
+    profiles = np.asarray(profiles)
+    sym_rot = np.asarray(sym_rot)
+    *lead, n_hops, nL, n_sc = profiles.shape
+    assert n_hops == len(hop_plans), (n_hops, len(hop_plans))
+    grid = np.zeros((*lead, n_sc, n_sym, nL), dtype=profiles.dtype)
+    for h, hp in enumerate(hop_plans):
+        s0, s1 = hp.sym_start, hp.sym_start + hp.n_alloc_syms
+        prof = np.moveaxis(profiles[..., h, :, :], -2, -1)  # (..., n_sc, nL)
+        grid[..., :, s0:s1, :] = (
+            prof[..., :, None, :] * sym_rot[..., None, s0:s1, None]
+        )
+    return grid
+
+
 @functools.lru_cache(maxsize=256)
 def _build_ri_cached(
     plan_key, batched: bool, kernels: str, out_layout: str = "ref", out_dtype=None
@@ -777,6 +863,16 @@ def _build_ri_cached(
                         dsp.inpaint_operator(hp.inpaint_known[c], len(transient) + steady, dt)
 
     def to_ri(res):
+        if isinstance(res, FactoredResult):
+            return FactoredResult(
+                profiles=_complex_to_ri(res.profiles),
+                sym_rot=_complex_to_ri(res.sym_rot),
+                noise_est=res.noise_est,
+                rsrp=res.rsrp,
+                epre=res.epre,
+                time_alignment=res.time_alignment,
+                cfo_hz=res.cfo_hz,
+            )
         ch = res.channel_est_rg
         # with out_dtype the impl already produced the (2, ...) real ri buffer
         return EstimateResult(
@@ -861,13 +957,22 @@ def build_ri(
     than the smaller write saves); choose it for memory/egress, not latency.
     Channel values carry ~2-3 significant digits (~4e-3 relative, NMSE ~1e-5);
     measurement scalars stay full precision. Not for conformance runs.
+
+    out_layout="factored" returns a `FactoredResult` instead: profiles as
+    (2, n_hops, n_layers, n_sc) and sym_rot as (2, n_sym) ri arrays — the exact
+    rank-1 factorization of the grid (grid[sc,sym,l] = profiles[h,l,sc] *
+    sym_rot[sym] over hop h's symbols). ~n_sym x smaller output; requires
+    time_interp="none"; expand with `reconstruct_factored` when a dense grid is
+    actually needed.
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
     assert kernels in ("xla", "pallas")
-    assert out_layout in ("ref", "serve")
+    assert out_layout in ("ref", "serve", "factored")
     assert out_dtype in (None, "bfloat16"), "out_dtype: None or 'bfloat16'"
     assert out_dtype is None or out_layout == "serve", "out_dtype requires serve layout"
+    if out_layout == "factored" and config.time_interp != "none":
+        raise ValueError("out_layout='factored' requires time_interp='none'")
     return _build_ri_cached(
         (hop1, hop2, config, n_layers), batched, kernels, out_layout, out_dtype
     )

@@ -20,6 +20,7 @@ estimator.build_ri.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -72,6 +73,42 @@ class ServeResult:
     epre: float
     time_alignment: float
     cfo_hz: float
+
+
+@dataclass
+class FactoredServeResult:
+    """Per-problem result in rank-1 factored form (`process(out="factored")`).
+
+    The dense grid equals `profiles[h, l, sc] * sym_rot[sym]` over hop h's
+    allocated symbols and zero elsewhere (estimator.FactoredResult) — ~n_sym x
+    (14x) less device->host transfer than the dense grid, which dominates
+    serving cost on transfer-bound links. Call `.dense()` only where a full grid
+    is genuinely needed; an equalizer can instead apply `sym_rot` as its own
+    per-symbol scalar pass.
+    """
+
+    profiles: np.ndarray  # (n_hops, n_layers, n_sc) complex64 — zero outside band
+    sym_rot: np.ndarray  # (n_sym,) complex64
+    noise_est: float
+    rsrp: float
+    epre: float
+    time_alignment: float
+    cfo_hz: float
+    hop1: HopConfig = None
+    hop2: Optional[HopConfig] = None
+    config: EstimatorConfig = None
+
+    def dense(self) -> np.ndarray:
+        """(n_sc, n_sym, n_layers) complex grid, reference layout."""
+        return estimator.reconstruct_factored(
+            self.profiles,
+            self.sym_rot,
+            self.hop1,
+            self.hop2,
+            self.config,
+            int(self.profiles.shape[1]),
+            n_sym=int(self.sym_rot.shape[0]),
+        )
 
 
 def _hop1_pilot_estimates(problem: Problem):
@@ -222,6 +259,31 @@ def _merge_batch(ch_ri: np.ndarray) -> np.ndarray:
     return out
 
 
+def _scatter_out_factored(out, chunk, results, sig) -> None:
+    """Fetch one factored batch and scatter per-problem FactoredServeResults."""
+    hop1, hop2, config, _ = sig
+    prof = _merge_batch(np.asarray(out.profiles))  # (B, n_hops, nL, n_sc) complex
+    rot = _merge_batch(np.asarray(out.sym_rot))  # (B, n_sym) complex
+    noise = np.asarray(out.noise_est)
+    rsrp = np.asarray(out.rsrp)
+    epre = np.asarray(out.epre)
+    ta = np.asarray(out.time_alignment)
+    cfo = np.asarray(out.cfo_hz)
+    for k, i in enumerate(chunk):
+        results[i] = FactoredServeResult(
+            profiles=prof[k],
+            sym_rot=rot[k],
+            noise_est=float(noise[k]),
+            rsrp=float(rsrp[k]),
+            epre=float(epre[k]),
+            time_alignment=float(ta[k]),
+            cfo_hz=float(cfo[k]),
+            hop1=hop1,
+            hop2=hop2,
+            config=config,
+        )
+
+
 def _scatter_out(out, chunk, results) -> None:
     """Fetch one dispatched batch from the device and scatter per-problem results."""
     ch = _merge_batch(np.asarray(out.channel_est_rg))  # (B, nL, n_sym, n_sc) complex
@@ -250,6 +312,7 @@ def process(
     inflight: int = 3,
     wiener_auto_delay=None,
     auto_time_interp_hz: Optional[float] = None,
+    out: str = "grid",
 ) -> List[ServeResult]:
     """Estimate a heterogeneous list of problems; results in submission order.
 
@@ -280,9 +343,24 @@ def process(
     time_interp="linear" (per-DM-RS-symbol smoothing + time interpolation,
     ~3-4x the serve cost); static channels keep the cheap reference-style
     broadcast path. Same bucketing mechanism as wiener_auto_delay.
+
+    `out="factored"` returns FactoredServeResults (profile + per-symbol rotation
+    instead of the dense grid): ~1.7x faster on-device at the 106-PRB 4-port
+    geometry and ~14x less device->host transfer. Requires every problem to use
+    time_interp="none" (and is thus incompatible with auto_time_interp_hz).
     """
     import dataclasses as _dc
     from collections import deque
+
+    assert out in ("grid", "factored")
+    if out == "factored":
+        if auto_time_interp_hz is not None:
+            raise ValueError("out='factored' is incompatible with auto_time_interp_hz")
+        bad = [i for i, p in enumerate(problems) if p.config.time_interp != "none"]
+        if bad:
+            raise ValueError(
+                f"out='factored' requires time_interp='none'; problems {bad[:5]} differ"
+            )
 
     if wiener_auto_delay is not None:
         problems = _snap_wiener_delay(problems, wiener_auto_delay)
@@ -313,8 +391,21 @@ def process(
         if learned:
             assert params is not None, f"smoothing={config.smoothing!r} needs params"
         fn = estimator.build_ri(
-            hop1, hop2, config, n_layers, batched=True, out_layout="serve"
+            hop1,
+            hop2,
+            config,
+            n_layers,
+            batched=True,
+            out_layout="serve" if out == "grid" else "factored",
         )
+        if out == "factored":
+            # bind the bucket's signature NOW — scatters are deferred in `pending`
+            # across bucket iterations (late-binding closures would mix buckets up)
+            scatter = functools.partial(
+                _scatter_out_factored, sig=(hop1, hop2, config, n_layers)
+            )
+        else:
+            scatter = _scatter_out
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start : start + batch_size]
             pad = batch_size - len(chunk) if len(idxs) > batch_size else 0
@@ -323,14 +414,16 @@ def process(
             pil_b = _assemble([problems[i].pilots for i in take])
             beta = np.asarray([problems[i].beta for i in take], np.float32)
             if learned:
-                out = fn(rg_b, pil_b, jnp.asarray(beta), params)
+                res_b = fn(rg_b, pil_b, jnp.asarray(beta), params)
             else:
-                out = fn(rg_b, pil_b, jnp.asarray(beta))
-            pending.append((out, chunk))
+                res_b = fn(rg_b, pil_b, jnp.asarray(beta))
+            pending.append((scatter, res_b, chunk))
             if len(pending) >= max(1, inflight):
-                _scatter_out(*pending.popleft(), results=results)
+                sc, o, c = pending.popleft()
+                sc(o, c, results=results)
     while pending:
-        _scatter_out(*pending.popleft(), results=results)
+        sc, o, c = pending.popleft()
+        sc(o, c, results=results)
     return results  # type: ignore[return-value]
 
 

@@ -227,3 +227,41 @@ def test_serving_learned_smoothing_with_params():
     np.testing.assert_allclose(
         res[0].channel_est_rg, np.asarray(ref.channel_est_rg), atol=1e-6
     )
+
+
+def test_factored_serving_matches_dense():
+    """out='factored' returns rank-1 results whose .dense() matches grid serving;
+    mixed signatures, shuffled order, tail padding."""
+    import pytest
+
+    specs = [
+        dict(n_prbs=24, n_layers=1),
+        dict(n_prbs=24, n_layers=2, smoothing="wiener"),
+        dict(n_prbs=12, n_layers=1, two_hops=True),
+    ]
+    cases = []
+    for j, sp in enumerate(specs):
+        for i in range(3):
+            cases.append(synthetic.make_case(seed=91 + 10 * j + i, snr_db=30.0, **sp))
+    rng = np.random.default_rng(1)
+    order = rng.permutation(len(cases))
+    problems = [_problem(cases[i]) for i in order]
+
+    dense = serving.process(problems, batch_size=4, matmul_precision=None)
+    fact = serving.process(problems, batch_size=4, matmul_precision=None, out="factored")
+    assert len(fact) == len(dense)
+    for rf, rd in zip(fact, dense):
+        assert isinstance(rf, serving.FactoredServeResult)
+        np.testing.assert_allclose(rf.dense(), rd.channel_est_rg, rtol=2e-6, atol=1e-7)
+        for f in ("noise_est", "rsrp", "epre", "time_alignment", "cfo_hz"):
+            np.testing.assert_allclose(getattr(rf, f), getattr(rd, f), rtol=1e-6)
+        # the factored payload really is ~n_sym x smaller
+        assert rf.profiles.size + rf.sym_rot.size < rd.channel_est_rg.size / 3
+
+    # time-interp problems are rejected in factored mode
+    c = synthetic.make_case(seed=5, n_prbs=24, n_layers=1, time_interp="linear",
+                            doppler_hz=200.0)
+    with pytest.raises(ValueError):
+        serving.process([_problem(c)], out="factored")
+    with pytest.raises(ValueError):
+        serving.process(problems, out="factored", auto_time_interp_hz=100.0)
