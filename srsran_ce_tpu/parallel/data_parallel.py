@@ -45,20 +45,41 @@ def build_dp_batched(
     batch = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    out_shardings = _est.EstimateResult(
-        channel_est_rg=batch,
-        noise_est=batch,
-        rsrp=batch,
-        epre=batch,
-        time_alignment=batch,
-        cfo_hz=batch,
-    )
+    if out_layout == "factored":
+        out_shardings = _est.FactoredResult(
+            profiles=batch,
+            sym_rot=batch,
+            noise_est=batch,
+            rsrp=batch,
+            epre=batch,
+            time_alignment=batch,
+            cfo_hz=batch,
+        )
+    else:
+        out_shardings = _est.EstimateResult(
+            channel_est_rg=batch,
+            noise_est=batch,
+            rsrp=batch,
+            epre=batch,
+            time_alignment=batch,
+            cfo_hz=batch,
+        )
 
     def single(rg_ri, pil_ri, beta, params=None):
         res = _est._estimate_impl(
             plan, _est._ri_to_complex(rg_ri), _est._ri_to_complex(pil_ri), beta,
             "xla", params, out_layout
         )
+        if out_layout == "factored":
+            return _est.FactoredResult(
+                profiles=_est._complex_to_ri(res.profiles),
+                sym_rot=_est._complex_to_ri(res.sym_rot),
+                noise_est=res.noise_est,
+                rsrp=res.rsrp,
+                epre=res.epre,
+                time_alignment=res.time_alignment,
+                cfo_hz=res.cfo_hz,
+            )
         return _est.EstimateResult(
             channel_est_rg=_est._complex_to_ri(res.channel_est_rg),
             noise_est=res.noise_est,

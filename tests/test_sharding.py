@@ -252,3 +252,31 @@ def test_all_device_barrier_and_heartbeat():
     hb2 = mesh_lib.Heartbeat(interval_s=0.05, on_failure=seen.append)
     hb2._fail("injected")
     assert not hb2.healthy and seen == ["injected"]
+
+
+def test_dp_batched_factored():
+    """DP sharding with out_layout='factored': per-problem factors reconstruct the
+    oracle-quality grid; outputs stay batch-sharded."""
+    mesh = mesh_lib.make_mesh((8, 1), ("dp", "sp"))
+    cases = [
+        synthetic.make_case(seed=50 + i, n_prbs=24, n_layers=2, snr_db=30.0, cfo_hz=200.0)
+        for i in range(8)
+    ]
+    c0 = cases[0]
+    fn = build_dp_batched(c0.hop1, c0.hop2, c0.config, 2, mesh, out_layout="factored")
+    rg, pil, beta = _stack_cases(cases)
+    out = fn(rg, pil, beta)
+    assert len(out.profiles.sharding.device_set) == 8
+    prof_all = np.asarray(out.profiles)  # (B, 2, n_hops, nL, n_sc)
+    rot_all = np.asarray(out.sym_rot)  # (B, 2, 14)
+    for i, c in enumerate(cases):
+        res_o = oracle.estimate(c.received_rg, c.pilots, c.beta, c.hop1, c.hop2, c.config)
+        grid = estimator.reconstruct_factored(
+            estimator.merge_ri(prof_all[i]),
+            estimator.merge_ri(rot_all[i]),
+            c.hop1, c.hop2, c.config, 2,
+        )
+        nmse = np.sum(np.abs(grid - res_o.channel_est_rg) ** 2) / np.sum(
+            np.abs(res_o.channel_est_rg) ** 2
+        )
+        assert nmse < 1e-18, (i, nmse)
