@@ -234,11 +234,17 @@ def main():
 
     # Factored serving output on the headline geometry (out_layout="factored":
     # profile + per-symbol rotation instead of the dense grid — lossless rank-1
-    # factorization, ~n_sym x less output; see FactoredResult). Reported as a
-    # detail row; the headline stays the dense-grid number.
+    # factorization, ~n_sym x less output; see FactoredResult). Same batch sweep
+    # as the dense headline so the ratio is like-for-like. Reported as a detail
+    # row; the headline stays the dense-grid number.
     try:
-        kwargs, _ = BENCH_CONFIGS[HEADLINE]
-        r = bench_config(HEADLINE, kwargs, 128, out_layout="factored")
+        kwargs, batches = BENCH_CONFIGS[HEADLINE]
+        best = None
+        for batch in batches:
+            r = bench_config(HEADLINE, kwargs, batch, out_layout="factored")
+            if best is None or r["res_per_s"] > best["res_per_s"]:
+                best = r
+        r = best
         details[HEADLINE + "_factored"] = r
         log(
             f"{HEADLINE}_factored: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "

@@ -789,6 +789,31 @@ def _complex_to_ri(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([jnp.real(x), jnp.imag(x)])
 
 
+def result_to_ri(res, out_dtype=None):
+    """In-graph conversion of a complex EstimateResult/FactoredResult to ri layout
+    (the single definition every builder — serving, DP, tracked — goes through).
+    With out_dtype the impl already produced a real (2, ...) grid buffer."""
+    if isinstance(res, FactoredResult):
+        return FactoredResult(
+            profiles=_complex_to_ri(res.profiles),
+            sym_rot=_complex_to_ri(res.sym_rot),
+            noise_est=res.noise_est,
+            rsrp=res.rsrp,
+            epre=res.epre,
+            time_alignment=res.time_alignment,
+            cfo_hz=res.cfo_hz,
+        )
+    ch = res.channel_est_rg
+    return EstimateResult(
+        channel_est_rg=ch if out_dtype is not None else _complex_to_ri(ch),
+        noise_est=res.noise_est,
+        rsrp=res.rsrp,
+        epre=res.epre,
+        time_alignment=res.time_alignment,
+        cfo_hz=res.cfo_hz,
+    )
+
+
 def split_ri(x: np.ndarray) -> np.ndarray:
     """Host-side complex -> (2, ...) real-pair conversion."""
     x = np.asarray(x)
@@ -814,9 +839,7 @@ def reconstruct_factored(
     profiles: np.ndarray,
     sym_rot: np.ndarray,
     hop1: HopConfig,
-    hop2: Optional[HopConfig],
-    config: EstimatorConfig,
-    n_layers: int,
+    hop2: Optional[HopConfig] = None,
     n_sym: int = 14,
 ) -> np.ndarray:
     """Expand a FactoredResult to the reference-layout dense grid (host-side).
@@ -826,19 +849,18 @@ def reconstruct_factored(
     Returns (..., n_sc, n_sym, n_layers) — identical to what out_layout="ref"
     would have materialized on device up to one ulp of the final complex multiply
     (numpy's and XLA's complex products round differently), exact where the CFO
-    rotation is 1.
+    rotation is 1. Needs only the hop configs (symbol extents) — no plan build.
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
-    plan = make_plan(hop1, hop2, config, n_layers)
-    hop_plans = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
+    hop_cfgs = [hop1] + ([hop2] if hop2 is not None else [])
     profiles = np.asarray(profiles)
     sym_rot = np.asarray(sym_rot)
     *lead, n_hops, nL, n_sc = profiles.shape
-    assert n_hops == len(hop_plans), (n_hops, len(hop_plans))
+    assert n_hops == len(hop_cfgs), (n_hops, len(hop_cfgs))
     grid = np.zeros((*lead, n_sc, n_sym, nL), dtype=profiles.dtype)
-    for h, hp in enumerate(hop_plans):
-        s0, s1 = hp.sym_start, hp.sym_start + hp.n_alloc_syms
+    for h, hc in enumerate(hop_cfgs):
+        s0, s1 = hc.start_symbol, hc.start_symbol + hc.n_allocated_symbols
         prof = np.moveaxis(profiles[..., h, :, :], -2, -1)  # (..., n_sc, nL)
         grid[..., :, s0:s1, :] = (
             prof[..., :, None, :] * sym_rot[..., None, s0:s1, None]
@@ -863,26 +885,7 @@ def _build_ri_cached(
                         dsp.inpaint_operator(hp.inpaint_known[c], len(transient) + steady, dt)
 
     def to_ri(res):
-        if isinstance(res, FactoredResult):
-            return FactoredResult(
-                profiles=_complex_to_ri(res.profiles),
-                sym_rot=_complex_to_ri(res.sym_rot),
-                noise_est=res.noise_est,
-                rsrp=res.rsrp,
-                epre=res.epre,
-                time_alignment=res.time_alignment,
-                cfo_hz=res.cfo_hz,
-            )
-        ch = res.channel_est_rg
-        # with out_dtype the impl already produced the (2, ...) real ri buffer
-        return EstimateResult(
-            channel_est_rg=ch if out_dtype is not None else _complex_to_ri(ch),
-            noise_est=res.noise_est,
-            rsrp=res.rsrp,
-            epre=res.epre,
-            time_alignment=res.time_alignment,
-            cfo_hz=res.cfo_hz,
-        )
+        return result_to_ri(res, out_dtype)
 
     if config.smoothing in ("learned", "learned2d"):
         # params pytree rides along as a replicated (non-batched) argument

@@ -70,7 +70,12 @@ def build_tracked_ri(
     and problems track independently. lru-cached on the full signature so
     repeated calls (e.g. serving.TrackedServer, one per sounding) reuse one
     compiled executable — mirrors estimator._build_ri_cached.
+
+    out_layout accepts "ref", "serve", and "factored" (tracking already requires
+    time_interp="none", exactly the factored domain — the result is then an
+    ri-layout FactoredResult).
     """
+    assert out_layout in ("ref", "serve", "factored"), out_layout
     assert config.time_interp == "none", "tracking requires time_interp='none'"
     assert config.smoothing not in ("learned", "learned2d"), (
         "tracking + learned smoothing not wired (pass params support if needed)"
@@ -92,14 +97,7 @@ def build_tracked_ri(
             h_prev=h_prev,
             track_w=w,
         )
-        res_ri = _est.EstimateResult(
-            channel_est_rg=_est._complex_to_ri(res.channel_est_rg),
-            noise_est=res.noise_est,
-            rsrp=res.rsrp,
-            epre=res.epre,
-            time_alignment=res.time_alignment,
-            cfo_hz=res.cfo_hz,
-        )
+        res_ri = _est.result_to_ri(res)
         return res_ri, tuple(_est._complex_to_ri(h) for h in h_new), w_new
 
     if batched:

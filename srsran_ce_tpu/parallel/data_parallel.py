@@ -70,24 +70,7 @@ def build_dp_batched(
             plan, _est._ri_to_complex(rg_ri), _est._ri_to_complex(pil_ri), beta,
             "xla", params, out_layout
         )
-        if out_layout == "factored":
-            return _est.FactoredResult(
-                profiles=_est._complex_to_ri(res.profiles),
-                sym_rot=_est._complex_to_ri(res.sym_rot),
-                noise_est=res.noise_est,
-                rsrp=res.rsrp,
-                epre=res.epre,
-                time_alignment=res.time_alignment,
-                cfo_hz=res.cfo_hz,
-            )
-        return _est.EstimateResult(
-            channel_est_rg=_est._complex_to_ri(res.channel_est_rg),
-            noise_est=res.noise_est,
-            rsrp=res.rsrp,
-            epre=res.epre,
-            time_alignment=res.time_alignment,
-            cfo_hz=res.cfo_hz,
-        )
+        return _est.result_to_ri(res)
 
     if config.smoothing in ("learned", "learned2d"):
         fn = jax.jit(

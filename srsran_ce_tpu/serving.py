@@ -94,9 +94,8 @@ class FactoredServeResult:
     epre: float
     time_alignment: float
     cfo_hz: float
-    hop1: HopConfig = None
+    hop1: HopConfig = None  # hop extents, needed by .dense()
     hop2: Optional[HopConfig] = None
-    config: EstimatorConfig = None
 
     def dense(self) -> np.ndarray:
         """(n_sc, n_sym, n_layers) complex grid, reference layout."""
@@ -105,8 +104,6 @@ class FactoredServeResult:
             self.sym_rot,
             self.hop1,
             self.hop2,
-            self.config,
-            int(self.profiles.shape[1]),
             n_sym=int(self.sym_rot.shape[0]),
         )
 
@@ -261,7 +258,7 @@ def _merge_batch(ch_ri: np.ndarray) -> np.ndarray:
 
 def _scatter_out_factored(out, chunk, results, sig) -> None:
     """Fetch one factored batch and scatter per-problem FactoredServeResults."""
-    hop1, hop2, config, _ = sig
+    hop1, hop2 = sig
     prof = _merge_batch(np.asarray(out.profiles))  # (B, n_hops, nL, n_sc) complex
     rot = _merge_batch(np.asarray(out.sym_rot))  # (B, n_sym) complex
     noise = np.asarray(out.noise_est)
@@ -280,7 +277,6 @@ def _scatter_out_factored(out, chunk, results, sig) -> None:
             cfo_hz=float(cfo[k]),
             hop1=hop1,
             hop2=hop2,
-            config=config,
         )
 
 
@@ -313,8 +309,9 @@ def process(
     wiener_auto_delay=None,
     auto_time_interp_hz: Optional[float] = None,
     out: str = "grid",
-) -> List[ServeResult]:
-    """Estimate a heterogeneous list of problems; results in submission order.
+) -> "List[ServeResult] | List[FactoredServeResult]":
+    """Estimate a heterogeneous list of problems; results in submission order
+    (ServeResults, or FactoredServeResults with out="factored").
 
     Problems are bucketed by plan signature; each bucket runs in fixed
     `batch_size` chunks (the tail chunk is padded by repeating its last problem,
@@ -352,8 +349,10 @@ def process(
     import dataclasses as _dc
     from collections import deque
 
-    assert out in ("grid", "factored")
-    if out == "factored":
+    if out not in ("grid", "factored"):
+        raise ValueError(f"out must be 'grid' or 'factored': {out!r}")
+    factored = out == "factored"
+    if factored:
         if auto_time_interp_hz is not None:
             raise ValueError("out='factored' is incompatible with auto_time_interp_hz")
         bad = [i for i, p in enumerate(problems) if p.config.time_interp != "none"]
@@ -382,7 +381,7 @@ def process(
         buckets.setdefault(p.signature(), []).append(i)
 
     results: List[Optional[ServeResult]] = [None] * len(problems)
-    pending: deque = deque()  # (out, chunk) dispatched but not yet fetched
+    pending: deque = deque()  # (scatter_fn, result_batch, chunk) not yet fetched
     for sig, idxs in buckets.items():
         hop1, hop2, config, n_layers = sig
         if matmul_precision is not None:
@@ -396,14 +395,12 @@ def process(
             config,
             n_layers,
             batched=True,
-            out_layout="serve" if out == "grid" else "factored",
+            out_layout="factored" if factored else "serve",
         )
-        if out == "factored":
+        if factored:
             # bind the bucket's signature NOW — scatters are deferred in `pending`
             # across bucket iterations (late-binding closures would mix buckets up)
-            scatter = functools.partial(
-                _scatter_out_factored, sig=(hop1, hop2, config, n_layers)
-            )
+            scatter = functools.partial(_scatter_out_factored, sig=(hop1, hop2))
         else:
             scatter = _scatter_out
         for start in range(0, len(idxs), batch_size):

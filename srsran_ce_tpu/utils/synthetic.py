@@ -127,11 +127,16 @@ def make_case(
     """
     rng = np.random.default_rng(seed)
     n_cdm = math.ceil(n_layers / 2)
+    if dmrs_type not in (1, 2):
+        raise ValueError(f"dmrs_type must be 1 or 2: {dmrs_type}")
     if dmrs_type == 2:
         # DM-RS configuration type 2 (TS 38.211 §6.4.1.1.3): adjacent-pair clusters,
-        # 4 REs/PRB per CDM group; only meaningful with standard pilots.
+        # 4 REs/PRB per CDM group; only meaningful with standard pilots, and the
+        # comb argument would contradict the clustered pattern.
         if pilot_source != "dmrs":
             raise ValueError("dmrs_type=2 requires pilot_source='dmrs'")
+        if comb != 2:
+            raise ValueError("dmrs_type=2 fixes the RE pattern; leave comb at 2")
         from ..ops import sequences as _seq
 
         re_mask = _seq.dmrs_re_mask(2, n_cdm)

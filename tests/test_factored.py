@@ -44,9 +44,7 @@ def test_factored_reconstructs_ref_grid(kwargs):
     assert prof.shape[0] == n_hops and prof.shape[1] == n_layers
     assert rot.shape == (14,)
 
-    grid = estimator.reconstruct_factored(
-        prof, rot, case.hop1, case.hop2, case.config, n_layers
-    )
+    grid = estimator.reconstruct_factored(prof, rot, case.hop1, case.hop2)
     ch_ref = estimator.merge_ri(np.asarray(r_ref.channel_est_rg))
     # exact where sym_rot == 1; elsewhere numpy's and XLA's complex products
     # differ by <= 1 ulp
@@ -90,9 +88,7 @@ def test_factored_batched():
     prof = estimator.merge_ri(np.moveaxis(np.asarray(r_fac.profiles), 1, 0))
     rot = estimator.merge_ri(np.moveaxis(np.asarray(r_fac.sym_rot), 1, 0))
     assert prof.shape == (batch, 1, 2, case.received_rg.shape[0])
-    grid = estimator.reconstruct_factored(
-        prof, rot, case.hop1, case.hop2, case.config, 2
-    )
+    grid = estimator.reconstruct_factored(prof, rot, case.hop1, case.hop2)
     ch_ref = estimator.merge_ri(np.moveaxis(np.asarray(r_ref.channel_est_rg), 1, 0))
     np.testing.assert_allclose(grid, ch_ref, rtol=1e-13, atol=0)
 

@@ -272,9 +272,8 @@ def test_dp_batched_factored():
     for i, c in enumerate(cases):
         res_o = oracle.estimate(c.received_rg, c.pilots, c.beta, c.hop1, c.hop2, c.config)
         grid = estimator.reconstruct_factored(
-            estimator.merge_ri(prof_all[i]),
-            estimator.merge_ri(rot_all[i]),
-            c.hop1, c.hop2, c.config, 2,
+            estimator.merge_ri(prof_all[i]), estimator.merge_ri(rot_all[i]),
+            c.hop1, c.hop2,
         )
         nmse = np.sum(np.abs(grid - res_o.channel_est_rg) ** 2) / np.sum(
             np.abs(res_o.channel_est_rg) ** 2

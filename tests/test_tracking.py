@@ -142,3 +142,32 @@ def test_batched_tracking_independent_problems():
                 rtol=1e-5,
                 atol=1e-6,
             )
+
+
+def test_tracked_factored_layout():
+    """Tracking composes with the factored output: the reconstructed grid matches
+    the ref-layout tracked result, and the threaded state is identical."""
+    case = synthetic.make_case(seed=60, n_prbs=24, n_layers=2, snr_db=10.0, cfo_hz=200.0)
+    args = (
+        estimator.split_ri(case.received_rg.astype(np.complex64)),
+        estimator.split_ri(case.pilots.astype(np.complex64)),
+        np.float32(case.beta),
+    )
+    state = tracking.init_state(case.hop1, case.hop2, case.config, 2)
+    f_ref = tracking.build_tracked_ri(case.hop1, case.hop2, case.config, 2)
+    f_fac = tracking.build_tracked_ri(
+        case.hop1, case.hop2, case.config, 2, out_layout="factored"
+    )
+    r_ref, h_ref, w_ref = f_ref(*args, state[0], state[1])
+    r_fac, h_fac, w_fac = f_fac(*args, state[0], state[1])
+    grid = estimator.reconstruct_factored(
+        estimator.merge_ri(np.asarray(r_fac.profiles)),
+        estimator.merge_ri(np.asarray(r_fac.sym_rot)),
+        case.hop1,
+        case.hop2,
+    )
+    ch_ref = estimator.merge_ri(np.asarray(r_ref.channel_est_rg))
+    np.testing.assert_allclose(grid, ch_ref, rtol=1e-5, atol=1e-7)
+    for a, b in zip(h_ref, h_fac):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_fac))
