@@ -193,13 +193,19 @@ def _halo_exchange(x: jnp.ndarray, h: int, axis: str, n: int):
     return left, right
 
 
-def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, params=None):
+def _sharded_problem(
+    sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, params=None,
+    out_layout: str = "ref",
+):
     """Per-shard body for ONE estimation problem.
 
     rg_ri_loc: (2, L, n_sym) local subcarrier block of the received grid (real pair)
     pil_ri_loc: (2, R, n_dsym, nL) local pilot block
     params: denoiser pytree, required iff config.smoothing is "learned"/"learned2d"
-    Returns local EstimateResult with channel (2, L, n_sym, nL).
+    Returns local EstimateResult with channel (2, L, n_sym, nL), or — with
+    out_layout="factored" — a local FactoredResult with profiles (2, 1, nL, L)
+    (sharded over the last axis) and a replicated sym_rot (estimator.FactoredResult
+    semantics; requires time_interp="none").
     """
     plan = sp.plan
     hp = plan.hop1
@@ -422,6 +428,37 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
             outs.append(base)
         return jnp.concatenate(outs, axis=0)
 
+    # --- normalization + grid-wide CFO rotation ---
+    epre = jax.lax.psum(epre_loc, axis) / plan.n_pilots
+    noise = jax.lax.psum(noise_loc, axis) / plan.noise_den
+    rsrp = jax.lax.psum(rsrp_loc, axis) / plan.n_pilots / nL
+    if config.cfo_compensate and cfo_hop is not None:
+        rot = jnp.exp(
+            1j * (2.0 * np.pi * jnp.asarray(sst, dtype=rdtype) * cfo_hop)
+        ).astype(cdtype)
+    else:
+        rot = jnp.ones((rg.shape[1],), dtype=cdtype)
+    cfo_hz = (
+        (cfo_hop * config.scs_hz).astype(rdtype)
+        if cfo_hop is not None
+        else jnp.full((), jnp.nan, rdtype)
+    )
+
+    if out_layout == "factored":
+        # rank-1 output: local slice of the hop's smoothed profile + replicated
+        # per-symbol rotation (cfo_hop is a psum -> identical on every shard)
+        assert ht is None, "factored SP requires time_interp='none'"
+        full = fill_rows(h_p, h_all, 1)  # (nL, L)
+        return _est.FactoredResult(
+            profiles=_est._complex_to_ri(full[None]),  # (2, 1, nL, L)
+            sym_rot=_est._complex_to_ri(rot),
+            noise_est=noise,
+            rsrp=rsrp,
+            epre=epre,
+            time_alignment=ta,
+            cfo_hz=cfo_hz,
+        )
+
     if ht is not None:
         ht_all = (
             jax.lax.all_gather(ht, axis, axis=1, tiled=True) if config.interp == "cnn" else None
@@ -438,21 +475,8 @@ def _sharded_problem(sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, para
         block = jnp.broadcast_to(full.T[:, None, :], (sp.L, hp.n_alloc_syms, nL))
     channel = jnp.zeros((sp.L, rg.shape[1], nL), dtype=cdtype)
     channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, 0))
-
-    # --- normalization + grid-wide CFO rotation ---
-    epre = jax.lax.psum(epre_loc, axis) / plan.n_pilots
-    noise = jax.lax.psum(noise_loc, axis) / plan.noise_den
-    rsrp = jax.lax.psum(rsrp_loc, axis) / plan.n_pilots / nL
     if config.cfo_compensate and cfo_hop is not None:
-        rot = jnp.exp(
-            1j * (2.0 * np.pi * jnp.asarray(sst, dtype=rdtype) * cfo_hop)
-        ).astype(cdtype)
         channel = channel * rot[None, :, None]
-    cfo_hz = (
-        (cfo_hop * config.scs_hz).astype(rdtype)
-        if cfo_hop is not None
-        else jnp.full((), jnp.nan, rdtype)
-    )
 
     return _est.EstimateResult(
         channel_est_rg=_est._complex_to_ri(channel),
@@ -516,8 +540,14 @@ def make_hopped_shard_plan(plan: EstimatorPlan, n_sp: int) -> HoppedShardPlan:
     return HoppedShardPlan(plan=plan, n_sp=n_sp, L=n_sc // n_sp, w_emb=tuple(w_all))
 
 
-def _sharded_problem_hopped(sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta):
-    """Per-shard body for one frequency-hopped problem (see HoppedShardPlan)."""
+def _sharded_problem_hopped(
+    sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta,
+    out_layout: str = "ref",
+):
+    """Per-shard body for one frequency-hopped problem (see HoppedShardPlan).
+
+    out_layout="factored": local FactoredResult — profiles (2, 2, nL, L) (one row
+    per hop, zero outside each hop's band locally) + replicated sym_rot."""
     plan = sp.plan
     config = plan.config
     nL = plan.n_layers
@@ -564,8 +594,38 @@ def _sharded_problem_hopped(sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_lo
     else:
         rot = jnp.ones((n_sym,), dtype=cdtype)
 
+    cfo_hz_f = (
+        (cfo * config.scs_hz).astype(rdtype)
+        if cfo is not None
+        else jnp.full((), jnp.nan, rdtype)
+    )
+
     # sharded fill: each device computes only its L output columns per hop
     prec = dsp.precision_of(config.matmul_precision)
+    if out_layout == "factored":
+        assert all(h_t is None for h_t in h_ts), "factored SP requires time_interp='none'"
+        start_f = (my * sp.L).astype(jnp.int32)
+        rows = []
+        for h, ((hp, _), h_p) in enumerate(zip(hops, h_ps)):
+            cols = []
+            for c, (l0, l1) in enumerate(hp.layer_slices):
+                w_loc = jax.lax.dynamic_slice(
+                    jnp.asarray(sp.w_emb[h][c], dtype=rdtype),
+                    (jnp.int32(0), start_f),
+                    (hp.n_re, sp.L),
+                )
+                cols.append(dsp.inpaint_matmul(h_p[l0:l1], w_loc, prec))
+            rows.append(jnp.concatenate(cols, axis=0))  # (nL, L)
+        return _est.FactoredResult(
+            profiles=_est._complex_to_ri(jnp.stack(rows)),  # (2, 2, nL, L)
+            sym_rot=_est._complex_to_ri(rot),
+            noise_est=noise,
+            rsrp=rsrp,
+            epre=epre,
+            time_alignment=ta,
+            cfo_hz=cfo_hz_f,
+        )
+
     channel = jnp.zeros((sp.L, n_sym, nL), dtype=cdtype)
     start = (my * sp.L).astype(jnp.int32)
     for (hp, _), h_p, h_t in zip(hops, h_ps, h_ts):
@@ -592,18 +652,13 @@ def _sharded_problem_hopped(sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_lo
             block = full_loc.T[:, None, :] * rot_slice[None, :, None]  # (L, n_alloc, nL)
         channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, 0))
 
-    cfo_hz = (
-        (cfo * config.scs_hz).astype(rdtype)
-        if cfo is not None
-        else jnp.full((), jnp.nan, rdtype)
-    )
     return _est.EstimateResult(
         channel_est_rg=_est._complex_to_ri(channel),
         noise_est=noise,
         rsrp=rsrp,
         epre=epre,
         time_alignment=ta,
-        cfo_hz=cfo_hz,
+        cfo_hz=cfo_hz_f,
     )
 
 
@@ -615,15 +670,23 @@ def build_sp_batched(
     mesh: Mesh,
     dp_axis: str = "dp",
     sp_axis: str = "sp",
+    out_layout: str = "ref",
 ):
     """Jitted batched estimator sharded over BOTH problems (dp) and subcarriers (sp).
 
     fn(rg_ri[B,2,n_sc,n_sym], pil_ri[B,2,n_re,n_dsym,L], beta[B]) -> EstimateResult;
     channel output is sharded (dp over batch, sp over subcarriers), scalars dp-sharded.
     B must be divisible by |dp|; geometry restrictions per make_shard_plan.
+
+    out_layout="factored" returns a FactoredResult instead: profiles
+    (B, 2, n_hops, nL, n_sc) sharded (dp, sp on the last axis), sym_rot
+    (B, 2, n_sym) dp-sharded/sp-replicated (requires time_interp="none").
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
+    assert out_layout in ("ref", "factored")
+    if out_layout == "factored" and config.time_interp != "none":
+        raise ValueError("out_layout='factored' requires time_interp='none'")
     plan = make_plan(hop1, hop2, config, n_layers)
     n_sp = mesh.shape[sp_axis]
     if plan.hop2 is not None:
@@ -633,18 +696,29 @@ def build_sp_batched(
             P(dp_axis),  # pil_ri replicated over sp (tiny)
             P(dp_axis),
         )
-        out_specs_h = _est.EstimateResult(
-            channel_est_rg=P(dp_axis, None, sp_axis, None, None),
-            noise_est=P(dp_axis),
-            rsrp=P(dp_axis),
-            epre=P(dp_axis),
-            time_alignment=P(dp_axis),
-            cfo_hz=P(dp_axis),
-        )
+        if out_layout == "factored":
+            out_specs_h = _est.FactoredResult(
+                profiles=P(dp_axis, None, None, None, sp_axis),
+                sym_rot=P(dp_axis),
+                noise_est=P(dp_axis),
+                rsrp=P(dp_axis),
+                epre=P(dp_axis),
+                time_alignment=P(dp_axis),
+                cfo_hz=P(dp_axis),
+            )
+        else:
+            out_specs_h = _est.EstimateResult(
+                channel_est_rg=P(dp_axis, None, sp_axis, None, None),
+                noise_est=P(dp_axis),
+                rsrp=P(dp_axis),
+                epre=P(dp_axis),
+                time_alignment=P(dp_axis),
+                cfo_hz=P(dp_axis),
+            )
 
         def body_h(rg_ri_loc, pil_ri_loc, beta_loc):
             return jax.vmap(
-                lambda r, p, b: _sharded_problem_hopped(hsp, sp_axis, r, p, b)
+                lambda r, p, b: _sharded_problem_hopped(hsp, sp_axis, r, p, b, out_layout)
             )(rg_ri_loc, pil_ri_loc, beta_loc)
 
         fn = shard_map(
@@ -658,19 +732,30 @@ def build_sp_batched(
         P(dp_axis, None, sp_axis, None, None),  # pil_ri (B, 2, n_re, n_dsym, nL)
         P(dp_axis),  # beta (B,)
     )
-    out_specs = _est.EstimateResult(
-        channel_est_rg=P(dp_axis, None, sp_axis, None, None),
-        noise_est=P(dp_axis),
-        rsrp=P(dp_axis),
-        epre=P(dp_axis),
-        time_alignment=P(dp_axis),
-        cfo_hz=P(dp_axis),
-    )
+    if out_layout == "factored":
+        out_specs = _est.FactoredResult(
+            profiles=P(dp_axis, None, None, None, sp_axis),
+            sym_rot=P(dp_axis),
+            noise_est=P(dp_axis),
+            rsrp=P(dp_axis),
+            epre=P(dp_axis),
+            time_alignment=P(dp_axis),
+            cfo_hz=P(dp_axis),
+        )
+    else:
+        out_specs = _est.EstimateResult(
+            channel_est_rg=P(dp_axis, None, sp_axis, None, None),
+            noise_est=P(dp_axis),
+            rsrp=P(dp_axis),
+            epre=P(dp_axis),
+            time_alignment=P(dp_axis),
+            cfo_hz=P(dp_axis),
+        )
 
     if config.smoothing in ("learned", "learned2d"):
         def body_p(rg_ri_loc, pil_ri_loc, beta_loc, params):
             return jax.vmap(
-                lambda r, p, b: _sharded_problem(sp, sp_axis, r, p, b, params)
+                lambda r, p, b: _sharded_problem(sp, sp_axis, r, p, b, params, out_layout)
             )(rg_ri_loc, pil_ri_loc, beta_loc)
 
         fn = shard_map(
@@ -684,7 +769,7 @@ def build_sp_batched(
 
     def body(rg_ri_loc, pil_ri_loc, beta_loc):
         return jax.vmap(
-            lambda r, p, b: _sharded_problem(sp, sp_axis, r, p, b)
+            lambda r, p, b: _sharded_problem(sp, sp_axis, r, p, b, None, out_layout)
         )(rg_ri_loc, pil_ri_loc, beta_loc)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
@@ -698,29 +783,46 @@ def build_sp(
     n_layers: int,
     mesh: Mesh,
     sp_axis: str = "sp",
+    out_layout: str = "ref",
 ):
     """Single-problem subcarrier-sharded estimator (wideband low-latency path).
 
     fn(rg_ri[2,n_sc,n_sym], pil_ri[2,n_re,n_dsym,L], beta) -> EstimateResult with the
-    channel output sharded over subcarriers.
+    channel output sharded over subcarriers. out_layout="factored" returns a
+    FactoredResult (profiles (2, n_hops, nL, n_sc) sharded on the last axis,
+    replicated sym_rot; requires time_interp="none").
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
+    assert out_layout in ("ref", "factored")
+    if out_layout == "factored" and config.time_interp != "none":
+        raise ValueError("out_layout='factored' requires time_interp='none'")
     plan = make_plan(hop1, hop2, config, n_layers)
     n_sp = mesh.shape[sp_axis]
     if plan.hop2 is not None:
         hsp = make_hopped_shard_plan(plan, n_sp)
-        out_specs_h = _est.EstimateResult(
-            channel_est_rg=P(None, sp_axis, None, None),
-            noise_est=P(),
-            rsrp=P(),
-            epre=P(),
-            time_alignment=P(),
-            cfo_hz=P(),
-        )
+        if out_layout == "factored":
+            out_specs_h = _est.FactoredResult(
+                profiles=P(None, None, None, sp_axis),
+                sym_rot=P(),
+                noise_est=P(),
+                rsrp=P(),
+                epre=P(),
+                time_alignment=P(),
+                cfo_hz=P(),
+            )
+        else:
+            out_specs_h = _est.EstimateResult(
+                channel_est_rg=P(None, sp_axis, None, None),
+                noise_est=P(),
+                rsrp=P(),
+                epre=P(),
+                time_alignment=P(),
+                cfo_hz=P(),
+            )
 
         def body_h(rg_ri_loc, pil_ri_loc, beta):
-            return _sharded_problem_hopped(hsp, sp_axis, rg_ri_loc, pil_ri_loc, beta)
+            return _sharded_problem_hopped(hsp, sp_axis, rg_ri_loc, pil_ri_loc, beta, out_layout)
 
         fn = shard_map(
             body_h,
@@ -737,18 +839,29 @@ def build_sp(
         P(None, sp_axis, None, None),
         P(),
     )
-    out_specs = _est.EstimateResult(
-        channel_est_rg=P(None, sp_axis, None, None),
-        noise_est=P(),
-        rsrp=P(),
-        epre=P(),
-        time_alignment=P(),
-        cfo_hz=P(),
-    )
+    if out_layout == "factored":
+        out_specs = _est.FactoredResult(
+            profiles=P(None, None, None, sp_axis),
+            sym_rot=P(),
+            noise_est=P(),
+            rsrp=P(),
+            epre=P(),
+            time_alignment=P(),
+            cfo_hz=P(),
+        )
+    else:
+        out_specs = _est.EstimateResult(
+            channel_est_rg=P(None, sp_axis, None, None),
+            noise_est=P(),
+            rsrp=P(),
+            epre=P(),
+            time_alignment=P(),
+            cfo_hz=P(),
+        )
 
     if config.smoothing in ("learned", "learned2d"):
         def body_p(rg_ri_loc, pil_ri_loc, beta, params):
-            return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta, params)
+            return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta, params, out_layout)
 
         fn = shard_map(
             body_p, mesh=mesh, in_specs=in_specs + (P(),), out_specs=out_specs,
@@ -757,7 +870,7 @@ def build_sp(
         return jax.jit(fn)
 
     def body(rg_ri_loc, pil_ri_loc, beta):
-        return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta)
+        return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta, None, out_layout)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
     return jax.jit(fn)
