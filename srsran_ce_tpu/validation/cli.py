@@ -59,6 +59,10 @@ def cmd_selftest(args) -> int:
         dict(n_prbs=24, n_layers=2, comb=2, scs_hz=30e3, pilot_source="dmrs"),
         dict(n_prbs=24, n_layers=1, comb=2, scs_hz=30e3, prb_hole=(10, 14)),
         dict(n_prbs=16, n_layers=1, comb=2, scs_hz=30e3, pilot_source="srs", smoothing="wiener"),
+        # DM-RS configuration type 2 (adjacent-pair clusters, 4 REs/PRB/CDM group)
+        dict(n_prbs=24, n_layers=4, comb=2, scs_hz=30e3, pilot_source="dmrs", dmrs_type=2),
+        # 5-PRB SRS: the closed-form M_ZC=30 short sequence (TS 38.211 §5.2.2.2)
+        dict(n_prbs=5, n_layers=2, comb=2, scs_hz=30e3, pilot_source="srs"),
     ]
     with tempfile.TemporaryDirectory() as td:
         header = synth_vectors.generate_suite(td, specs)

@@ -60,10 +60,13 @@ def _draw_geometry(rng: np.random.Generator) -> dict:
         # standard TS 38.211 sequences instead of random QPSK pilots
         hole = kw.get("prb_hole")
         n_prbs_eff = n_prbs - (hole[1] - hole[0] if hole else 0)
-        if n_prbs_eff * 6 >= 36:
+        m_zc = n_prbs_eff * 6
+        if m_zc >= 36 or m_zc == 30:  # 30 = closed-form short sequence
             kw["pilot_source"] = str(rng.choice(["dmrs", "srs"]))
         else:
             kw["pilot_source"] = "dmrs"
+        if kw["pilot_source"] == "dmrs" and rng.random() < 0.3:
+            kw["dmrs_type"] = 2  # adjacent-pair clusters, 4 REs/PRB
     return kw
 
 
@@ -92,3 +95,22 @@ def test_fuzzed_geometry_matches_oracle(draw):
         assert np.isnan(float(res_j.cfo_hz))
     else:
         np.testing.assert_allclose(float(res_j.cfo_hz), res_o.cfo_hz, rtol=1e-8, atol=1e-10)
+
+    if case.config.time_interp == "none":
+        # factored (rank-1) output must reconstruct the same grid on every
+        # geometry the fuzzer can draw (1-ulp: numpy vs XLA complex products)
+        n_layers = case.pilots.shape[2]
+        r_fac = estimator.build_ri(
+            case.hop1, case.hop2, case.config, n_layers, out_layout="factored"
+        )(
+            estimator.split_ri(case.received_rg),
+            estimator.split_ri(case.pilots),
+            np.asarray(case.beta),
+        )
+        grid = estimator.reconstruct_factored(
+            estimator.merge_ri(np.asarray(r_fac.profiles)),
+            estimator.merge_ri(np.asarray(r_fac.sym_rot)),
+            case.hop1,
+            case.hop2,
+        )
+        np.testing.assert_allclose(grid, ch_j, rtol=1e-12, atol=1e-20)
