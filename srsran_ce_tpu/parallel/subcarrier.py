@@ -195,7 +195,7 @@ def _halo_exchange(x: jnp.ndarray, h: int, axis: str, n: int):
 
 def _sharded_problem(
     sp: ShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta, params=None,
-    out_layout: str = "ref",
+    out_layout: str = "ref", h_prev=None, track_w=None,
 ):
     """Per-shard body for ONE estimation problem.
 
@@ -206,6 +206,13 @@ def _sharded_problem(
     out_layout="factored" — a local FactoredResult with profiles (2, 1, nL, L)
     (sharded over the last axis) and a replicated sym_rot (estimator.FactoredResult
     semantics; requires time_interp="none").
+
+    h_prev/track_w: multi-slot tracking state (models/tracking.py semantics) —
+    h_prev is this shard's (nL, R) complex slice of the previous tracked pilot
+    estimate, track_w the replicated weight. The gain statistics pool globally
+    (psums; seam-adjacent pilot differences ride the existing 1-halo exchange),
+    so the tracked result equals the unsharded tracker's. Returns
+    (result, (h_blend, w_new)) when tracking.
     """
     plan = sp.plan
     hp = plan.hop1
@@ -282,9 +289,8 @@ def _sharded_problem(
         avg = jnp.mean(pairs, axis=-1, keepdims=True)
         return jnp.broadcast_to(avg, (rows, m, 2)).reshape(rows, sp.R)
 
-    h_p = jnp.sum(rec_x, axis=-1) / beta.astype(cdtype) / hp.n_dsym  # (nL, R)
-    if nL >= 2:
-        h_p = pair_average(h_p)
+    h_raw = jnp.sum(rec_x, axis=-1) / beta.astype(cdtype) / hp.n_dsym  # (nL, R)
+    h_p = pair_average(h_raw) if nL >= 2 else h_raw
 
     # Per-DM-RS-symbol estimates for time interpolation (rows pack (layer,
     # dmrs_sym) layer-major — mirrors models/estimator._process_hop).
@@ -347,6 +353,7 @@ def _sharded_problem(
             return jax.lax.dynamic_slice(h_sm_all, (jnp.int32(0), start_w), (rows, sp.R))
         return h  # "none"
 
+    h_pre = h_p  # pre-smoothing pilot estimates (tracking blends in this domain)
     if hp.smoothing == "learned2d":
         from ..models import denoiser as _dn
 
@@ -444,12 +451,56 @@ def _sharded_problem(
         else jnp.full((), jnp.nan, rdtype)
     )
 
+    # --- multi-slot tracking blend (estimator._estimate_impl semantics, sharded:
+    # the gain statistics pool globally via psums; the seam-adjacent pilot
+    # difference rides a 1-halo exchange so sig2 counts every global pair) ---
+    track_out = None
+    h_fill, h_all_fill = h_p, h_all
+    if h_prev is not None:
+        assert ht is None, "tracking requires time_interp='none'"
+        # Match the unsharded tracker's blending domain exactly: with the fused
+        # filter chain the pair-average lives inside the smoothing matrices, so
+        # the unsharded h_pre (and thus the threaded state) is the RAW estimate;
+        # otherwise it is pair-averaged (estimator._process_hop h_pre).
+        track_raw = _est._use_fused_smooth(hp, "xla") and nL >= 2
+        h_pre = h_raw if track_raw else h_pre
+        d = h_pre[:, 1:] - h_pre[:, :-1]
+        s_loc = jnp.sum(jnp.real(d) ** 2 + jnp.imag(d) ** 2) / 2.0
+        if n_sp > 1:
+            _lh, rh = _halo_exchange(h_pre, 1, axis, n_sp)
+            ds = rh[:, 0] - h_pre[:, -1]
+            seam = jnp.sum(jnp.real(ds) ** 2 + jnp.imag(ds) ** 2) / 2.0
+            s_loc = s_loc + jnp.where(is_last, jnp.zeros((), rdtype), seam)
+        e = h_pre - h_prev
+        i_loc = jnp.sum(jnp.real(e) ** 2 + jnp.imag(e) ** 2)
+        n_s = nL * (hp.n_re - 1)
+        n_i = nL * hp.n_re
+        sig2 = jnp.maximum(jax.lax.psum(s_loc, axis) / n_s, jnp.asarray(1e-30, rdtype))
+        innov = jnp.maximum(jax.lax.psum(i_loc, axis) / n_i, jnp.asarray(1e-30, rdtype))
+        w = track_w.astype(rdtype)
+        a_static = 1.0 / (w + 1.0)
+        a_move = jnp.clip(1.0 - 2.0 * sig2 / innov, 0.0, 1.0)
+        a = jnp.maximum(a_static, a_move)
+        a = jnp.where(w < 0.5, jnp.ones((), rdtype), a)
+        h_blend = h_prev + a.astype(cdtype) * (h_pre - h_prev)
+        h_fill = smooth_rows(pair_average(h_blend) if track_raw else h_blend)
+        h_all_fill = (
+            jax.lax.all_gather(h_fill, axis, axis=1, tiled=True)
+            if config.interp == "cnn"
+            else None
+        )
+        w_new = jnp.minimum(1.0 / jnp.maximum(a, jnp.asarray(1e-3, rdtype)), 64.0)
+        track_out = (_est._complex_to_ri(h_blend), w_new)
+
+    def _ret(res):
+        return (res, track_out) if track_out is not None else res
+
     if out_layout == "factored":
         # rank-1 output: local slice of the hop's smoothed profile + replicated
         # per-symbol rotation (cfo_hop is a psum -> identical on every shard)
         assert ht is None, "factored SP requires time_interp='none'"
-        full = fill_rows(h_p, h_all, 1)  # (nL, L)
-        return _est.FactoredResult(
+        full = fill_rows(h_fill, h_all_fill, 1)  # (nL, L)
+        return _ret(_est.FactoredResult(
             profiles=_est._complex_to_ri(full[None]),  # (2, 1, nL, L)
             sym_rot=_est._complex_to_ri(rot),
             noise_est=noise,
@@ -457,7 +508,7 @@ def _sharded_problem(
             epre=epre,
             time_alignment=ta,
             cfo_hz=cfo_hz,
-        )
+        ))
 
     if ht is not None:
         ht_all = (
@@ -471,21 +522,21 @@ def _sharded_problem(
         blk = jax.lax.complex(mm(jnp.real(ft)), mm(jnp.imag(ft)))  # (nL, n_alloc, L)
         block = jnp.transpose(blk, (2, 1, 0))  # (L, n_alloc, nL)
     else:
-        full = fill_rows(h_p, h_all, 1)  # (nL, L)
+        full = fill_rows(h_fill, h_all_fill, 1)  # (nL, L)
         block = jnp.broadcast_to(full.T[:, None, :], (sp.L, hp.n_alloc_syms, nL))
     channel = jnp.zeros((sp.L, rg.shape[1], nL), dtype=cdtype)
     channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, 0))
     if config.cfo_compensate and cfo_hop is not None:
         channel = channel * rot[None, :, None]
 
-    return _est.EstimateResult(
+    return _ret(_est.EstimateResult(
         channel_est_rg=_est._complex_to_ri(channel),
         noise_est=noise,
         rsrp=rsrp,
         epre=epre,
         time_alignment=ta,
         cfo_hz=cfo_hz,
-    )
+    ))
 
 
 @dataclass(eq=False)
@@ -871,6 +922,77 @@ def build_sp(
 
     def body(rg_ri_loc, pil_ri_loc, beta):
         return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta, None, out_layout)
+
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
+
+
+def build_sp_tracked(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    mesh: Mesh,
+    sp_axis: str = "sp",
+    out_layout: str = "ref",
+):
+    """Subcarrier-sharded estimator with multi-slot tracking (models/tracking.py).
+
+    fn(rg_ri, pil_ri, beta, h_prev_ri, w) -> (result, h_new_ri, w_new) where the
+    tracking state h_prev_ri is a 1-tuple of (2, nL, n_re) ri arrays sharded over
+    the pilot axis (pass `tracking.init_state(...)` output for slot 0; thread the
+    returned state into the next call). The tracked result is numerically equal
+    to `tracking.build_tracked_ri`'s (gain statistics pool via psums, seam pilot
+    differences via halo exchange). Single-hop geometries (make_shard_plan);
+    out_layout "ref" or "factored".
+    """
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    assert out_layout in ("ref", "factored")
+    assert config.time_interp == "none", "tracking requires time_interp='none'"
+    assert config.smoothing not in ("learned", "learned2d"), (
+        "tracking + learned smoothing not wired (mirrors tracking.build_tracked_ri)"
+    )
+    plan = make_plan(hop1, hop2, config, n_layers)
+    assert plan.hop2 is None, "build_sp_tracked supports single-hop problems"
+    n_sp = mesh.shape[sp_axis]
+    sp = make_shard_plan(plan, n_sp)
+
+    in_specs = (
+        P(None, sp_axis, None),  # rg_ri
+        P(None, sp_axis, None, None),  # pil_ri
+        P(),  # beta
+        (P(None, None, sp_axis),),  # h_prev_ri (1-tuple, sharded pilot axis)
+        P(),  # w
+    )
+    if out_layout == "factored":
+        res_specs = _est.FactoredResult(
+            profiles=P(None, None, None, sp_axis),
+            sym_rot=P(),
+            noise_est=P(),
+            rsrp=P(),
+            epre=P(),
+            time_alignment=P(),
+            cfo_hz=P(),
+        )
+    else:
+        res_specs = _est.EstimateResult(
+            channel_est_rg=P(None, sp_axis, None, None),
+            noise_est=P(),
+            rsrp=P(),
+            epre=P(),
+            time_alignment=P(),
+            cfo_hz=P(),
+        )
+    out_specs = (res_specs, (P(None, None, sp_axis),), P())
+
+    def body(rg_ri_loc, pil_ri_loc, beta, h_prev_ri, w):
+        h_prev = _est._ri_to_complex(h_prev_ri[0])  # (nL, R) local
+        res, (h_new_ri, w_new) = _sharded_problem(
+            sp, sp_axis, rg_ri_loc, pil_ri_loc, beta, None, out_layout,
+            h_prev=h_prev, track_w=w,
+        )
+        return res, (h_new_ri,), w_new
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
     return jax.jit(fn)

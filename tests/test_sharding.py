@@ -14,7 +14,12 @@ import pytest
 from srsran_ce_tpu.models import estimator
 from srsran_ce_tpu.parallel import mesh as mesh_lib
 from srsran_ce_tpu.parallel.data_parallel import build_dp_batched
-from srsran_ce_tpu.parallel.subcarrier import build_sp, build_sp_batched, make_shard_plan
+from srsran_ce_tpu.parallel.subcarrier import (
+    build_sp,
+    build_sp_batched,
+    build_sp_tracked,
+    make_shard_plan,
+)
 from srsran_ce_tpu.models.plan import make_plan
 from srsran_ce_tpu.utils import oracle, synthetic
 
@@ -352,3 +357,60 @@ def test_sp_factored_rejects_time_interp():
         build_sp(case.hop1, case.hop2, case.config, 1, mesh, out_layout="factored")
     with pytest.raises(ValueError):
         build_sp_batched(case.hop1, case.hop2, case.config, 1, mesh, out_layout="factored")
+
+
+def test_sp_tracked_matches_unsharded_tracker():
+    """Multi-slot tracking on the SP path: gains, state, and tracked grids equal
+    the unsharded tracker's across a 3-sounding sequence (fresh noise each slot)."""
+    from srsran_ce_tpu.models import tracking
+
+    n_sp = 4
+    mesh = mesh_lib.make_mesh((2, n_sp), ("dp", "sp"))
+    kw = dict(n_prbs=32, n_layers=2, cfo_hz=0.0, cfo_compensate=False)
+    cases = [synthetic.make_case(seed=55, snr_db=0.0, noise_seed=700 + s, **kw)
+             for s in range(3)]
+    c0 = cases[0]
+
+    f_sp = build_sp_tracked(c0.hop1, c0.hop2, c0.config, 2, mesh)
+    f_un = tracking.build_tracked_ri(c0.hop1, c0.hop2, c0.config, 2)
+    st_sp = tracking.init_state(c0.hop1, c0.hop2, c0.config, 2)
+    st_un = tracking.init_state(c0.hop1, c0.hop2, c0.config, 2)
+
+    for s, c in enumerate(cases):
+        args = (_ri(c.received_rg), _ri(c.pilots), np.asarray(c.beta))
+        r_sp, h_sp, w_sp = f_sp(*args, st_sp[0], st_sp[1])
+        r_un, h_un, w_un = f_un(*args, st_un[0], st_un[1])
+        st_sp = (tuple(np.asarray(h) for h in h_sp), np.asarray(w_sp))
+        st_un = (tuple(np.asarray(h) for h in h_un), np.asarray(w_un))
+        np.testing.assert_allclose(float(w_sp), float(w_un), rtol=1e-10)
+        for a, b in zip(st_sp[0], st_un[0]):
+            np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(
+            np.asarray(r_sp.channel_est_rg), np.asarray(r_un.channel_est_rg),
+            rtol=1e-10, atol=1e-14,
+        )
+    assert float(st_sp[1]) > 2.0  # static channel: weight accumulates
+
+
+def test_sp_tracked_factored():
+    """SP tracking + factored output: reconstruction matches the SP tracked grid."""
+    from srsran_ce_tpu.models import tracking
+
+    mesh = mesh_lib.make_mesh((2, 4), ("dp", "sp"))
+    kw = dict(n_prbs=32, n_layers=2, cfo_hz=200.0)
+    c = synthetic.make_case(seed=56, snr_db=10.0, **kw)
+    f_grid = build_sp_tracked(c.hop1, c.hop2, c.config, 2, mesh)
+    f_fac = build_sp_tracked(c.hop1, c.hop2, c.config, 2, mesh, out_layout="factored")
+    st = tracking.init_state(c.hop1, c.hop2, c.config, 2)
+    args = (_ri(c.received_rg), _ri(c.pilots), np.asarray(c.beta))
+    r_g, h_g, w_g = f_grid(*args, st[0], st[1])
+    r_f, h_f, w_f = f_fac(*args, st[0], st[1])
+    grid = estimator.reconstruct_factored(
+        estimator.merge_ri(np.asarray(r_f.profiles)),
+        estimator.merge_ri(np.asarray(r_f.sym_rot)),
+        c.hop1, c.hop2,
+    )
+    np.testing.assert_allclose(
+        grid, estimator.merge_ri(np.asarray(r_g.channel_est_rg)), rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_array_equal(np.asarray(h_f[0]), np.asarray(h_g[0]))
