@@ -593,12 +593,17 @@ def make_hopped_shard_plan(plan: EstimatorPlan, n_sp: int) -> HoppedShardPlan:
 
 def _sharded_problem_hopped(
     sp: HoppedShardPlan, axis: str, rg_ri_loc, pil_ri_loc, beta,
-    out_layout: str = "ref",
+    out_layout: str = "ref", h_prev=None, track_w=None,
 ):
     """Per-shard body for one frequency-hopped problem (see HoppedShardPlan).
 
     out_layout="factored": local FactoredResult — profiles (2, 2, nL, L) (one row
-    per hop, zero outside each hop's band locally) + replicated sym_rot."""
+    per hop, zero outside each hop's band locally) + replicated sym_rot.
+
+    h_prev/track_w: multi-slot tracking state — the hopped front is replicated,
+    so the blend is the unsharded tracker's math verbatim (h_prev: per-hop
+    (nL, n_re) complex, replicated over shards); returns (result, (h_new, w_new))
+    when tracking."""
     plan = sp.plan
     config = plan.config
     nL = plan.n_layers
@@ -624,8 +629,9 @@ def _sharded_problem_hopped(
     hops = [(plan.hop1, pil[:, : plan.n_dsym1, :]), (plan.hop2, pil[:, plan.n_dsym1 :, :])]
     h_ps = []
     h_ts = []
+    h_pres = []
     for hp, pil_h in hops:
-        e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t, _h_pre = _est._process_hop(
+        e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t, h_pre = _est._process_hop(
             hp, config, rg_full, pil_h, beta, sst
         )
         epre, noise, rsrp, ta = epre + e_i, noise + n_i, rsrp + r_i, ta + ta_i
@@ -633,10 +639,42 @@ def _sharded_problem_hopped(
             cfo = cfo_h if cfo is None else (cfo + cfo_h) / 2.0
         h_ps.append(h_p)
         h_ts.append(h_t)
+        h_pres.append(h_pre)
     rsrp = rsrp / plan.n_pilots / nL
     epre = epre / plan.n_pilots
     noise = noise / plan.noise_den
     ta = ta / 2.0
+
+    # --- multi-slot tracking blend (replicated front -> unsharded math verbatim,
+    # mirrors estimator._estimate_impl's tracking block) ---
+    track_out = None
+    if h_prev is not None:
+        assert all(h_t is None for h_t in h_ts), "tracking requires time_interp='none'"
+        sig2 = jnp.zeros((), rdtype)
+        innov = jnp.zeros((), rdtype)
+        n_s = n_i2 = 0
+        for h_pre, h_pr in zip(h_pres, h_prev):
+            d = h_pre[:, 1:] - h_pre[:, :-1]
+            sig2 = sig2 + jnp.sum(jnp.real(d) ** 2 + jnp.imag(d) ** 2) / 2.0
+            e = h_pre - h_pr
+            innov = innov + jnp.sum(jnp.real(e) ** 2 + jnp.imag(e) ** 2)
+            n_s += d.size
+            n_i2 += e.size
+        sig2 = jnp.maximum(sig2 / max(n_s, 1), jnp.asarray(1e-30, rdtype))
+        innov = jnp.maximum(innov / max(n_i2, 1), jnp.asarray(1e-30, rdtype))
+        w = track_w.astype(rdtype)
+        a_static = 1.0 / (w + 1.0)
+        a_move = jnp.clip(1.0 - 2.0 * sig2 / innov, 0.0, 1.0)
+        a = jnp.maximum(a_static, a_move)
+        a = jnp.where(w < 0.5, jnp.ones((), rdtype), a)
+        a_c = a.astype(cdtype)
+        h_blend = [h_pr + a_c * (h_pre - h_pr) for h_pre, h_pr in zip(h_pres, h_prev)]
+        h_ps = [
+            _est._smooth(hp, config, h_b, "xla", None)
+            for (hp, _), h_b in zip(hops, h_blend)
+        ]
+        w_new = jnp.minimum(1.0 / jnp.maximum(a, jnp.asarray(1e-3, rdtype)), 64.0)
+        track_out = (tuple(_est._complex_to_ri(h) for h in h_blend), w_new)
 
     if config.cfo_compensate and cfo is not None:
         rot = jnp.exp(
@@ -650,6 +688,9 @@ def _sharded_problem_hopped(
         if cfo is not None
         else jnp.full((), jnp.nan, rdtype)
     )
+
+    def _ret_h(res):
+        return (res, track_out) if track_out is not None else res
 
     # sharded fill: each device computes only its L output columns per hop
     prec = dsp.precision_of(config.matmul_precision)
@@ -667,7 +708,7 @@ def _sharded_problem_hopped(
                 )
                 cols.append(dsp.inpaint_matmul(h_p[l0:l1], w_loc, prec))
             rows.append(jnp.concatenate(cols, axis=0))  # (nL, L)
-        return _est.FactoredResult(
+        return _ret_h(_est.FactoredResult(
             profiles=_est._complex_to_ri(jnp.stack(rows)),  # (2, 2, nL, L)
             sym_rot=_est._complex_to_ri(rot),
             noise_est=noise,
@@ -675,7 +716,7 @@ def _sharded_problem_hopped(
             epre=epre,
             time_alignment=ta,
             cfo_hz=cfo_hz_f,
-        )
+        ))
 
     channel = jnp.zeros((sp.L, n_sym, nL), dtype=cdtype)
     start = (my * sp.L).astype(jnp.int32)
@@ -703,14 +744,14 @@ def _sharded_problem_hopped(
             block = full_loc.T[:, None, :] * rot_slice[None, :, None]  # (L, n_alloc, nL)
         channel = jax.lax.dynamic_update_slice(channel, block, (0, hp.sym_start, 0))
 
-    return _est.EstimateResult(
+    return _ret_h(_est.EstimateResult(
         channel_est_rg=_est._complex_to_ri(channel),
         noise_est=noise,
         rsrp=rsrp,
         epre=epre,
         time_alignment=ta,
         cfo_hz=cfo_hz_f,
-    )
+    ))
 
 
 def build_sp_batched(
@@ -939,12 +980,13 @@ def build_sp_tracked(
     """Subcarrier-sharded estimator with multi-slot tracking (models/tracking.py).
 
     fn(rg_ri, pil_ri, beta, h_prev_ri, w) -> (result, h_new_ri, w_new) where the
-    tracking state h_prev_ri is a 1-tuple of (2, nL, n_re) ri arrays sharded over
-    the pilot axis (pass `tracking.init_state(...)` output for slot 0; thread the
-    returned state into the next call). The tracked result is numerically equal
-    to `tracking.build_tracked_ri`'s (gain statistics pool via psums, seam pilot
-    differences via halo exchange). Single-hop geometries (make_shard_plan);
-    out_layout "ref" or "factored".
+    tracking state h_prev_ri is a tuple of per-hop (2, nL, n_re) ri arrays (pass
+    `tracking.init_state(...)` output for slot 0; thread the returned state into
+    the next call). Single-hop: state sharded over the pilot axis, gain
+    statistics pool via psums, seam pilot differences via halo exchange. Hopped:
+    the front (and so the state) is replicated — the unsharded tracker's math
+    verbatim. The tracked result is numerically equal to
+    `tracking.build_tracked_ri`'s. out_layout "ref" or "factored".
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
@@ -954,8 +996,44 @@ def build_sp_tracked(
         "tracking + learned smoothing not wired (mirrors tracking.build_tracked_ri)"
     )
     plan = make_plan(hop1, hop2, config, n_layers)
-    assert plan.hop2 is None, "build_sp_tracked supports single-hop problems"
     n_sp = mesh.shape[sp_axis]
+    if plan.hop2 is not None:
+        hsp = make_hopped_shard_plan(plan, n_sp)
+        if out_layout == "factored":
+            res_specs_h = _est.FactoredResult(
+                profiles=P(None, None, None, sp_axis),
+                sym_rot=P(),
+                noise_est=P(),
+                rsrp=P(),
+                epre=P(),
+                time_alignment=P(),
+                cfo_hz=P(),
+            )
+        else:
+            res_specs_h = _est.EstimateResult(
+                channel_est_rg=P(None, sp_axis, None, None),
+                noise_est=P(),
+                rsrp=P(),
+                epre=P(),
+                time_alignment=P(),
+                cfo_hz=P(),
+            )
+        in_specs_h = (P(None, sp_axis, None), P(), P(), (P(), P()), P())
+        out_specs_h = (res_specs_h, (P(), P()), P())
+
+        def body_h(rg_ri_loc, pil_ri_loc, beta, h_prev_ri, w):
+            h_prev = tuple(_est._ri_to_complex(h) for h in h_prev_ri)
+            res, (h_new_ri, w_new) = _sharded_problem_hopped(
+                hsp, sp_axis, rg_ri_loc, pil_ri_loc, beta, out_layout,
+                h_prev=h_prev, track_w=w,
+            )
+            return res, h_new_ri, w_new
+
+        fn = shard_map(
+            body_h, mesh=mesh, in_specs=in_specs_h, out_specs=out_specs_h,
+            check_vma=False,
+        )
+        return jax.jit(fn)
     sp = make_shard_plan(plan, n_sp)
 
     in_specs = (

@@ -414,3 +414,47 @@ def test_sp_tracked_factored():
         grid, estimator.merge_ri(np.asarray(r_g.channel_est_rg)), rtol=1e-12, atol=1e-14
     )
     np.testing.assert_array_equal(np.asarray(h_f[0]), np.asarray(h_g[0]))
+
+
+def test_sp_tracked_hopped_matches_unsharded():
+    """Hopped SP tracking (replicated front): equals the unsharded tracker across
+    soundings; factored variant reconstructs the tracked grid."""
+    from srsran_ce_tpu.models import tracking
+
+    mesh = mesh_lib.make_mesh((2, 4), ("dp", "sp"))
+    kw = dict(n_prbs=8, n_layers=2, two_hops=True, cfo_hz=0.0, cfo_compensate=False)
+    cases = [synthetic.make_case(seed=57, snr_db=0.0, noise_seed=800 + s, **kw)
+             for s in range(3)]
+    c0 = cases[0]
+    f_sp = build_sp_tracked(c0.hop1, c0.hop2, c0.config, 2, mesh)
+    f_un = tracking.build_tracked_ri(c0.hop1, c0.hop2, c0.config, 2)
+    st_sp = tracking.init_state(c0.hop1, c0.hop2, c0.config, 2)
+    st_un = tracking.init_state(c0.hop1, c0.hop2, c0.config, 2)
+    for c in cases:
+        args = (_ri(c.received_rg), _ri(c.pilots), np.asarray(c.beta))
+        r_sp, h_sp, w_sp = f_sp(*args, st_sp[0], st_sp[1])
+        r_un, h_un, w_un = f_un(*args, st_un[0], st_un[1])
+        st_sp = (tuple(np.asarray(h) for h in h_sp), np.asarray(w_sp))
+        st_un = (tuple(np.asarray(h) for h in h_un), np.asarray(w_un))
+        np.testing.assert_allclose(float(w_sp), float(w_un), rtol=1e-10)
+        for a, b in zip(st_sp[0], st_un[0]):
+            np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(
+            np.asarray(r_sp.channel_est_rg), np.asarray(r_un.channel_est_rg),
+            rtol=1e-10, atol=1e-14,
+        )
+    # factored variant agrees with the tracked grid
+    f_fac = build_sp_tracked(c0.hop1, c0.hop2, c0.config, 2, mesh, out_layout="factored")
+    st = tracking.init_state(c0.hop1, c0.hop2, c0.config, 2)
+    c = cases[0]
+    args = (_ri(c.received_rg), _ri(c.pilots), np.asarray(c.beta))
+    r_g, _, _ = f_sp(*args, st[0], st[1])
+    r_f, _, _ = f_fac(*args, st[0], st[1])
+    grid = estimator.reconstruct_factored(
+        estimator.merge_ri(np.asarray(r_f.profiles)),
+        estimator.merge_ri(np.asarray(r_f.sym_rot)),
+        c.hop1, c.hop2,
+    )
+    np.testing.assert_allclose(
+        grid, estimator.merge_ri(np.asarray(r_g.channel_est_rg)), rtol=1e-12, atol=1e-14
+    )
