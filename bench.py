@@ -232,27 +232,28 @@ def main():
             log(f"{name} FAILED: {type(e).__name__}: {e}")
             details[name] = {"error": str(e)}
 
-    # Factored serving output on the headline geometry (out_layout="factored":
-    # profile + per-symbol rotation instead of the dense grid — lossless rank-1
-    # factorization, ~n_sym x less output; see FactoredResult). Same batch sweep
-    # as the dense headline so the ratio is like-for-like. Reported as a detail
-    # row; the headline stays the dense-grid number.
-    try:
-        kwargs, batches = BENCH_CONFIGS[HEADLINE]
-        best = None
-        for batch in batches:
-            r = bench_config(HEADLINE, kwargs, batch, out_layout="factored")
-            if best is None or r["res_per_s"] > best["res_per_s"]:
-                best = r
-        r = best
-        details[HEADLINE + "_factored"] = r
-        log(
-            f"{HEADLINE}_factored: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "
-            f"{r['res_per_s']:.3e} effective REs/s"
-        )
-    except Exception as e:
-        log(f"factored FAILED: {type(e).__name__}: {e}")
-        details[HEADLINE + "_factored"] = {"error": str(e)}
+    # Factored serving output (out_layout="factored": profile + per-symbol
+    # rotation instead of the dense grid — lossless rank-1 factorization,
+    # ~n_sym x less output; see FactoredResult). Same batch sweep as the dense
+    # rows so the ratios are like-for-like. Reported as detail rows; the
+    # headline stays the dense-grid number.
+    for fname in (HEADLINE, "c3_cnn_273prb"):
+        try:
+            kwargs, batches = BENCH_CONFIGS[fname]
+            best = None
+            for batch in batches:
+                r = bench_config(fname, kwargs, batch, out_layout="factored")
+                if best is None or r["res_per_s"] > best["res_per_s"]:
+                    best = r
+            r = best
+            details[fname + "_factored"] = r
+            log(
+                f"{fname}_factored: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "
+                f"{r['res_per_s']:.3e} effective REs/s"
+            )
+        except Exception as e:
+            log(f"{fname} factored FAILED: {type(e).__name__}: {e}")
+            details[fname + "_factored"] = {"error": str(e)}
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
     with open(out_path, "w") as f:
