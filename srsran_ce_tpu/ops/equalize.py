@@ -32,23 +32,41 @@ import jax
 import jax.numpy as jnp
 
 
-def _mmse_weights(h: jnp.ndarray, noise_over_beta2: jnp.ndarray) -> jnp.ndarray:
-    """(..., n_rx, nL) channel -> (..., nL, n_rx) MMSE filter (G + σ̃²I)^(-1) H^H."""
+def _hermitian_inverse(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of a (..., nL, nL) Hermitian positive-definite matrix.
+
+    nL is tiny (≤4 layers) and static, so for nL ∈ {1, 2} the adjugate form is
+    used: elementwise VPU math instead of `linalg.inv`'s batched LU, which XLA
+    lowers to a per-matrix loop that serializes the (n_sc·n_sym)-sized batch.
+    Larger nL falls back to `jnp.linalg.inv`.
+    """
+    nL = a.shape[-1]
+    if nL == 1:
+        return 1.0 / a
+    if nL == 2:
+        a00 = a[..., 0, 0]
+        a11 = a[..., 1, 1]
+        a01 = a[..., 0, 1]
+        det = a00 * a11 - a01 * jnp.conj(a01)
+        row0 = jnp.stack([a11, -a01], axis=-1)
+        row1 = jnp.stack([-jnp.conj(a01), a00], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
+    return jnp.linalg.inv(a)
+
+
+def _mmse_inv(h: jnp.ndarray, noise_over_beta2: jnp.ndarray):
+    """(..., n_rx, nL) channel -> (inv, hh): the regularized Gram inverse
+    (G + σ̃²I)^(-1) (..., nL, nL) and H^H (..., nL, n_rx). The MMSE filter is
+    inv @ hh; the post-MMSE SINR comes from diag(inv) — computed once, shared."""
     nL = h.shape[-1]
     hh = jnp.conj(jnp.swapaxes(h, -1, -2))  # (..., nL, n_rx)
     gram = hh @ h  # (..., nL, nL)
     eye = jnp.eye(nL, dtype=h.dtype)
-    a = gram + noise_over_beta2.astype(h.dtype) * eye
-    return jnp.linalg.solve(a, hh)
+    return _hermitian_inverse(gram + noise_over_beta2.astype(h.dtype) * eye), hh
 
 
-def _post_sinr(h: jnp.ndarray, noise_over_beta2: jnp.ndarray) -> jnp.ndarray:
+def _sinr_from_inv(inv: jnp.ndarray, noise_over_beta2: jnp.ndarray) -> jnp.ndarray:
     """Per-layer post-MMSE SINR: 1/diag((G + σ̃²I)^(-1)) / σ̃² - 1 (real)."""
-    nL = h.shape[-1]
-    hh = jnp.conj(jnp.swapaxes(h, -1, -2))
-    gram = hh @ h
-    eye = jnp.eye(nL, dtype=h.dtype)
-    inv = jnp.linalg.inv(gram + noise_over_beta2.astype(h.dtype) * eye)
     d = jnp.real(jnp.diagonal(inv, axis1=-2, axis2=-1))
     s = noise_over_beta2.real
     return jnp.maximum(1.0 / jnp.maximum(d * s, 1e-30) - 1.0, 0.0)
@@ -70,9 +88,9 @@ def mmse_equalize(
     h = jnp.moveaxis(channel, 0, 2)  # (n_sc, n_sym, n_rx, nL)
     y = jnp.moveaxis(received, 0, -1)[..., None]  # (n_sc, n_sym, n_rx, 1)
     s = jnp.asarray(noise_var) / (beta * beta)
-    w = _mmse_weights(h, s)  # (n_sc, n_sym, nL, n_rx)
-    x = (w @ y)[..., 0] / beta  # (n_sc, n_sym, nL)
-    return x, _post_sinr(h, s)
+    inv, hh = _mmse_inv(h, s)
+    x = (inv @ (hh @ y))[..., 0] / beta  # (n_sc, n_sym, nL)
+    return x, _sinr_from_inv(inv, s)
 
 
 def mmse_equalize_factored(
@@ -100,10 +118,11 @@ def mmse_equalize_factored(
     # profiles (n_rx, nL, n_sc) -> per-sc (n_sc, n_rx, nL)
     h = jnp.transpose(profiles, (2, 0, 1))  # (n_sc, n_rx, nL)
     s = jnp.asarray(noise_var) / (beta * beta)
-    w = _mmse_weights(h, s)  # (n_sc, nL, n_rx)
+    inv, hh = _mmse_inv(h, s)
+    w = inv @ hh  # (n_sc, nL, n_rx)
     rot = jax.lax.slice_in_dim(sym_rot, sym_start, sym_start + n_alloc_syms, axis=0)
     y = jax.lax.slice_in_dim(received, sym_start, sym_start + n_alloc_syms, axis=2)
     y = jnp.moveaxis(y, 0, -1)  # (n_sc, n_alloc, n_rx)
     # x[sc, t, l] = conj(rot[t]) * sum_r w[sc, l, r] y[sc, t, r]
     x = jnp.einsum("slr,str->stl", w, y) * jnp.conj(rot)[None, :, None] / beta
-    return x, _post_sinr(h, s)
+    return x, _sinr_from_inv(inv, s)
