@@ -1,0 +1,168 @@
+"""Joint multi-RX-port MMSE receiver: estimate + equalize in ONE jitted program.
+
+The reference stops at the per-port channel estimate (srs_channel_estimator
+returns the grid + measurements, ce_rule_baseline.py:761-768); an actual uplink
+receiver runs the estimator once per receive antenna and then jointly
+MMSE-equalizes the data REs across ports. This module closes that loop
+TPU-natively:
+
+  * ONE compiled XLA program per (plan, n_rx): the per-port channel grids are
+    intermediate values that never leave the device — only the equalized
+    symbols (nL <= n_rx x smaller than the stacked channel) and per-layer SINR
+    cross the host boundary. On this environment's transfer-bound relay that
+    is the difference between serving and stalling.
+  * The per-port estimates are a `jax.vmap` over the RX axis of the SAME
+    `_estimate_impl` the single-port API jits — no second estimator code path
+    to keep conformant.
+  * Factored fast path (`mode="auto"`, time_interp="none"): each port's grid
+    is rank-1 in time per hop (profile x unit-modulus CFO rotation,
+    estimator.FactoredResult), and the per-port rotations cancel in the Gram
+    matrix, so the MMSE filter inverse is built once per SUBCARRIER instead of
+    once per RE — exactly, not approximately — even though every port carries
+    its own measured CFO phase (ops/equalize.mmse_equalize_factored_serve).
+
+Measurement combining across ports: noise/RSRP/EPRE/time-alignment/CFO are
+arithmetic means over the per-port estimates (each port's estimator measures
+the same physical link through independent noise).
+
+Shapes (ri layout at the device boundary, like every builder in this repo):
+rg_ri (2, n_rx, n_sc, n_sym); pil_ri (2, n_re, n_dsym, n_layers) — pilots are
+the UE's transmission, shared by all ports; x (2, nL, n_sym, n_sc) serve
+layout. Batched adds a leading B axis after nothing (B, 2, ...).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EstimatorConfig, HopConfig
+from ..ops import equalize
+from .estimator import (
+    _complex_to_ri,
+    _estimate_impl,
+    _ri_to_complex,
+    prefetch_plan_constants,
+)
+from .plan import make_plan
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ReceiverResult:
+    """Equalized symbols + SINR + the estimator's 5 measurements (port-mean).
+
+    x: (2, n_layers, n_sym, n_sc) ri — noise-normalized symbol estimates, serve
+    layout; zero outside the hop allocations. sinr: per-layer post-MMSE SINR
+    (linear) — (n_layers, n_sym, n_sc) on the dense path, (n_hops, n_layers,
+    n_sc) on the factored path (the factored filter is time-invariant per hop).
+    """
+
+    x: jnp.ndarray
+    sinr: jnp.ndarray
+    noise_est: jnp.ndarray  # scalar real (mean over RX ports)
+    rsrp: jnp.ndarray  # scalar real
+    epre: jnp.ndarray  # scalar real
+    time_alignment: jnp.ndarray  # scalar real, seconds
+    cfo_hz: jnp.ndarray  # scalar real, Hz (NaN if not estimable)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_receiver_cached(
+    plan_key, n_rx: int, batched: bool, mode: str, data_beta: float, kernels: str
+):
+    hop1, hop2, config, n_layers = plan_key
+    plan = make_plan(hop1, hop2, config, n_layers)
+    prefetch_plan_constants(plan)
+    factored = mode == "factored" or (mode == "auto" and config.time_interp == "none")
+    out_layout = "factored" if factored else "serve"
+    hop_plans = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
+    learned = config.smoothing in ("learned", "learned2d")
+
+    def single(rg_ri, pil_ri, beta, params=None):
+        rg = _ri_to_complex(rg_ri)  # (n_rx, n_sc, n_sym)
+        assert rg.shape[0] == n_rx, (rg.shape, n_rx)
+        pil = _ri_to_complex(pil_ri)
+        est = jax.vmap(
+            lambda r: _estimate_impl(plan, r, pil, beta, kernels, params, out_layout)
+        )(rg)
+        noise = jnp.mean(est.noise_est)
+        y = jnp.moveaxis(rg, -1, -2)  # (n_rx, n_sym, n_sc)
+        if factored:
+            n_sc, n_sym = rg.shape[1], rg.shape[2]
+            x = jnp.zeros((n_layers, n_sym, n_sc), rg.dtype)
+            sinrs = []
+            for h, hp in enumerate(hop_plans):
+                xh, sh = equalize.mmse_equalize_factored_serve(
+                    y,
+                    est.profiles[:, h],
+                    est.sym_rot,
+                    noise,
+                    hp.sym_start,
+                    hp.n_alloc_syms,
+                    beta=data_beta,
+                )
+                x = jax.lax.dynamic_update_slice(x, xh, (0, hp.sym_start, 0))
+                sinrs.append(sh)
+            sinr = jnp.stack(sinrs)  # (n_hops, nL, n_sc)
+        else:
+            # est.channel_est_rg is the serve-layout grid stacked over ports:
+            # (n_rx, nL, n_sym, n_sc) — consumed with no relayout.
+            x, sinr = equalize.mmse_equalize_serve(
+                y, est.channel_est_rg, noise, beta=data_beta
+            )
+        return ReceiverResult(
+            x=_complex_to_ri(x),
+            sinr=sinr,
+            noise_est=noise,
+            rsrp=jnp.mean(est.rsrp),
+            epre=jnp.mean(est.epre),
+            time_alignment=jnp.mean(est.time_alignment),
+            cfo_hz=jnp.mean(est.cfo_hz),
+        )
+
+    if learned:
+        if batched:
+            return jax.jit(jax.vmap(single, in_axes=(0, 0, 0, None)))
+        return jax.jit(single)
+    one = lambda rg_ri, pil_ri, beta: single(rg_ri, pil_ri, beta)
+    return jax.jit(jax.vmap(one)) if batched else jax.jit(one)
+
+
+def build_receiver_ri(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    n_rx: int,
+    batched: bool = False,
+    mode: str = "auto",
+    data_beta: float = 1.0,
+    kernels: str = "xla",
+):
+    """Jitted `fn(rg_ri, pil_ri, beta[, params]) -> ReceiverResult` (ri layout).
+
+    rg_ri: (2, n_rx, n_sc, n_sym) real — one received grid per RX port; pil_ri:
+    (2, n_re, n_dsym, n_layers) real (shared); beta: pilot amplitude scale.
+    With batched=True every array gains a leading problem axis B. `params` is
+    the denoiser pytree, required iff config.smoothing is a learned mode
+    (replicated, not batched).
+
+    mode: "dense" always equalizes the full per-RE grid; "factored" requires
+    time_interp="none" and builds the filter once per subcarrier; "auto" picks
+    factored exactly when time_interp="none". `data_beta` is the data-RE
+    amplitude scale (DM-RS boost beta scales only the pilots; data REs are
+    typically unit amplitude), baked into the program as a static constant.
+    """
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    assert mode in ("auto", "dense", "factored")
+    assert n_rx >= 1
+    if mode == "factored" and config.time_interp != "none":
+        raise ValueError("mode='factored' requires time_interp='none'")
+    return _build_receiver_cached(
+        (hop1, hop2, config, n_layers), n_rx, batched, mode, float(data_beta), kernels
+    )

@@ -32,65 +32,149 @@ import jax
 import jax.numpy as jnp
 
 
-def _hermitian_inverse(a: jnp.ndarray) -> jnp.ndarray:
-    """Batched inverse of a (..., nL, nL) Hermitian positive-definite matrix.
-
-    nL is tiny (≤4 layers) and static, so for nL ∈ {1, 2} the adjugate form is
-    used: elementwise VPU math instead of `linalg.inv`'s batched LU, which XLA
-    lowers to a per-matrix loop that serializes the (n_sc·n_sym)-sized batch.
-    Larger nL falls back to `jnp.linalg.inv`.
-    """
-    nL = a.shape[-1]
-    if nL == 1:
-        return 1.0 / a
-    if nL == 2:
-        a00 = a[..., 0, 0]
-        a11 = a[..., 1, 1]
-        a01 = a[..., 0, 1]
-        det = a00 * a11 - a01 * jnp.conj(a01)
-        row0 = jnp.stack([a11, -a01], axis=-1)
-        row1 = jnp.stack([-jnp.conj(a01), a00], axis=-1)
-        return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
-    return jnp.linalg.inv(a)
-
-
-def _mmse_inv(h: jnp.ndarray, noise_over_beta2: jnp.ndarray):
-    """(..., n_rx, nL) channel -> (inv, hh): the regularized Gram inverse
-    (G + σ̃²I)^(-1) (..., nL, nL) and H^H (..., nL, n_rx). The MMSE filter is
-    inv @ hh; the post-MMSE SINR comes from diag(inv) — computed once, shared."""
-    nL = h.shape[-1]
-    hh = jnp.conj(jnp.swapaxes(h, -1, -2))  # (..., nL, n_rx)
-    gram = hh @ h  # (..., nL, nL)
-    eye = jnp.eye(nL, dtype=h.dtype)
-    return _hermitian_inverse(gram + noise_over_beta2.astype(h.dtype) * eye), hh
-
-
-def _sinr_from_inv(inv: jnp.ndarray, noise_over_beta2: jnp.ndarray) -> jnp.ndarray:
-    """Per-layer post-MMSE SINR: 1/diag((G + σ̃²I)^(-1)) / σ̃² - 1 (real)."""
-    d = jnp.real(jnp.diagonal(inv, axis1=-2, axis2=-1))
-    s = noise_over_beta2.real
-    return jnp.maximum(1.0 / jnp.maximum(d * s, 1e-30) - 1.0, 0.0)
-
-
 def mmse_equalize(
     received: jnp.ndarray,
     channel: jnp.ndarray,
     noise_var: jnp.ndarray,
     beta: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense-grid MMSE equalization.
+    """Dense-grid MMSE equalization, reference (sc, sym, layer) layout.
 
     received: (n_rx, n_sc, n_sym) complex; channel: (n_rx, n_sc, n_sym, nL)
     complex (e.g. per-port estimator outputs stacked on a leading rx axis);
     noise_var: scalar noise variance (estimator noise_est); beta: data-RE
     amplitude scale. Returns (x_hat (n_sc, n_sym, nL), sinr (n_sc, n_sym, nL)).
+
+    Thin relayout wrapper over `mmse_equalize_serve` — ONE compute path, and
+    that path never touches the MXU (see `_gram_lead` for why that matters on
+    TPU). Prefer the serve-layout entry point on device; this layout exists for
+    host-side/oracle use against reference-layout grids.
     """
-    h = jnp.moveaxis(channel, 0, 2)  # (n_sc, n_sym, n_rx, nL)
-    y = jnp.moveaxis(received, 0, -1)[..., None]  # (n_sc, n_sym, n_rx, 1)
+    x, sinr = mmse_equalize_serve(
+        jnp.moveaxis(received, -2, -1),  # (n_rx, n_sym, n_sc)
+        jnp.transpose(channel, (0, 3, 2, 1)),  # (n_rx, nL, n_sym, n_sc)
+        noise_var,
+        beta=beta,
+    )
+    return jnp.transpose(x, (2, 1, 0)), jnp.transpose(sinr, (2, 1, 0))
+
+
+def _hermitian_inverse_lead(a: jnp.ndarray) -> jnp.ndarray:
+    """`_hermitian_inverse` for LEADING matrix axes: a (nL, nL, ...) -> inverse
+    (nL, nL, ...). The serve-layout cores keep the long subcarrier axis minor
+    (the TPU lane dimension) and the tiny nL x nL system in leading axes, so the
+    adjugate math is pure elementwise VPU work over full-width lanes."""
+    nL = a.shape[0]
+    if nL == 1:
+        return 1.0 / a
+    if nL == 2:
+        a00, a01, a11 = a[0, 0], a[0, 1], a[1, 1]
+        det = a00 * a11 - a01 * jnp.conj(a01)
+        row0 = jnp.stack([a11, -a01])
+        row1 = jnp.stack([-jnp.conj(a01), a00])
+        return jnp.stack([row0, row1]) / det
+    moved = jnp.moveaxis(a, (0, 1), (-2, -1))
+    return jnp.moveaxis(jnp.linalg.inv(moved), (-2, -1), (0, 1))
+
+
+def _sinr_from_inv_lead(inv: jnp.ndarray, noise_over_beta2: jnp.ndarray) -> jnp.ndarray:
+    """`_sinr_from_inv` for leading matrix axes: inv (nL, nL, ...) -> (nL, ...)."""
+    nL = inv.shape[0]
+    d = jnp.real(jnp.stack([inv[i, i] for i in range(nL)]))
+    s = noise_over_beta2.real
+    return jnp.maximum(1.0 / jnp.maximum(d * s, 1e-30) - 1.0, 0.0)
+
+
+def _gram_lead(h: jnp.ndarray, s) -> jnp.ndarray:
+    """Regularized Gram H^H H + sI for leading tiny axes: h (n_rx, nL, ...) ->
+    (nL, nL, ...). Unrolled over the nL x nL x n_rx (each <= 4) terms as
+    elementwise multiply-adds: the VPU runs them at full f32 over the big
+    trailing (sym, sc) dims, whereas a dot_general over a size-<=4 contraction
+    would hit the MXU at its default bf16 precision — which turns the
+    near-singular determinant cancellation in `_hermitian_inverse_lead` into
+    garbage (measured: |x| 1e4 x too large on v5e) AND wastes a 128-wide
+    systolic contraction on 2-4 terms."""
+    nL = h.shape[1]
+    hc = jnp.conj(h)
+    rows = []
+    for i in range(nL):
+        row = []
+        for j in range(nL):
+            g = jnp.sum(hc[:, i] * h[:, j], axis=0)
+            row.append(g + s if i == j else g)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def _matched_filter_lead(h: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """H^H y for leading tiny axes: h (n_rx, nL, ...), y (n_rx, ...) -> (nL, ...)."""
+    hc = jnp.conj(h)
+    return jnp.stack([jnp.sum(hc[:, i] * y, axis=0) for i in range(h.shape[1])])
+
+
+def _apply_inv_lead(inv: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """inv (nL, nL, ...) @ v (nL, ...) -> (nL, ...), unrolled elementwise."""
+    nL = inv.shape[0]
+    return jnp.stack(
+        [sum(inv[i, j] * v[j] for j in range(nL)) for i in range(nL)]
+    )
+
+
+def mmse_equalize_serve(
+    received: jnp.ndarray,
+    channel: jnp.ndarray,
+    noise_var: jnp.ndarray,
+    beta: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense MMSE equalization in the TPU serve layout (subcarrier-last).
+
+    received: (n_rx, n_sym, n_sc); channel: (n_rx, nL, n_sym, n_sc) — i.e. the
+    estimator's out_layout="serve" grid stacked over RX ports, consumed with NO
+    relayout: every contraction is over the tiny n_rx/nL leading axes while
+    (n_sym, n_sc) ride the sublane/lane dims as pure elementwise VPU work (see
+    `_gram_lead` for why NOT einsum/MXU). Same math as `mmse_equalize`
+    (oracle-tested equal); returns x (nL, n_sym, n_sc), sinr (nL, n_sym, n_sc).
+    """
     s = jnp.asarray(noise_var) / (beta * beta)
-    inv, hh = _mmse_inv(h, s)
-    x = (inv @ (hh @ y))[..., 0] / beta  # (n_sc, n_sym, nL)
-    return x, _sinr_from_inv(inv, s)
+    inv = _hermitian_inverse_lead(_gram_lead(channel, s.astype(channel.dtype)))
+    mf = _matched_filter_lead(channel, received)  # H^H y, (nL, n_sym, n_sc)
+    x = _apply_inv_lead(inv, mf) / beta
+    return x, _sinr_from_inv_lead(inv, s)
+
+
+def mmse_equalize_factored_serve(
+    received: jnp.ndarray,
+    profiles: jnp.ndarray,
+    sym_rot: jnp.ndarray,
+    noise_var: jnp.ndarray,
+    sym_start: int,
+    n_alloc_syms: int,
+    beta: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Factored MMSE equalization, serve layout, multi-RX, per-RX CFO rotations.
+
+    received: (n_rx, n_sym, n_sc); profiles: (n_rx, nL, n_sc) — one hop row of
+    each RX port's FactoredResult; sym_rot: (n_rx, n_sym) per-port rotations
+    (each port's estimator measures its own CFO; they differ only by noise).
+
+    The joint channel is H[r, sc, sym] = profiles[r, :, sc] * sym_rot[r, sym]
+    with |sym_rot| = 1, so the per-port rotations CANCEL in the Gram matrix
+    G = Σ_r P_r^H P_r — the regularized inverse is built once per subcarrier
+    (exactly, not approximately) even though the ports carry different CFO
+    phases. The rotations survive only in the matched filter, where they fold
+    into the received symbols elementwise:  H^H y [sym] = Σ_r conj(rot_r[sym])
+    P_r^H y_r[sym]. Returns x (nL, n_alloc, n_sc), sinr (nL, n_sc).
+    """
+    s = jnp.asarray(noise_var) / (beta * beta)
+    inv = _hermitian_inverse_lead(_gram_lead(profiles, s.astype(profiles.dtype)))
+    rot = jax.lax.slice_in_dim(sym_rot, sym_start, sym_start + n_alloc_syms, axis=1)
+    y = jax.lax.slice_in_dim(received, sym_start, sym_start + n_alloc_syms, axis=1)
+    y = y * jnp.conj(rot)[:, :, None]  # (n_rx, n_alloc, n_sc)
+    # mf[i, t, c] = sum_r conj(P[r, i, c]) y[r, t, c] — broadcast the profile
+    # over the symbol axis; still pure elementwise VPU work.
+    mf = _matched_filter_lead(profiles[:, :, None, :], y)
+    x = _apply_inv_lead(inv[:, :, None, :], mf) / beta
+    return x, _sinr_from_inv_lead(inv, s)
 
 
 def mmse_equalize_factored(
@@ -114,15 +198,17 @@ def mmse_equalize_factored(
     in H^H H), then applied to every symbol with the rotation undone as a
     scalar — the n_sym x cheaper construction the factored layout exists for.
     Returns (x_hat (n_sc, n_alloc, nL), sinr (n_sc, nL)) for the hop's symbols.
+
+    Thin relayout wrapper over `mmse_equalize_factored_serve` (one compute
+    path, MXU-free — see `_gram_lead`), which also takes per-port rotations.
     """
-    # profiles (n_rx, nL, n_sc) -> per-sc (n_sc, n_rx, nL)
-    h = jnp.transpose(profiles, (2, 0, 1))  # (n_sc, n_rx, nL)
-    s = jnp.asarray(noise_var) / (beta * beta)
-    inv, hh = _mmse_inv(h, s)
-    w = inv @ hh  # (n_sc, nL, n_rx)
-    rot = jax.lax.slice_in_dim(sym_rot, sym_start, sym_start + n_alloc_syms, axis=0)
-    y = jax.lax.slice_in_dim(received, sym_start, sym_start + n_alloc_syms, axis=2)
-    y = jnp.moveaxis(y, 0, -1)  # (n_sc, n_alloc, n_rx)
-    # x[sc, t, l] = conj(rot[t]) * sum_r w[sc, l, r] y[sc, t, r]
-    x = jnp.einsum("slr,str->stl", w, y) * jnp.conj(rot)[None, :, None] / beta
-    return x, _sinr_from_inv(inv, s)
+    x, sinr = mmse_equalize_factored_serve(
+        jnp.moveaxis(received, -2, -1),  # (n_rx, n_sym, n_sc)
+        profiles,
+        sym_rot[None, :],  # shared rotation -> one broadcast port row
+        noise_var,
+        sym_start,
+        n_alloc_syms,
+        beta=beta,
+    )
+    return jnp.transpose(x, (2, 1, 0)), sinr.T

@@ -1,0 +1,264 @@
+"""Joint multi-RX MMSE receiver (models/receiver) — estimate + equalize fused.
+
+Coverage, in order of increasing integration depth:
+  1. the serve-layout equalizer cores are pure relayouts of the oracle-tested
+     reference-layout ones (ops/equalize), including the multi-RX per-port-CFO
+     factored form's Gram-cancellation claim checked against an explicit dense
+     construction;
+  2. the dense receiver program == composing the public estimator per RX port
+     with equalize.mmse_equalize on the host (same inputs, same combine rules);
+  3. the factored receiver == the dense receiver when time_interp="none", with
+     CFO on and two frequency hops (the per-subcarrier filter must be exact);
+  4. end-to-end 2x2 MIMO: QPSK payload through two independent true channels
+     with CFO is recovered symbol-exactly at high SNR;
+  5. batched == single, problem by problem.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from srsran_ce_tpu.models import estimator, receiver
+from srsran_ce_tpu.ops import equalize
+from srsran_ce_tpu.utils import synthetic
+
+
+def _rand_cplx(rng, shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+def test_serve_core_matches_reference_layout():
+    rng = np.random.default_rng(3)
+    n_rx, nL, n_sc, n_sym = 4, 2, 48, 14
+    h = _rand_cplx(rng, (n_rx, n_sc, n_sym, nL))
+    y = _rand_cplx(rng, (n_rx, n_sc, n_sym))
+    noise, beta = 0.05, 1.3
+    x_ref, sinr_ref = equalize.mmse_equalize(
+        jnp.asarray(y), jnp.asarray(h), jnp.asarray(noise), beta=beta
+    )
+    x_s, sinr_s = equalize.mmse_equalize_serve(
+        jnp.asarray(np.moveaxis(y, 1, 2)),  # (n_rx, n_sym, n_sc)
+        jnp.asarray(np.transpose(h, (0, 3, 2, 1))),  # (n_rx, nL, n_sym, n_sc)
+        jnp.asarray(noise),
+        beta=beta,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(x_s), (2, 1, 0)), np.asarray(x_ref), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(sinr_s), (2, 1, 0)), np.asarray(sinr_ref), rtol=1e-9
+    )
+
+
+def test_factored_serve_gram_cancellation():
+    """Per-RX unit-modulus rotations must cancel exactly in the Gram matrix:
+    the factored serve core (one filter inverse per subcarrier) equals the dense
+    per-RE solve on the explicit channel H[r, sc, sym] = P[r, :, sc]*rot[r, sym]."""
+    rng = np.random.default_rng(11)
+    n_rx, nL, n_sc, n_sym = 3, 2, 36, 14
+    sym_start, n_alloc = 2, 9
+    prof = _rand_cplx(rng, (n_rx, nL, n_sc))
+    rot = np.exp(1j * rng.uniform(-np.pi, np.pi, (n_rx, n_sym)))  # per-port CFO phases
+    y = _rand_cplx(rng, (n_rx, n_sc, n_sym))
+    noise, beta = 0.02, 0.9
+
+    h = np.einsum("rlc,rs->rcsl", prof, rot)  # (n_rx, n_sc, n_sym, nL) dense
+    x_d, sinr_d = equalize.mmse_equalize(
+        jnp.asarray(y), jnp.asarray(h), jnp.asarray(noise), beta=beta
+    )
+    x_f, sinr_f = equalize.mmse_equalize_factored_serve(
+        jnp.asarray(np.moveaxis(y, 1, 2)),
+        jnp.asarray(prof),
+        jnp.asarray(rot),
+        jnp.asarray(noise),
+        sym_start,
+        n_alloc,
+        beta=beta,
+    )
+    x_d = np.asarray(x_d)[:, sym_start : sym_start + n_alloc, :]  # (n_sc, t, nL)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(x_f), (2, 1, 0)), x_d, rtol=1e-10
+    )
+    # dense SINR is time-invariant here (unit-modulus rotations): every symbol
+    # must match the factored per-subcarrier SINR
+    sinr_d = np.asarray(sinr_d)
+    for t in range(n_sym):
+        np.testing.assert_allclose(
+            np.asarray(sinr_f).T, sinr_d[:, t, :], rtol=1e-9
+        )
+
+
+def _mimo_inputs(n_rx, n_layers=2, seeds=(0,), **kw):
+    """Per-seed multi-RX parity inputs: each RX port is an independent synthetic
+    case (its own channel + noise), all relabeled to share seed-derived case 0's
+    pilots — parity tests feed both paths identical inputs, so physical
+    consistency of the relabeled grid is irrelevant."""
+    probs = []
+    for s in seeds:
+        cases = [
+            synthetic.make_case(seed=1000 * s + r, n_layers=n_layers, n_prbs=24, **kw)
+            for r in range(n_rx)
+        ]
+        rg = np.stack([c.received_rg for c in cases])  # (n_rx, n_sc, n_sym)
+        probs.append((rg, cases[0].pilots, cases[0]))
+    return probs
+
+
+@pytest.mark.parametrize("time_interp", ["none", "linear"])
+def test_dense_receiver_matches_host_composition(time_interp):
+    n_rx, nL = 2, 2
+    ((rg, pil, case),) = _mimo_inputs(n_rx, nL, cfo_hz=250.0, time_interp=time_interp)
+    data_beta = 1.2
+    fn = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, nL, n_rx, mode="dense", data_beta=data_beta
+    )
+    out = fn(
+        estimator.split_ri(rg), estimator.split_ri(pil), np.float64(case.beta)
+    )
+
+    # Host composition: public estimator per port, then the oracle-tested
+    # reference-layout equalizer with the port-mean noise.
+    res = [
+        estimator.estimate(rg[r], pil, case.beta, case.hop1, case.hop2, case.config)
+        for r in range(n_rx)
+    ]
+    h = np.stack([np.asarray(r.channel_est_rg) for r in res])  # (n_rx, n_sc, n_sym, nL)
+    noise = np.mean([float(r.noise_est) for r in res])
+    x_o, sinr_o = equalize.mmse_equalize(
+        jnp.asarray(rg), jnp.asarray(h), jnp.asarray(noise), beta=data_beta
+    )
+
+    x = estimator.merge_ri(np.asarray(out.x))  # (nL, n_sym, n_sc)
+    np.testing.assert_allclose(np.transpose(x, (2, 1, 0)), np.asarray(x_o), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out.sinr), (2, 1, 0)), np.asarray(sinr_o), rtol=1e-7
+    )
+    assert np.isclose(float(out.noise_est), noise)
+    assert np.isclose(
+        float(out.cfo_hz), np.mean([float(r.cfo_hz) for r in res]), rtol=1e-9
+    )
+
+
+def test_factored_receiver_matches_dense_two_hops():
+    n_rx, nL = 2, 2
+    ((rg, pil, case),) = _mimo_inputs(
+        n_rx, nL, cfo_hz=300.0, two_hops=True, time_interp="none"
+    )
+    args = (estimator.split_ri(rg), estimator.split_ri(pil), np.float64(case.beta))
+    f_d = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, nL, n_rx, mode="dense"
+    )
+    f_f = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, nL, n_rx, mode="factored"
+    )
+    out_d, out_f = f_d(*args), f_f(*args)
+    x_d = estimator.merge_ri(np.asarray(out_d.x))
+    x_f = estimator.merge_ri(np.asarray(out_f.x))
+    np.testing.assert_allclose(x_f, x_d, rtol=1e-8, atol=1e-12)
+    # factored sinr (n_hops, nL, n_sc) == dense sinr at each hop's symbols
+    sinr_d = np.asarray(out_d.sinr)  # (nL, n_sym, n_sc)
+    sinr_f = np.asarray(out_f.sinr)
+    for h, hop in enumerate([case.hop1, case.hop2]):
+        s0 = hop.start_symbol
+        for t in range(s0, s0 + hop.n_allocated_symbols):
+            np.testing.assert_allclose(sinr_f[h], sinr_d[:, t, :], rtol=1e-7)
+    for name in ("noise_est", "rsrp", "epre", "time_alignment", "cfo_hz"):
+        np.testing.assert_allclose(
+            float(getattr(out_f, name)), float(getattr(out_d, name)), rtol=1e-10
+        )
+
+
+def test_end_to_end_mimo_qpsk_recovery():
+    """2 RX ports, 2 layers: QPSK payload through two independent true channels
+    (+CFO, 40 dB SNR) must come back symbol-exact after the joint receiver."""
+    n_rx, nL, seed = 2, 2, 7
+    cases = [
+        synthetic.make_case(
+            seed=seed + r, n_layers=nL, n_prbs=24, snr_db=40.0, cfo_hz=300.0
+        )
+        for r in range(n_rx)
+    ]
+    case = cases[0]
+    pil = case.pilots
+    n_sc, n_sym = case.received_rg.shape
+    rng = np.random.default_rng(99)
+    qpsk = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, (n_sc, n_sym, nL))))
+
+    # Rebuild each port's received grid from ITS true channel with a shared
+    # 2-layer payload + shared pilots (synthetic.make_case's payload model is
+    # single-port; this is the same construction with x summed over layers).
+    sym_mask = case.hop1.dmrs_symbol_mask_np
+    dmrs_syms = np.nonzero(sym_mask)[0]
+    cfo_norm = 300.0 / case.config.scs_hz
+    cpds = case.config.cp_durations_np * case.config.scs_hz / 1000.0
+    vec = np.empty(14)
+    vec[0] = cpds[0]
+    vec[1:] = cpds[1:14] + 1.0
+    cfo_rot = np.exp(1j * 2.0 * np.pi * np.cumsum(vec) * cfo_norm)
+    noise_std = 10.0 ** (-40.0 / 20.0)
+    rgs = []
+    for r, c in enumerate(cases):
+        H = c.true_channel  # (n_sc, n_sym, nL)
+        rx = np.einsum("ksl,ksl->ks", H, qpsk)
+        for cdm in range((nL + 1) // 2):
+            re_full = np.kron(case.hop1.prb_mask_np, case.hop1.dmrs_re_mask_np[:, cdm])
+            re_idx = np.nonzero(re_full)[0]
+            l0, l1 = cdm * 2, min(nL, (cdm + 1) * 2)
+            for j, s in enumerate(dmrs_syms):
+                tx = np.zeros(re_idx.size, np.complex128)
+                for l in range(l0, l1):
+                    tx += case.beta * pil[:, j, l] * H[re_idx, s, l]
+                rx[re_idx, s] = tx
+        rx *= cfo_rot[None, :n_sym]
+        nrng = np.random.default_rng(1234 + r)
+        rx += noise_std * (
+            nrng.standard_normal(rx.shape) + 1j * nrng.standard_normal(rx.shape)
+        ) / np.sqrt(2.0)
+        rgs.append(rx)
+    rg = np.stack(rgs)
+
+    fn = receiver.build_receiver_ri(case.hop1, None, case.config, nL, n_rx)
+    out = fn(estimator.split_ri(rg), estimator.split_ri(pil), np.float64(case.beta))
+    x = estimator.merge_ri(np.asarray(out.x))  # (nL, n_sym, n_sc)
+    x = np.transpose(x, (2, 1, 0))  # (n_sc, n_sym, nL)
+
+    data_syms = np.setdiff1d(np.arange(n_sym), dmrs_syms)
+    sent = qpsk[:, data_syms, :]
+    got = x[:, data_syms, :]
+    dec = np.sign(got.real) + 1j * np.sign(got.imag)
+    ref = np.sign(sent.real) + 1j * np.sign(sent.imag)
+    ser = float(np.mean(dec != ref))
+    assert ser < 5e-3, f"{ser:.4f} symbol error rate"
+    # Where the receiver itself reports good post-MMSE SINR (>20 dB — random
+    # 2x2 channels are near-singular at a few subcarriers, where errors are
+    # physics, not bugs), decisions must be exact and EVM consistent with SINR.
+    sinr = np.asarray(out.sinr)[0].T  # factored: (nL, n_sc) -> (n_sc, nL)
+    good = np.broadcast_to(sinr[:, None, :] > 100.0, sent.shape)
+    assert good.mean() > 0.7  # the threshold must not mask the whole test away
+    assert np.array_equal(dec[good], ref[good])
+    evm = np.sqrt(
+        np.mean(np.abs(got[good] - sent[good]) ** 2) / np.mean(np.abs(sent[good]) ** 2)
+    )
+    assert evm < 0.1, evm
+
+
+def test_batched_matches_single():
+    n_rx, nL = 2, 2
+    probs = _mimo_inputs(n_rx, nL, seeds=(0, 1, 2), cfo_hz=150.0)
+    case = probs[0][2]
+    f1 = receiver.build_receiver_ri(case.hop1, case.hop2, case.config, nL, n_rx)
+    fb = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, nL, n_rx, batched=True
+    )
+    rg_b = np.stack([estimator.split_ri(rg) for rg, _, _ in probs])
+    pil_b = np.stack([estimator.split_ri(pil) for _, pil, _ in probs])
+    beta_b = np.asarray([c.beta for _, _, c in probs], np.float64)
+    out_b = fb(rg_b, pil_b, beta_b)
+    for k, (rg, pil, c) in enumerate(probs):
+        out1 = f1(estimator.split_ri(rg), estimator.split_ri(pil), np.float64(c.beta))
+        np.testing.assert_allclose(
+            np.asarray(out_b.x)[k], np.asarray(out1.x), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b.sinr)[k], np.asarray(out1.sinr), rtol=1e-9
+        )
+        assert np.isclose(float(out_b.noise_est[k]), float(out1.noise_est))
