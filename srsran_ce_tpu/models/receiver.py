@@ -70,6 +70,62 @@ class ReceiverResult:
     cfo_hz: jnp.ndarray  # scalar real, Hz (NaN if not estimable)
 
 
+def receiver_impl(
+    plan,
+    rg_ri: jnp.ndarray,
+    pil_ri: jnp.ndarray,
+    beta,
+    factored: bool,
+    data_beta: float = 1.0,
+    kernels: str = "xla",
+    params=None,
+) -> ReceiverResult:
+    """Traceable estimate+equalize body shared by the builder and the bench
+    harness. rg_ri (2, n_rx, n_sc, n_sym); pil_ri (2, n_re, n_dsym, nL)."""
+    out_layout = "factored" if factored else "serve"
+    hop_plans = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
+    n_layers = plan.n_layers
+    rg = _ri_to_complex(rg_ri)  # (n_rx, n_sc, n_sym)
+    pil = _ri_to_complex(pil_ri)
+    est = jax.vmap(
+        lambda r: _estimate_impl(plan, r, pil, beta, kernels, params, out_layout)
+    )(rg)
+    noise = jnp.mean(est.noise_est)
+    y = jnp.moveaxis(rg, -1, -2)  # (n_rx, n_sym, n_sc)
+    if factored:
+        n_sc, n_sym = rg.shape[1], rg.shape[2]
+        x = jnp.zeros((n_layers, n_sym, n_sc), rg.dtype)
+        sinrs = []
+        for h, hp in enumerate(hop_plans):
+            xh, sh = equalize.mmse_equalize_factored_serve(
+                y,
+                est.profiles[:, h],
+                est.sym_rot,
+                noise,
+                hp.sym_start,
+                hp.n_alloc_syms,
+                beta=data_beta,
+            )
+            x = jax.lax.dynamic_update_slice(x, xh, (0, hp.sym_start, 0))
+            sinrs.append(sh)
+        sinr = jnp.stack(sinrs)  # (n_hops, nL, n_sc)
+    else:
+        # est.channel_est_rg is the serve-layout grid stacked over ports:
+        # (n_rx, nL, n_sym, n_sc) — consumed with no relayout.
+        x, sinr = equalize.mmse_equalize_serve(
+            y, est.channel_est_rg, noise, beta=data_beta
+        )
+    return ReceiverResult(
+        x=_complex_to_ri(x),
+        sinr=sinr,
+        noise_est=noise,
+        rsrp=jnp.mean(est.rsrp),
+        epre=jnp.mean(est.epre),
+        time_alignment=jnp.mean(est.time_alignment),
+        cfo_hz=jnp.mean(est.cfo_hz),
+    )
+
+
 @functools.lru_cache(maxsize=128)
 def _build_receiver_cached(
     plan_key, n_rx: int, batched: bool, mode: str, data_beta: float, kernels: str
@@ -78,50 +134,12 @@ def _build_receiver_cached(
     plan = make_plan(hop1, hop2, config, n_layers)
     prefetch_plan_constants(plan)
     factored = mode == "factored" or (mode == "auto" and config.time_interp == "none")
-    out_layout = "factored" if factored else "serve"
-    hop_plans = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
     learned = config.smoothing in ("learned", "learned2d")
 
     def single(rg_ri, pil_ri, beta, params=None):
-        rg = _ri_to_complex(rg_ri)  # (n_rx, n_sc, n_sym)
-        assert rg.shape[0] == n_rx, (rg.shape, n_rx)
-        pil = _ri_to_complex(pil_ri)
-        est = jax.vmap(
-            lambda r: _estimate_impl(plan, r, pil, beta, kernels, params, out_layout)
-        )(rg)
-        noise = jnp.mean(est.noise_est)
-        y = jnp.moveaxis(rg, -1, -2)  # (n_rx, n_sym, n_sc)
-        if factored:
-            n_sc, n_sym = rg.shape[1], rg.shape[2]
-            x = jnp.zeros((n_layers, n_sym, n_sc), rg.dtype)
-            sinrs = []
-            for h, hp in enumerate(hop_plans):
-                xh, sh = equalize.mmse_equalize_factored_serve(
-                    y,
-                    est.profiles[:, h],
-                    est.sym_rot,
-                    noise,
-                    hp.sym_start,
-                    hp.n_alloc_syms,
-                    beta=data_beta,
-                )
-                x = jax.lax.dynamic_update_slice(x, xh, (0, hp.sym_start, 0))
-                sinrs.append(sh)
-            sinr = jnp.stack(sinrs)  # (n_hops, nL, n_sc)
-        else:
-            # est.channel_est_rg is the serve-layout grid stacked over ports:
-            # (n_rx, nL, n_sym, n_sc) — consumed with no relayout.
-            x, sinr = equalize.mmse_equalize_serve(
-                y, est.channel_est_rg, noise, beta=data_beta
-            )
-        return ReceiverResult(
-            x=_complex_to_ri(x),
-            sinr=sinr,
-            noise_est=noise,
-            rsrp=jnp.mean(est.rsrp),
-            epre=jnp.mean(est.epre),
-            time_alignment=jnp.mean(est.time_alignment),
-            cfo_hz=jnp.mean(est.cfo_hz),
+        assert rg_ri.shape[1] == n_rx, (rg_ri.shape, n_rx)
+        return receiver_impl(
+            plan, rg_ri, pil_ri, beta, factored, data_beta, kernels, params
         )
 
     if learned:

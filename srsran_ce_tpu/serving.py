@@ -49,18 +49,28 @@ def _assemble(arrays) -> np.ndarray:
 @dataclass
 class Problem:
     """One estimation request (mirrors the reference call signature,
-    ce_rule_baseline.py:761-768)."""
+    ce_rule_baseline.py:761-768).
 
-    received_rg: np.ndarray  # (n_sc, n_sym) complex
+    received_rg is (n_sc, n_sym) complex — one RX antenna port, the reference
+    contract — or (n_rx, n_sc, n_sym) for a multi-port request (meaningful with
+    `process(out="equalized")`, which jointly MMSE-equalizes across ports; the
+    estimation paths process port 0 ... port n-1 as independent problems would).
+    """
+
+    received_rg: np.ndarray  # (n_sc, n_sym) or (n_rx, n_sc, n_sym) complex
     pilots: np.ndarray  # (n_re, n_dsym, n_layers) complex
     beta: float
     hop1: HopConfig
     hop2: Optional[HopConfig]
     config: EstimatorConfig
 
+    @property
+    def n_rx(self) -> int:
+        return 1 if self.received_rg.ndim == 2 else int(self.received_rg.shape[0])
+
     def signature(self) -> Tuple:
         hop2 = None if (self.hop2 is not None and self.hop2.is_empty) else self.hop2
-        return (self.hop1, hop2, self.config, int(self.pilots.shape[-1]))
+        return (self.hop1, hop2, self.config, int(self.pilots.shape[-1]), self.n_rx)
 
 
 @dataclass
@@ -108,6 +118,21 @@ class FactoredServeResult:
         )
 
 
+@dataclass
+class EqualizedServeResult:
+    """Per-problem output of `process(out="equalized")`: the joint multi-RX
+    receiver's equalized data symbols instead of the channel grid (the grid
+    stays on device — n_rx x less device->host transfer at n_rx >= nL)."""
+
+    x: np.ndarray  # (n_sc, n_sym, n_layers) complex64 — noise-normalized symbols
+    sinr: np.ndarray  # (n_sc, n_sym, n_layers) float32 — post-MMSE SINR (linear)
+    noise_est: float
+    rsrp: float
+    epre: float
+    time_alignment: float
+    cfo_hz: float
+
+
 def _hop1_pilot_estimates(problem: Problem):
     """Raw LS pilot estimates on CDM group 0 of hop 1, shared by the host-side
     measurement probes: (m, n_dsym) complex128 (pair-averaged onto the decimated
@@ -119,6 +144,8 @@ def _hop1_pilot_estimates(problem: Problem):
     plan = make_plan(problem.hop1, problem.hop2, problem.config, n_layers)
     hp = plan.hop1
     rg = np.asarray(problem.received_rg)
+    if rg.ndim == 3:
+        rg = rg[0]  # measurement probes sample RX port 0 (same physical link)
     pil = np.asarray(problem.pilots).astype(np.complex128)
     h = rg[hp.re_idx[0][:, None], hp.dmrs_sym_idx[None, :]] * np.conj(pil[:, : hp.n_dsym, 0])
     h = h / max(abs(float(problem.beta)), 1e-30)
@@ -280,6 +307,42 @@ def _scatter_out_factored(out, chunk, results, sig) -> None:
         )
 
 
+def _scatter_out_equalized(out, chunk, results, sig, factored) -> None:
+    """Fetch one receiver batch and scatter per-problem EqualizedServeResults.
+
+    The factored receiver reports SINR per (hop, layer, sc) — time-invariant
+    within a hop — which is expanded host-side onto the (sc, sym, layer) grid
+    (a broadcast, not a recompute) so both receiver modes present one layout."""
+    hop1, hop2 = sig
+    x = _merge_batch(np.asarray(out.x))  # (B, nL, n_sym, n_sc) complex
+    sinr = np.asarray(out.sinr)
+    noise = np.asarray(out.noise_est)
+    rsrp = np.asarray(out.rsrp)
+    epre = np.asarray(out.epre)
+    ta = np.asarray(out.time_alignment)
+    cfo = np.asarray(out.cfo_hz)
+    n_sym = x.shape[2]
+    hop_cfgs = [hop1] + ([hop2] if hop2 is not None else [])
+    for k, i in enumerate(chunk):
+        xg = np.moveaxis(x[k], (0, 1, 2), (2, 1, 0))  # (n_sc, n_sym, nL)
+        if factored:
+            sg = np.zeros(xg.shape, np.float32)
+            for h, hc in enumerate(hop_cfgs):
+                s0, s1 = hc.start_symbol, hc.start_symbol + hc.n_allocated_symbols
+                sg[:, s0:s1, :] = sinr[k, h].T[:, None, :]  # (n_sc, 1, nL)
+        else:
+            sg = np.moveaxis(sinr[k], (0, 1, 2), (2, 1, 0))
+        results[i] = EqualizedServeResult(
+            x=xg,
+            sinr=sg,
+            noise_est=float(noise[k]),
+            rsrp=float(rsrp[k]),
+            epre=float(epre[k]),
+            time_alignment=float(ta[k]),
+            cfo_hz=float(cfo[k]),
+        )
+
+
 def _scatter_out(out, chunk, results) -> None:
     """Fetch one dispatched batch from the device and scatter per-problem results."""
     ch = _merge_batch(np.asarray(out.channel_est_rg))  # (B, nL, n_sym, n_sc) complex
@@ -309,7 +372,8 @@ def process(
     wiener_auto_delay=None,
     auto_time_interp_hz: Optional[float] = None,
     out: str = "grid",
-) -> "List[ServeResult] | List[FactoredServeResult]":
+    data_beta: float = 1.0,
+) -> "List[ServeResult] | List[FactoredServeResult] | List[EqualizedServeResult]":
     """Estimate a heterogeneous list of problems; results in submission order
     (ServeResults, or FactoredServeResults with out="factored").
 
@@ -345,13 +409,28 @@ def process(
     instead of the dense grid): ~1.7x faster on-device at the 106-PRB 4-port
     geometry and ~14x less device->host transfer. Requires every problem to use
     time_interp="none" (and is thus incompatible with auto_time_interp_hz).
+
+    `out="equalized"` runs the joint multi-RX receiver (models/receiver) per
+    problem: EqualizedServeResults carry the MMSE-equalized data symbols and
+    per-RE SINR instead of the channel grid, which never leaves the device.
+    Problems may carry (n_rx, n_sc, n_sym) grids (ports bucket separately);
+    `data_beta` scales the data REs (DM-RS boost `beta` applies to pilots only).
+    Each bucket picks the factored per-subcarrier filter automatically when its
+    config has time_interp="none" (exact — see mmse_equalize_factored_serve).
     """
     import dataclasses as _dc
     from collections import deque
 
-    if out not in ("grid", "factored"):
-        raise ValueError(f"out must be 'grid' or 'factored': {out!r}")
+    if out not in ("grid", "factored", "equalized"):
+        raise ValueError(f"out must be 'grid', 'factored' or 'equalized': {out!r}")
+    equalized = out == "equalized"
     factored = out == "factored"
+    if not equalized:
+        bad_rx = [i for i, p in enumerate(problems) if p.n_rx != 1]
+        if bad_rx:
+            raise ValueError(
+                f"multi-RX problems need out='equalized'; problems {bad_rx[:5]}"
+            )
     if factored:
         if auto_time_interp_hz is not None:
             raise ValueError("out='factored' is incompatible with auto_time_interp_hz")
@@ -383,31 +462,49 @@ def process(
     results: List[Optional[ServeResult]] = [None] * len(problems)
     pending: deque = deque()  # (scatter_fn, result_batch, chunk) not yet fetched
     for sig, idxs in buckets.items():
-        hop1, hop2, config, n_layers = sig
+        hop1, hop2, config, n_layers, n_rx = sig
         if matmul_precision is not None:
             config = _dc.replace(config, matmul_precision=matmul_precision)
         learned = config.smoothing in ("learned", "learned2d")
         if learned:
             assert params is not None, f"smoothing={config.smoothing!r} needs params"
-        fn = estimator.build_ri(
-            hop1,
-            hop2,
-            config,
-            n_layers,
-            batched=True,
-            out_layout="factored" if factored else "serve",
-        )
-        if factored:
+        if equalized:
+            from .models import receiver as _receiver
+
+            fn = _receiver.build_receiver_ri(
+                hop1, hop2, config, n_layers, n_rx, batched=True, data_beta=data_beta
+            )
             # bind the bucket's signature NOW — scatters are deferred in `pending`
             # across bucket iterations (late-binding closures would mix buckets up)
-            scatter = functools.partial(_scatter_out_factored, sig=(hop1, hop2))
+            scatter = functools.partial(
+                _scatter_out_equalized,
+                sig=(hop1, hop2),
+                factored=config.time_interp == "none",
+            )
         else:
-            scatter = _scatter_out
+            fn = estimator.build_ri(
+                hop1,
+                hop2,
+                config,
+                n_layers,
+                batched=True,
+                out_layout="factored" if factored else "serve",
+            )
+            if factored:
+                scatter = functools.partial(_scatter_out_factored, sig=(hop1, hop2))
+            else:
+                scatter = _scatter_out
+        def _rg(p: Problem):
+            # the receiver's contract is (n_rx, n_sc, n_sym) even for one port
+            if equalized and p.received_rg.ndim == 2:
+                return np.asarray(p.received_rg)[None]
+            return p.received_rg
+
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start : start + batch_size]
             pad = batch_size - len(chunk) if len(idxs) > batch_size else 0
             take = chunk + [chunk[-1]] * pad  # repeat-pad the tail chunk
-            rg_b = _assemble([problems[i].received_rg for i in take])
+            rg_b = _assemble([_rg(problems[i]) for i in take])
             pil_b = _assemble([problems[i].pilots for i in take])
             beta = np.asarray([problems[i].beta for i in take], np.float32)
             if learned:
@@ -468,7 +565,8 @@ class TrackedServer:
 
         results: List[Optional[ServeResult]] = [None] * len(problems)
         for sig, idxs in buckets.items():
-            hop1, hop2, config, n_layers = sig
+            hop1, hop2, config, n_layers, n_rx = sig
+            assert n_rx == 1, "TrackedServer tracks one RX port per problem"
             if self.matmul_precision is not None:
                 config = _dc.replace(config, matmul_precision=self.matmul_precision)
             eff_sig = (hop1, hop2, config, n_layers)

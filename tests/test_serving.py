@@ -265,3 +265,86 @@ def test_factored_serving_matches_dense():
         serving.process([_problem(c)], out="factored")
     with pytest.raises(ValueError):
         serving.process(problems, out="factored", auto_time_interp_hz=100.0)
+
+
+def test_equalized_serving_matches_receiver_calls():
+    """out="equalized" over a shuffled mix of single-RX and 2-RX problems,
+    dense (time_interp) and factored (static) buckets: submission order, and
+    every result matches a direct build_receiver_ri call on that problem."""
+    from srsran_ce_tpu.models import receiver
+
+    specs = [
+        dict(n_rx=1, kw=dict(n_prbs=24, n_layers=1)),
+        dict(n_rx=2, kw=dict(n_prbs=24, n_layers=2)),
+        dict(n_rx=2, kw=dict(n_prbs=24, n_layers=2, time_interp="linear")),
+        dict(n_rx=2, kw=dict(n_prbs=12, n_layers=1, two_hops=True)),
+    ]
+    cases, rgs = [], []
+    for j, sp in enumerate(specs):
+        for i in range(3):
+            seed = 300 + 10 * j + i
+            ports = [
+                synthetic.make_case(seed=seed, noise_seed=500 + r, snr_db=30.0, **sp["kw"])
+                for r in range(sp["n_rx"])
+            ]
+            cases.append(ports[0])
+            rg = np.stack([p.received_rg for p in ports]).astype(np.complex64)
+            rgs.append(rg[0] if sp["n_rx"] == 1 and j == 0 else rg)  # mix 2-D/3-D forms
+    rng = np.random.default_rng(1)
+    order = rng.permutation(len(cases))
+    problems = []
+    for i in order:
+        c = cases[i]
+        problems.append(
+            serving.Problem(rgs[i], c.pilots.astype(np.complex64), float(c.beta),
+                            c.hop1, c.hop2, c.config)
+        )
+
+    data_beta = 1.1
+    results = serving.process(
+        problems, batch_size=4, matmul_precision=None, out="equalized",
+        data_beta=data_beta,
+    )
+    assert len(results) == len(problems)
+    for r, i in zip(results, order):
+        c = cases[i]
+        rg = rgs[i] if rgs[i].ndim == 3 else rgs[i][None]
+        n_rx, nL = rg.shape[0], c.pilots.shape[-1]
+        fn = receiver.build_receiver_ri(
+            c.hop1, c.hop2, c.config, nL, n_rx, data_beta=data_beta
+        )
+        ref = fn(estimator.split_ri(rg), estimator.split_ri(c.pilots.astype(np.complex64)),
+                 np.float32(c.beta))
+        x_ref = np.moveaxis(estimator.merge_ri(np.asarray(ref.x)), (0, 1, 2), (2, 1, 0))
+        nmse = np.sum(np.abs(r.x - x_ref) ** 2) / (np.sum(np.abs(x_ref) ** 2) + 1e-30)
+        # vmapped (served) vs single (reference) f32 programs reassociate the
+        # equalizer's tiny-axis sums -> ~1e-9 NMSE drift, not an ordering bug
+        assert nmse < 1e-7, nmse
+        np.testing.assert_allclose(r.noise_est, float(ref.noise_est), rtol=1e-6)
+        # SINR: factored buckets expand (hop, nL, sc) onto the grid host-side
+        sinr_ref = np.asarray(ref.sinr)
+        if c.config.time_interp == "none":
+            hops = [c.hop1] + ([c.hop2] if c.hop2 is not None else [])
+            for h, hc in enumerate(hops):
+                s0 = hc.start_symbol
+                blk = r.sinr[:, s0 : s0 + hc.n_allocated_symbols, :]
+                np.testing.assert_allclose(
+                    blk, np.broadcast_to(sinr_ref[h].T[:, None, :], blk.shape),
+                    rtol=1e-3, atol=1e-3,  # f32 drift amplified where sinr ~ 0
+                )
+        else:
+            np.testing.assert_allclose(
+                r.sinr, np.moveaxis(sinr_ref, (0, 1, 2), (2, 1, 0)),
+                rtol=1e-3, atol=1e-3,
+            )
+
+
+def test_multi_rx_requires_equalized():
+    case = synthetic.make_case(seed=3, n_prbs=12)
+    rg = np.stack([case.received_rg, case.received_rg]).astype(np.complex64)
+    p = serving.Problem(rg, case.pilots.astype(np.complex64), 1.0,
+                        case.hop1, case.hop2, case.config)
+    import pytest
+
+    with pytest.raises(ValueError, match="equalized"):
+        serving.process([p])
