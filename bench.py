@@ -105,6 +105,30 @@ def _chained_runner(plan, n_layers, reps, out_layout="serve"):
     return many
 
 
+def _chained_receiver_runner(plan, reps):
+    """Like `_chained_runner` but for the joint multi-RX receiver (factored
+    estimate + cross-port MMSE equalization fused in one program): the barrier
+    forces the equalized-symbol grid (2, nL, n_sym, n_sc) to materialize."""
+    from srsran_ce_tpu.models import receiver as _rcv
+
+    def single(r, p, b):
+        res = _rcv.receiver_impl(plan, r, p, b, factored=True)
+        return (res.x,), res.noise_est
+
+    @jax.jit
+    def many(rg_ri, pil_ri, beta):
+        def body(rg_c, _):
+            outs, nz = jax.vmap(single)(rg_c, pil_ri, beta)
+            outs = jax.lax.optimization_barrier(outs)
+            s = outs[0][:, :, 0, 0, ::127].sum()
+            return rg_c + 1e-12 * s, jnp.sum(nz)
+
+        rg_f, nzs = jax.lax.scan(body, rg_ri, None, length=reps)
+        return rg_f.sum() + nzs.sum()
+
+    return many
+
+
 def _nmse_vs_oracle(case, nL) -> float:
     """Correctness self-check: one f32 evaluation of the EXACT configuration being
     benchmarked (matmul_precision="high") against the float64 oracle."""
@@ -133,13 +157,16 @@ def _serving_config(config):
     return dataclasses.replace(config, matmul_precision="high")
 
 
-def bench_config(name, kwargs, batch, out_layout="serve"):
+def bench_config(name, kwargs, batch, out_layout="serve", n_rx=None):
     case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
     nL = case.pilots.shape[2]
     plan = make_plan(case.hop1, case.hop2, _serving_config(case.config), nL)
     _est.prefetch_plan_constants(plan)
 
     rg = _est.split_ri(case.received_rg.astype(np.complex64))
+    if n_rx is not None:
+        # joint receiver: n_rx port grids per problem (2, n_rx, n_sc, n_sym)
+        rg = np.broadcast_to(rg[:, None], (2, n_rx) + rg.shape[1:]).copy()
     pil = _est.split_ri(case.pilots.astype(np.complex64))
     rg_b = jax.device_put(np.broadcast_to(rg, (batch,) + rg.shape).copy())
     pil_b = jax.device_put(np.broadcast_to(pil, (batch,) + pil.shape).copy())
@@ -150,7 +177,10 @@ def bench_config(name, kwargs, batch, out_layout="serve"):
     def measure(rep_points):
         times = {}
         for reps in rep_points:
-            fn = _chained_runner(plan, nL, reps, out_layout)
+            if n_rx is not None:
+                fn = _chained_receiver_runner(plan, reps)
+            else:
+                fn = _chained_runner(plan, nL, reps, out_layout)
             r = fn(rg_b, pil_b, beta)
             float(r)  # warmup fetch: forces materialization through the relay
             best = float("inf")
@@ -171,7 +201,8 @@ def bench_config(name, kwargs, batch, out_layout="serve"):
         per_batch, times = measure((REPS_LO, 2 * REPS_HI, 4 * REPS_HI))
     compile_s = time.time() - t_compile
     per_batch = max(per_batch, 1e-9)
-    grid_res = case.received_rg.size * nL
+    # channel REs produced per problem; the receiver performs n_rx estimations
+    grid_res = case.received_rg.size * nL * (n_rx or 1)
 
     # HBM roofline floor: unavoidable traffic per chained iteration = read the
     # carried grid + pilots, write the serve-layout channel grid (f32 ri pairs).
@@ -179,7 +210,10 @@ def bench_config(name, kwargs, batch, out_layout="serve"):
     # top; x_over_hbm_floor ~= how far the pipeline sits from speed-of-light.
     hbm_bw = 819e9
     in_bytes = rg.size * 4 + pil.size * 4
-    if out_layout == "factored":
+    if n_rx is not None:
+        # equalized-symbol grid (2, nL, n_sym, n_sc) + per-sc SINR
+        out_bytes = 2 * nL * case.received_rg.size * 4 + nL * case.received_rg.shape[0] * 4
+    elif out_layout == "factored":
         n_hops = 2 if case.hop2 is not None else 1
         out_bytes = 2 * (n_hops * nL * case.received_rg.shape[0] + 14) * 4
     else:
@@ -254,6 +288,27 @@ def main():
         except Exception as e:
             log(f"{fname} factored FAILED: {type(e).__name__}: {e}")
             details[fname + "_factored"] = {"error": str(e)}
+
+    # Joint multi-RX receiver (models/receiver): 4 RX ports x 4 layers at the
+    # headline geometry — 4 estimations + cross-port MMSE equalization fused in
+    # one program; the output is the equalized-symbol grid (nL, n_sym, n_sc),
+    # 4x smaller than the four channel grids it replaces.
+    try:
+        kwargs, _ = BENCH_CONFIGS[HEADLINE]
+        best = None
+        for batch in (64, 128):
+            r = bench_config(HEADLINE, kwargs, batch, n_rx=4)
+            if best is None or r["res_per_s"] > best["res_per_s"]:
+                best = r
+        r = best
+        details["c2_receiver_4rx4l"] = r
+        log(
+            f"c2_receiver_4rx4l: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "
+            f"{r['res_per_s']:.3e} est REs/s (4 ports estimated + equalized)"
+        )
+    except Exception as e:
+        log(f"c2_receiver_4rx4l FAILED: {type(e).__name__}: {e}")
+        details["c2_receiver_4rx4l"] = {"error": str(e)}
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
     with open(out_path, "w") as f:

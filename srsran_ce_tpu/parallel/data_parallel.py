@@ -85,3 +85,57 @@ def build_dp_batched(
             out_shardings=out_shardings,
         )
     return fn
+
+
+def build_dp_receiver(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    mesh: Mesh,
+    axis: str = "dp",
+    mode: str = "auto",
+    data_beta: float = 1.0,
+):
+    """Batch-sharded joint multi-RX receiver (models/receiver) — DP scale-out of
+    the fused estimate+equalize program, zero collectives (problems independent).
+
+    fn(rg_ri[B,2,n_rx,n_sc,n_sym], pil_ri[B,2,n_re,n_dsym,L], beta[B][, params])
+    -> ReceiverResult with every output batch-sharded. mode/data_beta as in
+    receiver.build_receiver_ri ("auto" picks the exact factored per-subcarrier
+    filter when time_interp="none").
+    """
+    from ..models import receiver as _rcv
+
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    assert mode in ("auto", "dense", "factored")
+    if mode == "factored" and config.time_interp != "none":
+        raise ValueError("mode='factored' requires time_interp='none'")
+    plan = make_plan(hop1, hop2, config, n_layers)
+    _est.prefetch_plan_constants(plan)
+    factored = mode == "factored" or (mode == "auto" and config.time_interp == "none")
+
+    batch = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    out_shardings = _rcv.ReceiverResult(
+        x=batch, sinr=batch, noise_est=batch, rsrp=batch, epre=batch,
+        time_alignment=batch, cfo_hz=batch,
+    )
+
+    def single(rg_ri, pil_ri, beta, params=None):
+        return _rcv.receiver_impl(
+            plan, rg_ri, pil_ri, beta, factored, data_beta, "xla", params
+        )
+
+    if config.smoothing in ("learned", "learned2d"):
+        return jax.jit(
+            jax.vmap(single, in_axes=(0, 0, 0, None)),
+            in_shardings=(batch, batch, batch, repl),
+            out_shardings=out_shardings,
+        )
+    return jax.jit(
+        jax.vmap(lambda r, p, b: single(r, p, b)),
+        in_shardings=(batch, batch, batch),
+        out_shardings=out_shardings,
+    )

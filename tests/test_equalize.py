@@ -142,3 +142,22 @@ def test_end_to_end_estimate_then_equalize():
     # per-subcarrier SINR tracks the channel: high typically, lower in fades
     assert float(np.median(np.asarray(sinr))) > 100.0  # >20 dB typical
     assert float(np.min(np.asarray(sinr))) > 1.0  # >0 dB even in fades
+
+
+@pytest.mark.parametrize("nL", [1, 2, 3, 4, 5])
+def test_hermitian_inverse_lead_closed_forms(nL):
+    """Closed-form leading-axis inverses (adjugate nL<=3, 2x2-block Schur nL=4,
+    linalg fallback above) vs numpy.linalg.inv on random regularized Gram
+    matrices — the exact structure the equalizer feeds them."""
+    from srsran_ce_tpu.ops.equalize import _hermitian_inverse_lead
+
+    rng = np.random.default_rng(5)
+    n_rx, n_b = max(nL, 2), 37
+    h = _rand_cplx(rng, (n_b, n_rx, nL))
+    a = np.swapaxes(h.conj(), -1, -2) @ h + 0.01 * np.eye(nL)
+    inv_ref = np.linalg.inv(a)
+    a_lead = np.moveaxis(a, (-2, -1), (0, 1))  # (nL, nL, n_b)
+    inv = np.asarray(_hermitian_inverse_lead(jnp.asarray(a_lead)))
+    np.testing.assert_allclose(
+        np.moveaxis(inv, (0, 1), (-2, -1)), inv_ref, rtol=1e-9, atol=1e-11
+    )

@@ -262,3 +262,34 @@ def test_batched_matches_single():
             np.asarray(out_b.sinr)[k], np.asarray(out1.sinr), rtol=1e-9
         )
         assert np.isclose(float(out_b.noise_est[k]), float(out1.noise_est))
+
+
+def test_dp_receiver_matches_unsharded():
+    """Batch-sharded receiver on the 8-virtual-device CPU mesh == the unsharded
+    batched receiver, problem for problem (both factored-auto and dense)."""
+    from srsran_ce_tpu.parallel import mesh as mesh_lib
+    from srsran_ce_tpu.parallel.data_parallel import build_dp_receiver
+
+    n_rx, nL, B = 2, 2, 8
+    probs = _mimo_inputs(n_rx, nL, seeds=tuple(range(B)), cfo_hz=200.0)
+    case = probs[0][2]
+    rg_b = np.stack([estimator.split_ri(rg) for rg, _, _ in probs])
+    pil_b = np.stack([estimator.split_ri(pil) for _, pil, _ in probs])
+    beta_b = np.asarray([c.beta for _, _, c in probs], np.float64)
+
+    mesh = mesh_lib.make_mesh((8, 1), ("dp", "sp"))
+    fn_dp = build_dp_receiver(case.hop1, case.hop2, case.config, nL, mesh)
+    fn = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, nL, n_rx, batched=True
+    )
+    out_dp = fn_dp(rg_b, pil_b, beta_b)
+    out = fn(rg_b, pil_b, beta_b)
+    np.testing.assert_allclose(
+        np.asarray(out_dp.x), np.asarray(out.x), rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dp.sinr), np.asarray(out.sinr), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dp.noise_est), np.asarray(out.noise_est), rtol=1e-12
+    )
