@@ -868,6 +868,119 @@ def build_sp_batched(
     return jax.jit(fn)
 
 
+def build_sp_receiver(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    sp_axis: str = "sp",
+    data_beta: float = 1.0,
+):
+    """Subcarrier-sharded joint multi-RX receiver: fused per-port estimation +
+    cross-port MMSE equalization, batched over dp and sharded over sp.
+
+    fn(rg_ri[B,2,n_rx,n_sc,n_sym], pil_ri[B,2,...], beta[B]) ->
+    models/receiver.ReceiverResult with x (B, 2, nL, n_sym, n_sc) sharded
+    (dp, sp on the subcarrier axis) and sinr (B, n_hops, nL, n_sc).
+
+    The estimation front is the existing factored SP path vmapped over the RX
+    axis (halo exchanges / psums batch over ports); the equalization stage then
+    needs ZERO additional collectives — the factored output is exactly
+    shard-local: each device holds its subcarrier slice of every port's profile
+    (sharded over sp), the replicated per-symbol rotation, and the already
+    psum'd global noise estimate, and the per-subcarrier MMSE filter touches
+    nothing else (ops/equalize.mmse_equalize_factored_serve). Requires
+    time_interp="none" (the factored contract). Geometry restrictions per
+    make_shard_plan / make_hopped_shard_plan.
+    """
+    from ..models import receiver as _rcv
+    from ..ops import equalize as _eq
+
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    if config.time_interp != "none":
+        raise ValueError("build_sp_receiver requires time_interp='none'")
+    assert config.smoothing not in ("learned", "learned2d"), (
+        "learned smoothing on the SP receiver: not wired (params plumbing); "
+        "use build_dp_receiver or the unsharded receiver"
+    )
+    plan = make_plan(hop1, hop2, config, n_layers)
+    n_sp = mesh.shape[sp_axis]
+    nL = n_layers
+    hopped = plan.hop2 is not None
+    if hopped:
+        hsp = make_hopped_shard_plan(plan, n_sp)
+        hop_plans = [plan.hop1, plan.hop2]
+        pil_spec = P(dp_axis)  # replicated over sp (tiny front)
+    else:
+        sp = make_shard_plan(plan, n_sp)
+        hop_plans = [plan.hop1]
+        pil_spec = P(dp_axis, None, sp_axis, None, None)
+
+    in_specs = (
+        P(dp_axis, None, None, sp_axis, None),  # rg_ri (B, 2, n_rx, n_sc, n_sym)
+        pil_spec,
+        P(dp_axis),
+    )
+    out_specs = _rcv.ReceiverResult(
+        x=P(dp_axis, None, None, None, sp_axis),
+        sinr=P(dp_axis, None, None, sp_axis),
+        noise_est=P(dp_axis),
+        rsrp=P(dp_axis),
+        epre=P(dp_axis),
+        time_alignment=P(dp_axis),
+        cfo_hz=P(dp_axis),
+    )
+
+    def one(rg_p, pil_p, b):
+        # rg_p (2, n_rx, L, n_sym) local; estimate each port on the SP front
+        ports = jnp.moveaxis(rg_p, 1, 0)  # (n_rx, 2, L, n_sym)
+        if hopped:
+            est = jax.vmap(
+                lambda g: _sharded_problem_hopped(
+                    hsp, sp_axis, g, pil_p, b, out_layout="factored"
+                )
+            )(ports)
+        else:
+            est = jax.vmap(
+                lambda g: _sharded_problem(
+                    sp, sp_axis, g, pil_p, b, None, "factored"
+                )
+            )(ports)
+        prof = jax.lax.complex(est.profiles[:, 0], est.profiles[:, 1])
+        rot = jax.lax.complex(est.sym_rot[:, 0], est.sym_rot[:, 1])  # (n_rx, n_sym)
+        noise = jnp.mean(est.noise_est)
+        y = jax.lax.complex(rg_p[0], rg_p[1])  # (n_rx, L, n_sym)
+        y = jnp.moveaxis(y, -1, -2)  # (n_rx, n_sym, L)
+        n_sym, L = y.shape[1], y.shape[2]
+        x = jnp.zeros((nL, n_sym, L), y.dtype)
+        sinrs = []
+        for h, hp in enumerate(hop_plans):
+            xh, sh = _eq.mmse_equalize_factored_serve(
+                y, prof[:, h], rot, noise, hp.sym_start, hp.n_alloc_syms,
+                beta=data_beta,
+            )
+            x = jax.lax.dynamic_update_slice(x, xh, (0, hp.sym_start, 0))
+            sinrs.append(sh)
+        return _rcv.ReceiverResult(
+            x=_est._complex_to_ri(x),
+            sinr=jnp.stack(sinrs),
+            noise_est=noise,
+            rsrp=jnp.mean(est.rsrp),
+            epre=jnp.mean(est.epre),
+            time_alignment=jnp.mean(est.time_alignment),
+            cfo_hz=jnp.mean(est.cfo_hz),
+        )
+
+    def body(rg_ri_loc, pil_ri_loc, beta_loc):
+        return jax.vmap(one)(rg_ri_loc, pil_ri_loc, beta_loc)
+
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
+
+
 def build_sp(
     hop1: HopConfig,
     hop2: Optional[HopConfig],

@@ -95,7 +95,10 @@ def _mimo_inputs(n_rx, n_layers=2, seeds=(0,), **kw):
     probs = []
     for s in seeds:
         cases = [
-            synthetic.make_case(seed=1000 * s + r, n_layers=n_layers, n_prbs=24, **kw)
+            synthetic.make_case(
+                seed=1000 * s + r, n_layers=n_layers,
+                **{"n_prbs": 24, **kw},
+            )
             for r in range(n_rx)
         ]
         rg = np.stack([c.received_rg for c in cases])  # (n_rx, n_sc, n_sym)
@@ -293,3 +296,41 @@ def test_dp_receiver_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out_dp.noise_est), np.asarray(out.noise_est), rtol=1e-12
     )
+
+
+@pytest.mark.parametrize("two_hops", [False, True])
+def test_sp_receiver_matches_unsharded(two_hops):
+    """Subcarrier-sharded receiver (dp=2 x sp=2) == unsharded batched receiver
+    on single-hop and frequency-hopped geometries: the factored SP front plus
+    shard-local equalization must be exact at every shard seam."""
+    from srsran_ce_tpu.parallel import mesh as mesh_lib
+    from srsran_ce_tpu.parallel.subcarrier import build_sp_receiver
+
+    n_rx, nL, B = 2, 2, 2
+    kw = dict(cfo_hz=250.0)
+    if two_hops:
+        kw.update(two_hops=True, n_prbs=12)
+    probs = _mimo_inputs(n_rx, nL, seeds=(0, 1), **kw)
+    case = probs[0][2]
+    rg_b = np.stack([estimator.split_ri(rg) for rg, _, _ in probs])
+    pil_b = np.stack([estimator.split_ri(pil) for _, pil, _ in probs])
+    beta_b = np.asarray([c.beta for _, _, c in probs], np.float64)
+
+    mesh = mesh_lib.make_mesh((2, 4), ("dp", "sp"))
+    fn_sp = build_sp_receiver(case.hop1, case.hop2, case.config, nL, mesh)
+    fn = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, nL, n_rx, batched=True
+    )
+    out_sp = fn_sp(rg_b, pil_b, beta_b)
+    out = fn(rg_b, pil_b, beta_b)
+    np.testing.assert_allclose(
+        np.asarray(out_sp.x), np.asarray(out.x), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sp.sinr), np.asarray(out.sinr), rtol=1e-9, atol=1e-12
+    )
+    for name in ("noise_est", "rsrp", "epre", "time_alignment", "cfo_hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_sp, name)), np.asarray(getattr(out, name)),
+            rtol=1e-9,
+        )
