@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EstimatorConfig, HopConfig
-from ..ops import equalize
+from ..ops import demap, equalize
 from .estimator import (
     _complex_to_ri,
     _estimate_impl,
@@ -70,6 +70,30 @@ class ReceiverResult:
     cfo_hz: jnp.ndarray  # scalar real, Hz (NaN if not estimable)
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class LlrResult:
+    """Soft-bit receiver output: the chain's final product (what a PHY hands to
+    the LDPC decoder) instead of complex symbols.
+
+    llr: (nbits, n_layers, n_sym, n_sc) int8 — max-log-MAP LLRs quantized as
+    round(llr * llr_scale) clipped to [-127, 127] (3GPP sign convention:
+    positive = bit 0 likelier; the srsRAN receiver's own soft bits are int8,
+    log_likelihood_ratio). REs outside the hop allocations are 0 (erasures).
+    The bits axis leads so the minor (lane) dim stays the long subcarrier axis.
+    sinr keeps the ReceiverResult native shape ((nL, n_sym, n_sc) dense /
+    (n_hops, nL, n_sc) factored) for CQI reporting.
+    """
+
+    llr: jnp.ndarray
+    sinr: jnp.ndarray
+    noise_est: jnp.ndarray
+    rsrp: jnp.ndarray
+    epre: jnp.ndarray
+    time_alignment: jnp.ndarray
+    cfo_hz: jnp.ndarray
+
+
 def receiver_impl(
     plan,
     rg_ri: jnp.ndarray,
@@ -79,9 +103,16 @@ def receiver_impl(
     data_beta: float = 1.0,
     kernels: str = "xla",
     params=None,
-) -> ReceiverResult:
+    modulation: Optional[str] = None,
+    llr_scale: float = 8.0,
+) -> "ReceiverResult | LlrResult":
     """Traceable estimate+equalize body shared by the builder and the bench
-    harness. rg_ri (2, n_rx, n_sc, n_sym); pil_ri (2, n_re, n_dsym, nL)."""
+    harness. rg_ri (2, n_rx, n_sc, n_sym); pil_ri (2, n_re, n_dsym, nL).
+
+    With `modulation` set the soft demapper (ops/demap.llrs, exact max-log-MAP)
+    runs in the SAME program and an LlrResult comes back instead: int8 LLRs are
+    nbits bytes/RE vs 8 for complex64 symbols (4x less transfer at QPSK, equal
+    at 256QAM) and the host does zero demap work."""
     out_layout = "factored" if factored else "serve"
     hop_plans = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
     n_layers = plan.n_layers
@@ -115,20 +146,41 @@ def receiver_impl(
         x, sinr = equalize.mmse_equalize_serve(
             y, est.channel_est_rg, noise, beta=data_beta
         )
-    return ReceiverResult(
-        x=_complex_to_ri(x),
-        sinr=sinr,
+    meas = dict(
         noise_est=noise,
         rsrp=jnp.mean(est.rsrp),
         epre=jnp.mean(est.epre),
         time_alignment=jnp.mean(est.time_alignment),
         cfo_hz=jnp.mean(est.cfo_hz),
     )
+    if modulation is None:
+        return ReceiverResult(x=_complex_to_ri(x), sinr=sinr, **meas)
+    if factored:
+        # expand the per-hop time-invariant SINR onto the symbol grid (zeros
+        # outside the allocations -> zero LLRs = erasures, demap.llrs contract)
+        sinr_full = jnp.zeros(x.shape, sinr.real.dtype)
+        for h, hp in enumerate(hop_plans):
+            blk = jnp.broadcast_to(
+                sinr[h][:, None, :], (n_layers, hp.n_alloc_syms, x.shape[-1])
+            )
+            sinr_full = jax.lax.dynamic_update_slice(sinr_full, blk, (0, hp.sym_start, 0))
+    else:
+        sinr_full = sinr
+    llr = demap.llrs(x, sinr_full, modulation)  # (nL, n_sym, n_sc, nbits)
+    q = jnp.clip(jnp.round(llr * llr_scale), -127.0, 127.0).astype(jnp.int8)
+    return LlrResult(llr=jnp.moveaxis(q, -1, 0), sinr=sinr, **meas)
 
 
 @functools.lru_cache(maxsize=128)
 def _build_receiver_cached(
-    plan_key, n_rx: int, batched: bool, mode: str, data_beta: float, kernels: str
+    plan_key,
+    n_rx: int,
+    batched: bool,
+    mode: str,
+    data_beta: float,
+    kernels: str,
+    modulation: Optional[str] = None,
+    llr_scale: float = 8.0,
 ):
     hop1, hop2, config, n_layers = plan_key
     plan = make_plan(hop1, hop2, config, n_layers)
@@ -139,7 +191,16 @@ def _build_receiver_cached(
     def single(rg_ri, pil_ri, beta, params=None):
         assert rg_ri.shape[1] == n_rx, (rg_ri.shape, n_rx)
         return receiver_impl(
-            plan, rg_ri, pil_ri, beta, factored, data_beta, kernels, params
+            plan,
+            rg_ri,
+            pil_ri,
+            beta,
+            factored,
+            data_beta,
+            kernels,
+            params,
+            modulation,
+            llr_scale,
         )
 
     if learned:
@@ -160,6 +221,8 @@ def build_receiver_ri(
     mode: str = "auto",
     data_beta: float = 1.0,
     kernels: str = "xla",
+    modulation: Optional[str] = None,
+    llr_scale: float = 8.0,
 ):
     """Jitted `fn(rg_ri, pil_ri, beta[, params]) -> ReceiverResult` (ri layout).
 
@@ -174,6 +237,10 @@ def build_receiver_ri(
     factored exactly when time_interp="none". `data_beta` is the data-RE
     amplitude scale (DM-RS boost beta scales only the pilots; data REs are
     typically unit amplitude), baked into the program as a static constant.
+
+    `modulation` (one of ops/demap.MODULATIONS) fuses the exact max-log soft
+    demapper into the program: the result is an LlrResult with int8 LLRs
+    quantized by `llr_scale` — the equalized symbols never leave the device.
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
@@ -181,6 +248,15 @@ def build_receiver_ri(
     assert n_rx >= 1
     if mode == "factored" and config.time_interp != "none":
         raise ValueError("mode='factored' requires time_interp='none'")
+    if modulation is not None:
+        demap.bits_per_symbol(modulation)  # validate early
     return _build_receiver_cached(
-        (hop1, hop2, config, n_layers), n_rx, batched, mode, float(data_beta), kernels
+        (hop1, hop2, config, n_layers),
+        n_rx,
+        batched,
+        mode,
+        float(data_beta),
+        kernels,
+        modulation,
+        float(llr_scale),
     )

@@ -96,6 +96,8 @@ def build_dp_receiver(
     axis: str = "dp",
     mode: str = "auto",
     data_beta: float = 1.0,
+    modulation=None,
+    llr_scale: float = 8.0,
 ):
     """Batch-sharded joint multi-RX receiver (models/receiver) — DP scale-out of
     the fused estimate+equalize program, zero collectives (problems independent).
@@ -103,7 +105,8 @@ def build_dp_receiver(
     fn(rg_ri[B,2,n_rx,n_sc,n_sym], pil_ri[B,2,n_re,n_dsym,L], beta[B][, params])
     -> ReceiverResult with every output batch-sharded. mode/data_beta as in
     receiver.build_receiver_ri ("auto" picks the exact factored per-subcarrier
-    filter when time_interp="none").
+    filter when time_interp="none"). `modulation` fuses the int8 soft demapper
+    (an LlrResult comes back, like receiver.build_receiver_ri).
     """
     from ..models import receiver as _rcv
 
@@ -118,14 +121,17 @@ def build_dp_receiver(
 
     batch = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    out_shardings = _rcv.ReceiverResult(
-        x=batch, sinr=batch, noise_est=batch, rsrp=batch, epre=batch,
-        time_alignment=batch, cfo_hz=batch,
-    )
+    meas = dict(noise_est=batch, rsrp=batch, epre=batch,
+                time_alignment=batch, cfo_hz=batch)
+    if modulation is None:
+        out_shardings = _rcv.ReceiverResult(x=batch, sinr=batch, **meas)
+    else:
+        out_shardings = _rcv.LlrResult(llr=batch, sinr=batch, **meas)
 
     def single(rg_ri, pil_ri, beta, params=None):
         return _rcv.receiver_impl(
-            plan, rg_ri, pil_ri, beta, factored, data_beta, "xla", params
+            plan, rg_ri, pil_ri, beta, factored, data_beta, "xla", params,
+            modulation, llr_scale,
         )
 
     if config.smoothing in ("learned", "learned2d"):

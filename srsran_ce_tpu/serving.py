@@ -133,6 +133,28 @@ class EqualizedServeResult:
     cfo_hz: float
 
 
+@dataclass
+class LlrServeResult:
+    """Per-problem output of `process(out="llrs", modulation=...)`: int8 soft
+    bits straight off the device — the receiver chain's final product (what a
+    PHY hands to LDPC rate recovery). Neither the channel grid nor the
+    equalized symbols cross the host boundary: nbits bytes/RE vs 8 for
+    complex64 symbols (4x less at QPSK) and zero host-side demap work."""
+
+    llr: np.ndarray  # (n_sc, n_sym, n_layers, nbits) int8 — round(llr*scale), +-127 clip
+    sinr: np.ndarray  # (n_sc, n_sym, n_layers) float32 — post-MMSE SINR (linear)
+    noise_est: float
+    rsrp: float
+    epre: float
+    time_alignment: float
+    cfo_hz: float
+    llr_scale: float = 8.0
+
+    def llrs_float(self) -> np.ndarray:
+        """Dequantized LLRs (float32) — saturated at +-127/llr_scale."""
+        return self.llr.astype(np.float32) / self.llr_scale
+
+
 def _hop1_pilot_estimates(problem: Problem):
     """Raw LS pilot estimates on CDM group 0 of hop 1, shared by the host-side
     measurement probes: (m, n_dsym) complex128 (pair-averaged onto the decimated
@@ -321,25 +343,55 @@ def _scatter_out_equalized(out, chunk, results, sig, factored) -> None:
     epre = np.asarray(out.epre)
     ta = np.asarray(out.time_alignment)
     cfo = np.asarray(out.cfo_hz)
-    n_sym = x.shape[2]
+    nL, n_sym, n_sc = x.shape[1], x.shape[2], x.shape[3]
     hop_cfgs = [hop1] + ([hop2] if hop2 is not None else [])
     for k, i in enumerate(chunk):
         xg = np.moveaxis(x[k], (0, 1, 2), (2, 1, 0))  # (n_sc, n_sym, nL)
-        if factored:
-            sg = np.zeros(xg.shape, np.float32)
-            for h, hc in enumerate(hop_cfgs):
-                s0, s1 = hc.start_symbol, hc.start_symbol + hc.n_allocated_symbols
-                sg[:, s0:s1, :] = sinr[k, h].T[:, None, :]  # (n_sc, 1, nL)
-        else:
-            sg = np.moveaxis(sinr[k], (0, 1, 2), (2, 1, 0))
         results[i] = EqualizedServeResult(
             x=xg,
-            sinr=sg,
+            sinr=_expand_sinr_grid(sinr[k], n_sc, n_sym, nL, hop_cfgs, factored),
             noise_est=float(noise[k]),
             rsrp=float(rsrp[k]),
             epre=float(epre[k]),
             time_alignment=float(ta[k]),
             cfo_hz=float(cfo[k]),
+        )
+
+
+def _expand_sinr_grid(sinr_k, n_sc, n_sym, n_layers, hop_cfgs, factored):
+    """One problem's receiver SINR -> (n_sc, n_sym, nL) float32 grid (the
+    factored form is time-invariant per hop; expansion is a host broadcast)."""
+    if factored:
+        sg = np.zeros((n_sc, n_sym, n_layers), np.float32)
+        for h, hc in enumerate(hop_cfgs):
+            s0, s1 = hc.start_symbol, hc.start_symbol + hc.n_allocated_symbols
+            sg[:, s0:s1, :] = sinr_k[h].T[:, None, :]
+        return sg
+    return np.moveaxis(sinr_k, (0, 1, 2), (2, 1, 0)).astype(np.float32)
+
+
+def _scatter_out_llrs(out, chunk, results, sig, factored, llr_scale) -> None:
+    """Fetch one LLR-receiver batch and scatter per-problem LlrServeResults."""
+    hop1, hop2 = sig
+    llr = np.asarray(out.llr)  # (B, nbits, nL, n_sym, n_sc) int8
+    sinr = np.asarray(out.sinr)
+    noise = np.asarray(out.noise_est)
+    rsrp = np.asarray(out.rsrp)
+    epre = np.asarray(out.epre)
+    ta = np.asarray(out.time_alignment)
+    cfo = np.asarray(out.cfo_hz)
+    n_sym, n_sc = llr.shape[3], llr.shape[4]
+    hop_cfgs = [hop1] + ([hop2] if hop2 is not None else [])
+    for k, i in enumerate(chunk):
+        results[i] = LlrServeResult(
+            llr=np.moveaxis(llr[k], (0, 1, 2, 3), (3, 2, 1, 0)),  # (sc, sym, nL, bits)
+            sinr=_expand_sinr_grid(sinr[k], n_sc, n_sym, llr.shape[2], hop_cfgs, factored),
+            noise_est=float(noise[k]),
+            rsrp=float(rsrp[k]),
+            epre=float(epre[k]),
+            time_alignment=float(ta[k]),
+            cfo_hz=float(cfo[k]),
+            llr_scale=llr_scale,
         )
 
 
@@ -373,7 +425,9 @@ def process(
     auto_time_interp_hz: Optional[float] = None,
     out: str = "grid",
     data_beta: float = 1.0,
-) -> "List[ServeResult] | List[FactoredServeResult] | List[EqualizedServeResult]":
+    modulation: Optional[str] = None,
+    llr_scale: float = 8.0,
+) -> "List[ServeResult] | List[FactoredServeResult] | List[EqualizedServeResult] | List[LlrServeResult]":
     """Estimate a heterogeneous list of problems; results in submission order
     (ServeResults, or FactoredServeResults with out="factored").
 
@@ -417,13 +471,23 @@ def process(
     `data_beta` scales the data REs (DM-RS boost `beta` applies to pilots only).
     Each bucket picks the factored per-subcarrier filter automatically when its
     config has time_interp="none" (exact — see mmse_equalize_factored_serve).
+
+    `out="llrs"` goes one step further down the chain: the exact max-log soft
+    demapper (ops/demap, `modulation` required) runs inside the receiver
+    program, and LlrServeResults carry int8 LLRs (quantized by `llr_scale`) —
+    the final soft bits a PHY feeds to LDPC, with neither grids nor symbols
+    crossing the transfer-bound host link.
     """
     import dataclasses as _dc
     from collections import deque
 
-    if out not in ("grid", "factored", "equalized"):
-        raise ValueError(f"out must be 'grid', 'factored' or 'equalized': {out!r}")
-    equalized = out == "equalized"
+    if out not in ("grid", "factored", "equalized", "llrs"):
+        raise ValueError(
+            f"out must be 'grid', 'factored', 'equalized' or 'llrs': {out!r}"
+        )
+    if out == "llrs" and modulation is None:
+        raise ValueError("out='llrs' requires modulation=")
+    equalized = out in ("equalized", "llrs")
     factored = out == "factored"
     if not equalized:
         bad_rx = [i for i, p in enumerate(problems) if p.n_rx != 1]
@@ -472,15 +536,31 @@ def process(
             from .models import receiver as _receiver
 
             fn = _receiver.build_receiver_ri(
-                hop1, hop2, config, n_layers, n_rx, batched=True, data_beta=data_beta
+                hop1,
+                hop2,
+                config,
+                n_layers,
+                n_rx,
+                batched=True,
+                data_beta=data_beta,
+                modulation=modulation if out == "llrs" else None,
+                llr_scale=llr_scale,
             )
             # bind the bucket's signature NOW — scatters are deferred in `pending`
             # across bucket iterations (late-binding closures would mix buckets up)
-            scatter = functools.partial(
-                _scatter_out_equalized,
-                sig=(hop1, hop2),
-                factored=config.time_interp == "none",
-            )
+            if out == "llrs":
+                scatter = functools.partial(
+                    _scatter_out_llrs,
+                    sig=(hop1, hop2),
+                    factored=config.time_interp == "none",
+                    llr_scale=llr_scale,
+                )
+            else:
+                scatter = functools.partial(
+                    _scatter_out_equalized,
+                    sig=(hop1, hop2),
+                    factored=config.time_interp == "none",
+                )
         else:
             fn = estimator.build_ri(
                 hop1,

@@ -170,38 +170,27 @@ def test_factored_receiver_matches_dense_two_hops():
         )
 
 
-def test_end_to_end_mimo_qpsk_recovery():
-    """2 RX ports, 2 layers: QPSK payload through two independent true channels
-    (+CFO, 40 dB SNR) must come back symbol-exact after the joint receiver."""
-    n_rx, nL, seed = 2, 2, 7
-    cases = [
-        synthetic.make_case(
-            seed=seed + r, n_layers=nL, n_prbs=24, snr_db=40.0, cfo_hz=300.0
-        )
-        for r in range(n_rx)
-    ]
+def _synth_mimo_rx(cases, payload, cfo_hz, snr_db):
+    """Rebuild each port's received grid from ITS true channel with a shared
+    multi-layer payload + shared pilots (synthetic.make_case's payload model is
+    single-port; this is the same construction with x summed over layers).
+    payload: (n_sc, n_sym, nL) unit-energy symbols. Returns (n_rx, n_sc, n_sym)."""
     case = cases[0]
     pil = case.pilots
-    n_sc, n_sym = case.received_rg.shape
-    rng = np.random.default_rng(99)
-    qpsk = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, (n_sc, n_sym, nL))))
-
-    # Rebuild each port's received grid from ITS true channel with a shared
-    # 2-layer payload + shared pilots (synthetic.make_case's payload model is
-    # single-port; this is the same construction with x summed over layers).
-    sym_mask = case.hop1.dmrs_symbol_mask_np
-    dmrs_syms = np.nonzero(sym_mask)[0]
-    cfo_norm = 300.0 / case.config.scs_hz
+    nL = payload.shape[-1]
+    n_sym = case.received_rg.shape[1]
+    dmrs_syms = np.nonzero(case.hop1.dmrs_symbol_mask_np)[0]
+    cfo_norm = cfo_hz / case.config.scs_hz
     cpds = case.config.cp_durations_np * case.config.scs_hz / 1000.0
     vec = np.empty(14)
     vec[0] = cpds[0]
     vec[1:] = cpds[1:14] + 1.0
     cfo_rot = np.exp(1j * 2.0 * np.pi * np.cumsum(vec) * cfo_norm)
-    noise_std = 10.0 ** (-40.0 / 20.0)
+    noise_std = 10.0 ** (-snr_db / 20.0)
     rgs = []
     for r, c in enumerate(cases):
         H = c.true_channel  # (n_sc, n_sym, nL)
-        rx = np.einsum("ksl,ksl->ks", H, qpsk)
+        rx = np.einsum("ksl,ksl->ks", H, payload)
         for cdm in range((nL + 1) // 2):
             re_full = np.kron(case.hop1.prb_mask_np, case.hop1.dmrs_re_mask_np[:, cdm])
             re_idx = np.nonzero(re_full)[0]
@@ -217,7 +206,26 @@ def test_end_to_end_mimo_qpsk_recovery():
             nrng.standard_normal(rx.shape) + 1j * nrng.standard_normal(rx.shape)
         ) / np.sqrt(2.0)
         rgs.append(rx)
-    rg = np.stack(rgs)
+    return np.stack(rgs)
+
+
+def test_end_to_end_mimo_qpsk_recovery():
+    """2 RX ports, 2 layers: QPSK payload through two independent true channels
+    (+CFO, 40 dB SNR) must come back symbol-exact after the joint receiver."""
+    n_rx, nL, seed = 2, 2, 7
+    cases = [
+        synthetic.make_case(
+            seed=seed + r, n_layers=nL, n_prbs=24, snr_db=40.0, cfo_hz=300.0
+        )
+        for r in range(n_rx)
+    ]
+    case = cases[0]
+    pil = case.pilots
+    n_sc, n_sym = case.received_rg.shape
+    rng = np.random.default_rng(99)
+    qpsk = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, (n_sc, n_sym, nL))))
+    dmrs_syms = np.nonzero(case.hop1.dmrs_symbol_mask_np)[0]
+    rg = _synth_mimo_rx(cases, qpsk, cfo_hz=300.0, snr_db=40.0)
 
     fn = receiver.build_receiver_ri(case.hop1, None, case.config, nL, n_rx)
     out = fn(estimator.split_ri(rg), estimator.split_ri(pil), np.float64(case.beta))
@@ -334,3 +342,149 @@ def test_sp_receiver_matches_unsharded(two_hops):
             np.asarray(getattr(out_sp, name)), np.asarray(getattr(out, name)),
             rtol=1e-9,
         )
+
+
+@pytest.mark.parametrize("mode", ["dense", "factored"])
+def test_llr_receiver_matches_host_demap(mode):
+    """The fused LLR receiver == host-side demap.llrs on the equalized
+    receiver's own outputs, to within one int8 quantization step (identical
+    float math up to fusion reassociation; round() can flip at boundaries)."""
+    from srsran_ce_tpu.ops import demap
+
+    n_rx, nL = 2, 2
+    kw = dict(cfo_hz=200.0, two_hops=True, n_prbs=12)
+    if mode == "dense":
+        kw["time_interp"] = "linear"  # forces the dense (per-RE) filter
+    ((rg, pil, case),) = _mimo_inputs(n_rx, nL, **kw)
+    hops = [h for h in (case.hop1, case.hop2) if h is not None]
+    args = (estimator.split_ri(rg), estimator.split_ri(pil), np.float64(case.beta))
+    scale = 8.0
+    f_x = receiver.build_receiver_ri(case.hop1, case.hop2, case.config, nL, n_rx)
+    f_l = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, nL, n_rx,
+        modulation="64qam", llr_scale=scale,
+    )
+    out_x, out_l = f_x(*args), f_l(*args)
+    assert np.asarray(out_l.llr).dtype == np.int8
+
+    x = estimator.merge_ri(np.asarray(out_x.x))  # (nL, n_sym, n_sc)
+    sinr = np.asarray(out_x.sinr)
+    if mode == "factored":  # (n_hops, nL, n_sc) -> per-RE grid
+        sg = np.zeros(x.shape, np.float32)
+        for h, hop in enumerate(hops):
+            s0 = hop.start_symbol
+            sg[:, s0 : s0 + hop.n_allocated_symbols, :] = sinr[h][:, None, :]
+        sinr = sg
+    ref = np.asarray(demap.llrs(jnp.asarray(x), jnp.asarray(sinr), "64qam"))
+    ref_q = np.clip(np.round(ref * scale), -127, 127).astype(np.int64)
+    got = np.moveaxis(np.asarray(out_l.llr), 0, -1).astype(np.int64)
+    assert np.abs(got - ref_q).max() <= 1
+    # measurements + sinr identical to the symbol receiver's
+    np.testing.assert_allclose(np.asarray(out_l.sinr), np.asarray(out_x.sinr), rtol=1e-7)
+    for name in ("noise_est", "rsrp", "epre", "time_alignment", "cfo_hz"):
+        np.testing.assert_allclose(
+            float(getattr(out_l, name)), float(getattr(out_x, name)), rtol=1e-9
+        )
+    # outside the hop allocations: erasures (exact zeros)
+    alloc = np.zeros(x.shape[1], bool)
+    for hop in hops:
+        alloc[hop.start_symbol : hop.start_symbol + hop.n_allocated_symbols] = True
+    assert not np.any(np.asarray(out_l.llr)[:, :, ~alloc, :])
+
+
+def test_end_to_end_mimo_llr_bits():
+    """Bits in -> soft bits out: a 16QAM payload's transmitted bits must match
+    the fused receiver's LLR hard decisions wherever it reports good SINR."""
+    from srsran_ce_tpu.ops import demap
+
+    n_rx, nL, seed = 2, 2, 21
+    cases = [
+        synthetic.make_case(
+            seed=seed + r, n_layers=nL, n_prbs=24, snr_db=35.0, cfo_hz=200.0
+        )
+        for r in range(n_rx)
+    ]
+    case = cases[0]
+    n_sc, n_sym = case.received_rg.shape
+    nbits = demap.bits_per_symbol("16qam")
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, (n_sc, n_sym, nL, nbits))
+    payload = demap.modulate(bits.reshape(n_sc, n_sym * nL * nbits), "16qam").reshape(
+        n_sc, n_sym, nL
+    )
+    rg = _synth_mimo_rx(cases, payload, cfo_hz=200.0, snr_db=35.0)
+
+    fn = receiver.build_receiver_ri(
+        case.hop1, None, case.config, nL, n_rx, modulation="16qam"
+    )
+    out = fn(
+        estimator.split_ri(rg), estimator.split_ri(case.pilots), np.float64(case.beta)
+    )
+    llr = np.moveaxis(np.asarray(out.llr), 0, -1)  # (nL, n_sym, n_sc, nbits)
+    llr = np.moveaxis(llr, (0, 1, 2), (2, 1, 0))  # (n_sc, n_sym, nL, nbits)
+    dec = (llr < 0).astype(np.int64)  # positive LLR = bit 0
+
+    data_syms = np.setdiff1d(
+        np.arange(n_sym), np.nonzero(case.hop1.dmrs_symbol_mask_np)[0]
+    )
+    sinr = np.asarray(out.sinr)[0].T  # (n_sc, nL)
+    good = sinr > 100.0  # >20 dB post-MMSE SINR: decisions must be exact
+    assert good.mean() > 0.6
+    sel = np.ix_(np.arange(n_sc), data_syms, np.arange(nL))
+    mask = np.broadcast_to(good[:, None, :, None], bits[sel].shape)
+    assert np.array_equal(dec[sel][mask], bits[sel][mask])
+    ber = float(np.mean(dec[sel] != bits[sel]))
+    assert ber < 0.02, ber
+
+
+def test_llr_receiver_batched_matches_single():
+    probs = _mimo_inputs(2, 2, seeds=(0, 1), cfo_hz=150.0)
+    case = probs[0][2]
+    f1 = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, 2, 2, modulation="qpsk"
+    )
+    fb = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, 2, 2, batched=True, modulation="qpsk"
+    )
+    rg_b = np.stack([estimator.split_ri(rg) for rg, _, _ in probs])
+    pil_b = np.stack([estimator.split_ri(pil) for _, pil, _ in probs])
+    beta_b = np.asarray([c.beta for _, _, c in probs], np.float64)
+    out_b = fb(rg_b, pil_b, beta_b)
+    for k, (rg, pil, c) in enumerate(probs):
+        out1 = f1(estimator.split_ri(rg), estimator.split_ri(pil), np.float64(c.beta))
+        d = np.abs(
+            np.asarray(out_b.llr)[k].astype(np.int64)
+            - np.asarray(out1.llr).astype(np.int64)
+        )
+        assert d.max() <= 1  # vmap reassociation can flip round() at boundaries
+
+
+def test_dp_llr_receiver_matches_unsharded():
+    """DP-sharded fused-LLR receiver == unsharded batched one (int8, <=1 ulp
+    of quantization from cross-program reassociation)."""
+    from srsran_ce_tpu.parallel import mesh as mesh_lib
+    from srsran_ce_tpu.parallel.data_parallel import build_dp_receiver
+
+    n_rx, nL, B = 2, 2, 8
+    probs = _mimo_inputs(n_rx, nL, seeds=tuple(range(B)), cfo_hz=200.0)
+    case = probs[0][2]
+    rg_b = np.stack([estimator.split_ri(rg) for rg, _, _ in probs])
+    pil_b = np.stack([estimator.split_ri(pil) for _, pil, _ in probs])
+    beta_b = np.asarray([c.beta for _, _, c in probs], np.float64)
+
+    mesh = mesh_lib.make_mesh((8, 1), ("dp", "sp"))
+    fn_dp = build_dp_receiver(
+        case.hop1, case.hop2, case.config, nL, mesh, modulation="64qam"
+    )
+    fn = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, nL, n_rx, batched=True, modulation="64qam"
+    )
+    out_dp, out = fn_dp(rg_b, pil_b, beta_b), fn(rg_b, pil_b, beta_b)
+    d = np.abs(
+        np.asarray(out_dp.llr).astype(np.int64) - np.asarray(out.llr).astype(np.int64)
+    )
+    assert np.asarray(out_dp.llr).dtype == np.int8
+    assert d.max() <= 1
+    np.testing.assert_allclose(
+        np.asarray(out_dp.sinr), np.asarray(out.sinr), rtol=1e-10
+    )

@@ -348,3 +348,69 @@ def test_multi_rx_requires_equalized():
 
     with pytest.raises(ValueError, match="equalized"):
         serving.process([p])
+
+
+def test_llr_serving_matches_receiver_calls():
+    """out="llrs": a mixed dense/factored, 1-RX/2-RX stream comes back as int8
+    soft bits in submission order, each matching a direct fused-LLR receiver
+    call on that problem to within one quantization step."""
+    import pytest
+
+    from srsran_ce_tpu.models import receiver
+
+    specs = [
+        dict(n_rx=1, kw=dict(n_prbs=24, n_layers=1)),
+        dict(n_rx=2, kw=dict(n_prbs=24, n_layers=2, time_interp="linear")),
+        dict(n_rx=2, kw=dict(n_prbs=12, n_layers=1, two_hops=True)),
+    ]
+    cases, rgs = [], []
+    for j, sp in enumerate(specs):
+        for i in range(2):
+            ports = [
+                synthetic.make_case(
+                    seed=700 + 10 * j + i, noise_seed=800 + r, snr_db=30.0, **sp["kw"]
+                )
+                for r in range(sp["n_rx"])
+            ]
+            cases.append(ports[0])
+            rgs.append(np.stack([p.received_rg for p in ports]).astype(np.complex64))
+    rng = np.random.default_rng(2)
+    order = rng.permutation(len(cases))
+    problems = [
+        serving.Problem(
+            rgs[i], cases[i].pilots.astype(np.complex64), float(cases[i].beta),
+            cases[i].hop1, cases[i].hop2, cases[i].config,
+        )
+        for i in order
+    ]
+
+    scale = 8.0
+    results = serving.process(
+        problems, batch_size=4, matmul_precision=None, out="llrs",
+        modulation="16qam", llr_scale=scale,
+    )
+    assert len(results) == len(problems)
+    for r, i in zip(results, order):
+        c = cases[i]
+        rg = rgs[i]
+        n_rx, nL = rg.shape[0], c.pilots.shape[-1]
+        assert r.llr.dtype == np.int8
+        n_sc, n_sym = rg.shape[1], rg.shape[2]
+        assert r.llr.shape == (n_sc, n_sym, nL, 4)
+        fn = receiver.build_receiver_ri(
+            c.hop1, c.hop2, c.config, nL, n_rx, modulation="16qam", llr_scale=scale
+        )
+        ref = fn(
+            estimator.split_ri(rg),
+            estimator.split_ri(c.pilots.astype(np.complex64)),
+            np.float32(c.beta),
+        )
+        ref_llr = np.moveaxis(np.asarray(ref.llr), (0, 1, 2, 3), (3, 2, 1, 0))
+        d = np.abs(r.llr.astype(np.int64) - ref_llr.astype(np.int64))
+        assert d.max() <= 1, d.max()  # vmap reassociation can flip round()
+        np.testing.assert_allclose(r.noise_est, float(ref.noise_est), rtol=1e-6)
+        # dequantization helper round-trips
+        np.testing.assert_allclose(r.llrs_float(), r.llr / scale, rtol=0)
+
+    with pytest.raises(ValueError, match="modulation"):
+        serving.process(problems, out="llrs")
