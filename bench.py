@@ -105,22 +105,24 @@ def _chained_runner(plan, n_layers, reps, out_layout="serve"):
     return many
 
 
-def _chained_receiver_runner(plan, reps):
+def _chained_receiver_runner(plan, reps, modulation=None):
     """Like `_chained_runner` but for the joint multi-RX receiver (factored
     estimate + cross-port MMSE equalization fused in one program): the barrier
-    forces the equalized-symbol grid (2, nL, n_sym, n_sc) to materialize."""
+    forces the equalized-symbol grid (2, nL, n_sym, n_sc) — or, with
+    `modulation`, the fused demapper's int8 LLR grid — to materialize."""
     from srsran_ce_tpu.models import receiver as _rcv
 
     def single(r, p, b):
-        res = _rcv.receiver_impl(plan, r, p, b, factored=True)
-        return (res.x,), res.noise_est
+        res = _rcv.receiver_impl(plan, r, p, b, factored=True, modulation=modulation)
+        outs = res.llr if modulation else (res.x,)  # llr = per-bit plane tuple
+        return outs, res.noise_est
 
     @jax.jit
     def many(rg_ri, pil_ri, beta):
         def body(rg_c, _):
             outs, nz = jax.vmap(single)(rg_c, pil_ri, beta)
             outs = jax.lax.optimization_barrier(outs)
-            s = outs[0][:, :, 0, 0, ::127].sum()
+            s = sum(o[..., 0, 0, ::127].astype(jnp.float32).sum() for o in outs)
             return rg_c + 1e-12 * s, jnp.sum(nz)
 
         rg_f, nzs = jax.lax.scan(body, rg_ri, None, length=reps)
@@ -157,7 +159,7 @@ def _serving_config(config):
     return dataclasses.replace(config, matmul_precision="high")
 
 
-def bench_config(name, kwargs, batch, out_layout="serve", n_rx=None):
+def bench_config(name, kwargs, batch, out_layout="serve", n_rx=None, modulation=None):
     case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
     nL = case.pilots.shape[2]
     plan = make_plan(case.hop1, case.hop2, _serving_config(case.config), nL)
@@ -178,7 +180,7 @@ def bench_config(name, kwargs, batch, out_layout="serve", n_rx=None):
         times = {}
         for reps in rep_points:
             if n_rx is not None:
-                fn = _chained_receiver_runner(plan, reps)
+                fn = _chained_receiver_runner(plan, reps, modulation)
             else:
                 fn = _chained_runner(plan, nL, reps, out_layout)
             r = fn(rg_b, pil_b, beta)
@@ -210,7 +212,13 @@ def bench_config(name, kwargs, batch, out_layout="serve", n_rx=None):
     # top; x_over_hbm_floor ~= how far the pipeline sits from speed-of-light.
     hbm_bw = 819e9
     in_bytes = rg.size * 4 + pil.size * 4
-    if n_rx is not None:
+    if n_rx is not None and modulation is not None:
+        # int8 LLR grid (nbits, nL, n_sym, n_sc) + per-sc SINR
+        from srsran_ce_tpu.ops import demap as _demap
+
+        nbits = _demap.bits_per_symbol(modulation)
+        out_bytes = nbits * nL * case.received_rg.size + nL * case.received_rg.shape[0] * 4
+    elif n_rx is not None:
         # equalized-symbol grid (2, nL, n_sym, n_sc) + per-sc SINR
         out_bytes = 2 * nL * case.received_rg.size * 4 + nL * case.received_rg.shape[0] * 4
     elif out_layout == "factored":
@@ -309,6 +317,26 @@ def main():
     except Exception as e:
         log(f"c2_receiver_4rx4l FAILED: {type(e).__name__}: {e}")
         details["c2_receiver_4rx4l"] = {"error": str(e)}
+
+    # Same receiver with the exact max-log soft demapper fused in (256QAM,
+    # the worst-case 8-bit demap): the output is the int8 LLR grid — the
+    # complete PHY front-end (estimate + equalize + demap) in ONE program.
+    try:
+        kwargs, _ = BENCH_CONFIGS[HEADLINE]
+        best = None
+        for batch in (64, 128):
+            r = bench_config(HEADLINE, kwargs, batch, n_rx=4, modulation="256qam")
+            if best is None or r["res_per_s"] > best["res_per_s"]:
+                best = r
+        r = best
+        details["c2_receiver_4rx4l_llr256"] = r
+        log(
+            f"c2_receiver_4rx4l_llr256: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "
+            f"{r['res_per_s']:.3e} est REs/s (+256QAM demap to int8 LLRs)"
+        )
+    except Exception as e:
+        log(f"c2_receiver_4rx4l_llr256 FAILED: {type(e).__name__}: {e}")
+        details["c2_receiver_4rx4l_llr256"] = {"error": str(e)}
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
     with open(out_path, "w") as f:

@@ -76,16 +76,21 @@ class LlrResult:
     """Soft-bit receiver output: the chain's final product (what a PHY hands to
     the LDPC decoder) instead of complex symbols.
 
-    llr: (nbits, n_layers, n_sym, n_sc) int8 — max-log-MAP LLRs quantized as
+    llr: TUPLE of bits_per_symbol int8 arrays, each (n_layers, n_sym, n_sc),
+    in TS 38.211 word order b0, b1, ... — max-log-MAP LLRs quantized as
     round(llr * llr_scale) clipped to [-127, 127] (3GPP sign convention:
     positive = bit 0 likelier; the srsRAN receiver's own soft bits are int8,
     log_likelihood_ratio). REs outside the hop allocations are 0 (erasures).
-    The bits axis leads so the minor (lane) dim stays the long subcarrier axis.
+    Separate per-bit planes, NOT one stacked array: each plane keeps the long
+    subcarrier axis minor (full-lane int8 writes), and XLA's int8 concatenate
+    measured ~10x the cost of emitting the planes as separate outputs (2.3 vs
+    0.2 ms/batch-128 at the 256QAM/106-PRB geometry) — stack on the host if a
+    single array is wanted (np.stack(out.llr, axis=-1)).
     sinr keeps the ReceiverResult native shape ((nL, n_sym, n_sc) dense /
     (n_hops, nL, n_sc) factored) for CQI reporting.
     """
 
-    llr: jnp.ndarray
+    llr: tuple
     sinr: jnp.ndarray
     noise_est: jnp.ndarray
     rsrp: jnp.ndarray
@@ -155,20 +160,28 @@ def receiver_impl(
     )
     if modulation is None:
         return ReceiverResult(x=_complex_to_ri(x), sinr=sinr, **meas)
+    nbits = demap.bits_per_symbol(modulation)
+    n_sym, n_sc = x.shape[-2], x.shape[-1]
+    quant = lambda l: jnp.clip(jnp.round(l * llr_scale), -127.0, 127.0).astype(jnp.int8)
     if factored:
-        # expand the per-hop time-invariant SINR onto the symbol grid (zeros
-        # outside the allocations -> zero LLRs = erasures, demap.llrs contract)
-        sinr_full = jnp.zeros(x.shape, sinr.real.dtype)
+        # Demap each hop's symbol block against its per-subcarrier SINR
+        # ((nL, 1, n_sc), broadcast in-fusion) instead of expanding SINR onto
+        # the full grid first: the grid-sized SINR would be re-read once per
+        # bit plane (~8 x 73 MB at 256QAM/106PRB/batch-128 — HBM, not FLOPs,
+        # is the demap cost). Zeros outside the allocations = erasures.
+        planes = [jnp.zeros((n_layers, n_sym, n_sc), jnp.int8) for _ in range(nbits)]
         for h, hp in enumerate(hop_plans):
-            blk = jnp.broadcast_to(
-                sinr[h][:, None, :], (n_layers, hp.n_alloc_syms, x.shape[-1])
+            xh = jax.lax.dynamic_slice(
+                x, (0, hp.sym_start, 0), (n_layers, hp.n_alloc_syms, n_sc)
             )
-            sinr_full = jax.lax.dynamic_update_slice(sinr_full, blk, (0, hp.sym_start, 0))
+            lst = demap._llr_list(xh, sinr[h][:, None, :], modulation)
+            for k in range(nbits):
+                planes[k] = jax.lax.dynamic_update_slice(
+                    planes[k], quant(lst[k]), (0, hp.sym_start, 0)
+                )
     else:
-        sinr_full = sinr
-    llr = demap.llrs(x, sinr_full, modulation)  # (nL, n_sym, n_sc, nbits)
-    q = jnp.clip(jnp.round(llr * llr_scale), -127.0, 127.0).astype(jnp.int8)
-    return LlrResult(llr=jnp.moveaxis(q, -1, 0), sinr=sinr, **meas)
+        planes = [quant(l) for l in demap._llr_list(x, sinr, modulation)]
+    return LlrResult(llr=tuple(planes), sinr=sinr, **meas)
 
 
 @functools.lru_cache(maxsize=128)

@@ -83,16 +83,9 @@ def constellation(modulation: str) -> np.ndarray:
     return pts
 
 
-def llrs(x: jnp.ndarray, sinr: jnp.ndarray, modulation: str) -> jnp.ndarray:
-    """Exact max-log-MAP bit LLRs for MMSE-equalized symbols.
-
-    x: equalized symbols (any shape, complex) as returned by ops/equalize /
-    models/receiver — noise-normalized MMSE outputs, i.e. alpha-biased
-    estimates of the unit-energy constellation point; sinr: per-RE post-MMSE
-    SINR (linear), broadcastable to x.shape. Returns real LLRs shaped
-    x.shape + (bits_per_symbol,); positive = bit 0 likelier. REs with sinr=0
-    (outside the allocation) return all-zero LLRs (erasures).
-    """
+def _llr_list(x: jnp.ndarray, sinr: jnp.ndarray, modulation: str):
+    """Shared compute for `llrs` / `llr_planes`: the nbits per-bit LLR arrays
+    (each x.shape) in TS 38.211 word order, as a list."""
     nbits = bits_per_symbol(modulation)
     m = nbits // 2
     rdt = jnp.real(x).dtype
@@ -105,18 +98,38 @@ def llrs(x: jnp.ndarray, sinr: jnp.ndarray, modulation: str) -> jnp.ndarray:
     # noise variance per real dim in t-units: norm / (2*sinr)
     # => 1/(2 sigma_t^2) = sinr / norm
     inv2var = sinr / norm
-    levels, bits = _pam_table(m)
-    lv = jnp.asarray(levels, rdt)
-    big = jnp.asarray(np.finfo(np.float32).max, rdt)
 
     def axis_llrs(t):
-        d2 = (t[..., None] - lv) ** 2  # (..., 2^m)
+        # Closed-form fold recursion instead of a min over the 2^m levels.
+        # For the TS 38.211 Gray PAM (level = (1-2b0) * [p - (1-2b1) * [...]]),
+        # every magnitude bit is exactly the SIGN bit of a reflected sub-PAM:
+        # with u_0 = t and u_{k+1} = 2^(m-1-k) - |u_k|, bit k's level subsets
+        # map to the positive/negative odd integers in [-(n-1), n-1], n =
+        # 2^(m-k), and distances are preserved ((|t| - l)^2 = (u - u_l)^2).
+        # The max-log LLR of a sign bit is d1 - d0 with c_b the nearest odd
+        # level of that sign (clipped to the edge); by odd symmetry compute it
+        # on a = |u| where the nearest opposite-sign level is always -1 and
+        # the nearest same-sign one is 2*floor(a/2)+1:
+        #   LLR(u) = sign(u) * (c0+1)(2a - c0 + 1) * inv2var.
+        # ~8 elementwise ops per bit — no (..., 2^m) broadcast (which cost
+        # ~0.5 GB/axis of HBM traffic at 256QAM/106PRB/batch-128: measured 5x
+        # the entire multi-RX receiver) and no min chain (an unrolled
+        # running-min over the 16 levels measured ~1.6x this form). Exactness
+        # is gated by the brute-force constellation-scan tests
+        # (tests/test_demap.py); ties at even integers are equidistant, so the
+        # floor-vs-nearest choice there is irrelevant.
         out = []
+        u = t
         for k in range(m):
-            mask0 = jnp.asarray(bits[:, k] == 0)
-            d0 = jnp.min(jnp.where(mask0, d2, big), axis=-1)
-            d1 = jnp.min(jnp.where(mask0, big, d2), axis=-1)
-            out.append((d1 - d0) * inv2var)
+            n = 1 << (m - k)  # sub-PAM levels: odd integers in [-(n-1), n-1]
+            if n == 2:
+                out.append(4.0 * u * inv2var)
+            else:
+                a = jnp.abs(u)
+                c0 = jnp.minimum(2.0 * jnp.floor(0.5 * a) + 1.0, float(n - 1))
+                out.append(jnp.sign(u) * ((c0 + 1.0) * (2.0 * a - c0 + 1.0)) * inv2var)
+            if k < m - 1:
+                u = float(1 << (m - 1 - k)) - jnp.abs(u)
         return out
 
     li = axis_llrs(jnp.real(x) * (xt_scale * s))
@@ -125,7 +138,30 @@ def llrs(x: jnp.ndarray, sinr: jnp.ndarray, modulation: str) -> jnp.ndarray:
     for k in range(m):
         inter.append(li[k])
         inter.append(lq[k])
-    return jnp.stack(inter, axis=-1)
+    return inter
+
+
+def llrs(x: jnp.ndarray, sinr: jnp.ndarray, modulation: str) -> jnp.ndarray:
+    """Exact max-log-MAP bit LLRs for MMSE-equalized symbols.
+
+    x: equalized symbols (any shape, complex) as returned by ops/equalize /
+    models/receiver — noise-normalized MMSE outputs, i.e. alpha-biased
+    estimates of the unit-energy constellation point; sinr: per-RE post-MMSE
+    SINR (linear), broadcastable to x.shape. Returns real LLRs shaped
+    x.shape + (bits_per_symbol,); positive = bit 0 likelier. REs with sinr=0
+    (outside the allocation) return all-zero LLRs (erasures).
+    """
+    return jnp.stack(_llr_list(x, sinr, modulation), axis=-1)
+
+
+def llr_planes(x: jnp.ndarray, sinr: jnp.ndarray, modulation: str) -> jnp.ndarray:
+    """`llrs` with the bit axis LEADING: (bits_per_symbol,) + x.shape.
+
+    The on-device form: each bit plane keeps x's layout (long subcarrier axis
+    minor = full-lane writes). A trailing bit axis of 2-8 as the minor dim
+    tiles at ~94% padding and forces a full-grid relayout — measured ~2x the
+    whole fused receiver's latency at 256QAM (see models/receiver)."""
+    return jnp.stack(_llr_list(x, sinr, modulation), axis=0)
 
 
 def modulate(bits: np.ndarray, modulation: str) -> np.ndarray:
@@ -141,3 +177,24 @@ def modulate(bits: np.ndarray, modulation: str) -> np.ndarray:
     for k in range(nbits):
         idx = (idx << 1) | words[..., k]
     return pts[idx]
+
+
+def descramble_llrs(llr: jnp.ndarray, c: np.ndarray) -> jnp.ndarray:
+    """Undo TS 38.211 §6.3.1.1 scrambling on soft bits: a scrambled bit
+    b' = b XOR c has LLR(b) = (1-2c) * LLR(b'), i.e. a sign flip where c = 1.
+
+    llr: LLRs in any shape/dtype (float or the receiver's int8 — quantization
+    commutes with the sign flip since the clip range is symmetric at +-127);
+    c: scrambling bits (ops/sequences.gold_sequence with
+    pusch_scrambling_c_init), same shape (flatten the stream the same way the
+    transmitter consumed it). Works host-side (numpy in, numpy out) and
+    in-graph (jnp in).
+    """
+    c = np.asarray(c)
+    if isinstance(llr, np.ndarray):
+        sign = (1 - 2 * c.astype(np.int8)) if llr.dtype == np.int8 else (
+            1.0 - 2.0 * c.astype(np.float32)
+        )
+        return llr * sign
+    sign = jnp.asarray(1 - 2 * c.astype(np.int8), llr.dtype)
+    return llr * sign

@@ -363,3 +363,30 @@ def papr_db(seq: np.ndarray, oversample: int = 4) -> float:
     t = np.fft.ifft(seq, n * oversample) * oversample
     p = np.abs(t) ** 2
     return float(10.0 * np.log10(p.max() / p.mean()))
+
+
+def pusch_scrambling_c_init(rnti: int, n_id: int, q: int = 0) -> int:
+    """TS 38.211 §6.3.1.1 PUSCH data-scrambling initializer:
+    c_init = n_RNTI * 2^15 + q * 2^14 + n_ID (q = codeword index, 0 for the
+    single-codeword uplink). The sequence itself is `gold_sequence(c_init, n)`.
+    """
+    rnti, n_id, q = int(rnti), int(n_id), int(q)
+    if not (0 <= rnti < 2**16):
+        raise ValueError(f"rnti must be in [0, 2^16): {rnti}")
+    if not (0 <= n_id < 1024):
+        raise ValueError(f"n_id must be in [0, 1024): {n_id}")
+    if q not in (0, 1):
+        raise ValueError(f"q must be 0 or 1: {q}")
+    return rnti * 2**15 + q * 2**14 + n_id
+
+
+def scramble_bits(bits: np.ndarray, c_init: int, start: int = 0) -> np.ndarray:
+    """b XOR c over the trailing-flattened bit stream (TS 38.211 §6.3.1.1).
+
+    Transmitter-side host helper (the inverse of demap.descramble_llrs on the
+    receive side): bits any shape in {0,1}; the Gold sequence is consumed in
+    C-order over the flattened array, offset by `start` sequence positions.
+    """
+    b = np.asarray(bits)
+    c = gold_sequence(int(c_init), start + b.size)[start:].reshape(b.shape)
+    return (b.astype(np.uint8) ^ c).astype(b.dtype)

@@ -126,7 +126,10 @@ def build_dp_receiver(
     if modulation is None:
         out_shardings = _rcv.ReceiverResult(x=batch, sinr=batch, **meas)
     else:
-        out_shardings = _rcv.LlrResult(llr=batch, sinr=batch, **meas)
+        from ..ops import demap as _demap
+
+        nbits = _demap.bits_per_symbol(modulation)
+        out_shardings = _rcv.LlrResult(llr=(batch,) * nbits, sinr=batch, **meas)
 
     def single(rg_ri, pil_ri, beta, params=None):
         return _rcv.receiver_impl(

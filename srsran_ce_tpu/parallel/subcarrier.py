@@ -877,6 +877,8 @@ def build_sp_receiver(
     dp_axis: str = "dp",
     sp_axis: str = "sp",
     data_beta: float = 1.0,
+    modulation: Optional[str] = None,
+    llr_scale: float = 8.0,
 ):
     """Subcarrier-sharded joint multi-RX receiver: fused per-port estimation +
     cross-port MMSE equalization, batched over dp and sharded over sp.
@@ -894,8 +896,13 @@ def build_sp_receiver(
     nothing else (ops/equalize.mmse_equalize_factored_serve). Requires
     time_interp="none" (the factored contract). Geometry restrictions per
     make_shard_plan / make_hopped_shard_plan.
+
+    `modulation` fuses the int8 soft demapper like receiver.build_receiver_ri
+    (an LlrResult comes back, llr (B, nbits, nL, n_sym, n_sc) sharded over sp) —
+    demap is per-RE elementwise, so it stays shard-local: zero extra collectives.
     """
     from ..models import receiver as _rcv
+    from ..ops import demap as _demap
     from ..ops import equalize as _eq
 
     if hop2 is not None and hop2.is_empty:
@@ -924,15 +931,26 @@ def build_sp_receiver(
         pil_spec,
         P(dp_axis),
     )
-    out_specs = _rcv.ReceiverResult(
-        x=P(dp_axis, None, None, None, sp_axis),
-        sinr=P(dp_axis, None, None, sp_axis),
+    meas_specs = dict(
         noise_est=P(dp_axis),
         rsrp=P(dp_axis),
         epre=P(dp_axis),
         time_alignment=P(dp_axis),
         cfo_hz=P(dp_axis),
     )
+    if modulation is None:
+        out_specs = _rcv.ReceiverResult(
+            x=P(dp_axis, None, None, None, sp_axis),
+            sinr=P(dp_axis, None, None, sp_axis),
+            **meas_specs,
+        )
+    else:
+        nbits = _demap.bits_per_symbol(modulation)  # validate early
+        out_specs = _rcv.LlrResult(
+            llr=(P(dp_axis, None, None, sp_axis),) * nbits,
+            sinr=P(dp_axis, None, None, sp_axis),
+            **meas_specs,
+        )
 
     def one(rg_p, pil_p, b):
         # rg_p (2, n_rx, L, n_sym) local; estimate each port on the SP front
@@ -964,15 +982,30 @@ def build_sp_receiver(
             )
             x = jax.lax.dynamic_update_slice(x, xh, (0, hp.sym_start, 0))
             sinrs.append(sh)
-        return _rcv.ReceiverResult(
-            x=_est._complex_to_ri(x),
-            sinr=jnp.stack(sinrs),
+        meas = dict(
             noise_est=noise,
             rsrp=jnp.mean(est.rsrp),
             epre=jnp.mean(est.epre),
             time_alignment=jnp.mean(est.time_alignment),
             cfo_hz=jnp.mean(est.cfo_hz),
         )
+        if modulation is None:
+            return _rcv.ReceiverResult(x=_est._complex_to_ri(x), sinr=jnp.stack(sinrs), **meas)
+        # per-hop demap against the per-subcarrier SINR; per-bit int8 planes,
+        # never stacked on device (see models/receiver.LlrResult)
+        nbits = _demap.bits_per_symbol(modulation)
+        quant = lambda l: jnp.clip(jnp.round(l * llr_scale), -127.0, 127.0).astype(jnp.int8)
+        planes = [jnp.zeros((nL, n_sym, L), jnp.int8) for _ in range(nbits)]
+        for h, hp in enumerate(hop_plans):
+            xh = jax.lax.dynamic_slice(
+                x, (0, hp.sym_start, 0), (nL, hp.n_alloc_syms, L)
+            )
+            lst = _demap._llr_list(xh, sinrs[h][:, None, :], modulation)
+            for k in range(nbits):
+                planes[k] = jax.lax.dynamic_update_slice(
+                    planes[k], quant(lst[k]), (0, hp.sym_start, 0)
+                )
+        return _rcv.LlrResult(llr=tuple(planes), sinr=jnp.stack(sinrs), **meas)
 
     def body(rg_ri_loc, pil_ri_loc, beta_loc):
         return jax.vmap(one)(rg_ri_loc, pil_ri_loc, beta_loc)

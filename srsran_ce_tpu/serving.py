@@ -373,7 +373,9 @@ def _expand_sinr_grid(sinr_k, n_sc, n_sym, n_layers, hop_cfgs, factored):
 def _scatter_out_llrs(out, chunk, results, sig, factored, llr_scale) -> None:
     """Fetch one LLR-receiver batch and scatter per-problem LlrServeResults."""
     hop1, hop2 = sig
-    llr = np.asarray(out.llr)  # (B, nbits, nL, n_sym, n_sc) int8
+    # out.llr is a tuple of per-bit (B, nL, n_sym, n_sc) int8 planes (separate
+    # device outputs — see models/receiver.LlrResult); stacking is host-side
+    llr = np.stack([np.asarray(p) for p in out.llr], axis=1)  # (B, nbits, nL, sym, sc)
     sinr = np.asarray(out.sinr)
     noise = np.asarray(out.noise_est)
     rsrp = np.asarray(out.rsrp)

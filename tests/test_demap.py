@@ -90,3 +90,38 @@ def test_end_to_end_bits_roundtrip(mod, snr_db):
     dec = (llr.reshape(-1) < 0).astype(np.int64)  # positive LLR -> bit 0
     ber = np.mean(dec != bits)
     assert ber < 2e-3, (mod, ber)
+
+
+def test_pusch_scrambling_roundtrip_and_descramble():
+    """TS 38.211 §6.3.1.1: scrambling is an involution; descrambling soft bits
+    (sign flips where c=1) recovers the original bits, int8 and float alike."""
+    from srsran_ce_tpu.ops import sequences
+
+    rng = np.random.default_rng(17)
+    c_init = sequences.pusch_scrambling_c_init(rnti=0x4601, n_id=17)
+    assert c_init == 0x4601 * 2**15 + 17
+    bits = rng.integers(0, 2, 6 * 200).astype(np.uint8)
+    scr = sequences.scramble_bits(bits, c_init)
+    assert not np.array_equal(scr, bits)
+    np.testing.assert_array_equal(sequences.scramble_bits(scr, c_init), bits)
+    # offset consumption matches slicing the full sequence
+    np.testing.assert_array_equal(
+        sequences.scramble_bits(bits[60:], c_init, start=60),
+        sequences.scramble_bits(bits, c_init)[60:],
+    )
+
+    # soft-bit path: modulate the SCRAMBLED bits, demap cleanly, descramble LLRs
+    x = demap.modulate(scr, "64qam")
+    llr = np.asarray(demap.llrs(jnp.asarray(x), jnp.asarray(100.0), "64qam"))
+    llr_flat = llr.reshape(-1)
+    c = sequences.gold_sequence(c_init, bits.size)
+    desc = demap.descramble_llrs(llr_flat, c)
+    np.testing.assert_array_equal((desc < 0).astype(np.uint8), bits)
+    # int8 quantized LLRs descramble identically (sign flip commutes with clip)
+    q = np.clip(np.round(llr_flat * 8.0), -127, 127).astype(np.int8)
+    desc_q = demap.descramble_llrs(q, c)
+    assert desc_q.dtype == np.int8
+    np.testing.assert_array_equal((desc_q < 0).astype(np.uint8), bits)
+    # jnp in-graph variant agrees
+    desc_j = np.asarray(demap.descramble_llrs(jnp.asarray(q), c))
+    np.testing.assert_array_equal(desc_j, desc_q)

@@ -365,7 +365,8 @@ def test_llr_receiver_matches_host_demap(mode):
         modulation="64qam", llr_scale=scale,
     )
     out_x, out_l = f_x(*args), f_l(*args)
-    assert np.asarray(out_l.llr).dtype == np.int8
+    llr_l = np.stack([np.asarray(p) for p in out_l.llr])  # (nbits, nL, sym, sc)
+    assert llr_l.dtype == np.int8
 
     x = estimator.merge_ri(np.asarray(out_x.x))  # (nL, n_sym, n_sc)
     sinr = np.asarray(out_x.sinr)
@@ -377,7 +378,7 @@ def test_llr_receiver_matches_host_demap(mode):
         sinr = sg
     ref = np.asarray(demap.llrs(jnp.asarray(x), jnp.asarray(sinr), "64qam"))
     ref_q = np.clip(np.round(ref * scale), -127, 127).astype(np.int64)
-    got = np.moveaxis(np.asarray(out_l.llr), 0, -1).astype(np.int64)
+    got = np.moveaxis(llr_l, 0, -1).astype(np.int64)
     assert np.abs(got - ref_q).max() <= 1
     # measurements + sinr identical to the symbol receiver's
     np.testing.assert_allclose(np.asarray(out_l.sinr), np.asarray(out_x.sinr), rtol=1e-7)
@@ -389,7 +390,7 @@ def test_llr_receiver_matches_host_demap(mode):
     alloc = np.zeros(x.shape[1], bool)
     for hop in hops:
         alloc[hop.start_symbol : hop.start_symbol + hop.n_allocated_symbols] = True
-    assert not np.any(np.asarray(out_l.llr)[:, :, ~alloc, :])
+    assert not np.any(llr_l[:, :, ~alloc, :])
 
 
 def test_end_to_end_mimo_llr_bits():
@@ -420,7 +421,7 @@ def test_end_to_end_mimo_llr_bits():
     out = fn(
         estimator.split_ri(rg), estimator.split_ri(case.pilots), np.float64(case.beta)
     )
-    llr = np.moveaxis(np.asarray(out.llr), 0, -1)  # (nL, n_sym, n_sc, nbits)
+    llr = np.stack([np.asarray(p) for p in out.llr], axis=-1)  # (nL, sym, sc, nbits)
     llr = np.moveaxis(llr, (0, 1, 2), (2, 1, 0))  # (n_sc, n_sym, nL, nbits)
     dec = (llr < 0).astype(np.int64)  # positive LLR = bit 0
 
@@ -450,12 +451,11 @@ def test_llr_receiver_batched_matches_single():
     pil_b = np.stack([estimator.split_ri(pil) for _, pil, _ in probs])
     beta_b = np.asarray([c.beta for _, _, c in probs], np.float64)
     out_b = fb(rg_b, pil_b, beta_b)
+    lb = np.stack([np.asarray(p) for p in out_b.llr], axis=1)  # (B, nbits, ...)
     for k, (rg, pil, c) in enumerate(probs):
         out1 = f1(estimator.split_ri(rg), estimator.split_ri(pil), np.float64(c.beta))
-        d = np.abs(
-            np.asarray(out_b.llr)[k].astype(np.int64)
-            - np.asarray(out1.llr).astype(np.int64)
-        )
+        l1 = np.stack([np.asarray(p) for p in out1.llr])
+        d = np.abs(lb[k].astype(np.int64) - l1.astype(np.int64))
         assert d.max() <= 1  # vmap reassociation can flip round() at boundaries
 
 
@@ -480,11 +480,46 @@ def test_dp_llr_receiver_matches_unsharded():
         case.hop1, case.hop2, case.config, nL, n_rx, batched=True, modulation="64qam"
     )
     out_dp, out = fn_dp(rg_b, pil_b, beta_b), fn(rg_b, pil_b, beta_b)
-    d = np.abs(
-        np.asarray(out_dp.llr).astype(np.int64) - np.asarray(out.llr).astype(np.int64)
-    )
-    assert np.asarray(out_dp.llr).dtype == np.int8
+    ldp = np.stack([np.asarray(p) for p in out_dp.llr], axis=1)
+    lu = np.stack([np.asarray(p) for p in out.llr], axis=1)
+    assert ldp.dtype == np.int8
+    d = np.abs(ldp.astype(np.int64) - lu.astype(np.int64))
     assert d.max() <= 1
     np.testing.assert_allclose(
         np.asarray(out_dp.sinr), np.asarray(out.sinr), rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("two_hops", [False, True])
+def test_sp_llr_receiver_matches_unsharded(two_hops):
+    """Subcarrier-sharded fused-LLR receiver == unsharded batched one (demap is
+    shard-local; int8 outputs within one quantization step across programs)."""
+    from srsran_ce_tpu.parallel import mesh as mesh_lib
+    from srsran_ce_tpu.parallel.subcarrier import build_sp_receiver
+
+    n_rx, nL = 2, 2
+    kw = dict(cfo_hz=250.0)
+    if two_hops:
+        kw.update(two_hops=True, n_prbs=12)
+    probs = _mimo_inputs(n_rx, nL, seeds=(0, 1), **kw)
+    case = probs[0][2]
+    rg_b = np.stack([estimator.split_ri(rg) for rg, _, _ in probs])
+    pil_b = np.stack([estimator.split_ri(pil) for _, pil, _ in probs])
+    beta_b = np.asarray([c.beta for _, _, c in probs], np.float64)
+
+    mesh = mesh_lib.make_mesh((2, 4), ("dp", "sp"))
+    fn_sp = build_sp_receiver(
+        case.hop1, case.hop2, case.config, nL, mesh, modulation="16qam"
+    )
+    fn = receiver.build_receiver_ri(
+        case.hop1, case.hop2, case.config, nL, n_rx, batched=True, modulation="16qam"
+    )
+    out_sp, out = fn_sp(rg_b, pil_b, beta_b), fn(rg_b, pil_b, beta_b)
+    lsp = np.stack([np.asarray(p) for p in out_sp.llr], axis=1)
+    lu = np.stack([np.asarray(p) for p in out.llr], axis=1)
+    assert lsp.dtype == np.int8
+    d = np.abs(lsp.astype(np.int64) - lu.astype(np.int64))
+    assert d.max() <= 1, d.max()
+    np.testing.assert_allclose(
+        np.asarray(out_sp.sinr), np.asarray(out.sinr), rtol=1e-9, atol=1e-12
     )

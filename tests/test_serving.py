@@ -405,7 +405,8 @@ def test_llr_serving_matches_receiver_calls():
             estimator.split_ri(c.pilots.astype(np.complex64)),
             np.float32(c.beta),
         )
-        ref_llr = np.moveaxis(np.asarray(ref.llr), (0, 1, 2, 3), (3, 2, 1, 0))
+        ref_stack = np.stack([np.asarray(p) for p in ref.llr])  # (nbits, nL, sym, sc)
+        ref_llr = np.moveaxis(ref_stack, (0, 1, 2, 3), (3, 2, 1, 0))
         d = np.abs(r.llr.astype(np.int64) - ref_llr.astype(np.int64))
         assert d.max() <= 1, d.max()  # vmap reassociation can flip round()
         np.testing.assert_allclose(r.noise_est, float(ref.noise_est), rtol=1e-6)
