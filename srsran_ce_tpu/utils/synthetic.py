@@ -292,6 +292,157 @@ def make_case(
     )
 
 
+def symbol_cfo_rotation(config: EstimatorConfig, cfo_hz: float, n_sym: int) -> np.ndarray:
+    """Per-OFDM-symbol CFO phase rotation exp(j 2π t_sym · cfo), t_sym the
+    cumulative symbol start times in symbol-duration units (the reference's
+    symbolStartTime, ce_rule_baseline.py:825-836). The effective channel a
+    perfect-CSI receiver sees is true_channel * this rotation."""
+    cpds = config.cp_durations_np * config.scs_hz / 1000.0
+    vec = np.empty(14)
+    vec[0] = cpds[0]
+    vec[1:] = cpds[1:14] + 1.0
+    return np.exp(1j * 2.0 * np.pi * np.cumsum(vec) * (cfo_hz / config.scs_hz))[:n_sym]
+
+
+@dataclass
+class MimoLinkCase:
+    """One end-to-end MIMO uplink problem: known transmitted bits through
+    independent per-RX-port channels, for link-level BER/quality evaluation of
+    the full receiver chain (estimate -> MMSE equalize -> soft demap ->
+    descramble). The reference stops at the channel estimate
+    (ce_rule_baseline.py:761-768) and has no link-level evaluation at all.
+    """
+
+    received_rg: np.ndarray  # (n_rx, n_sc, n_sym) complex128
+    pilots: np.ndarray  # (n_re, n_dsym_total, n_layers) complex128 (shared by ports)
+    beta: float
+    hop1: HopConfig
+    hop2: Optional[HopConfig]
+    config: EstimatorConfig
+    true_channels: np.ndarray  # (n_rx, n_sc, n_sym, n_layers) complex128
+    bits: np.ndarray  # (n_sc, n_sym, n_layers, nbits) uint8 — PRE-scrambling payload bits
+    scramble_c: Optional[np.ndarray]  # same shape — Gold scrambling bits (None if unscrambled)
+    payload: np.ndarray  # (n_sc, n_sym, n_layers) complex128 — transmitted data symbols
+    data_mask: np.ndarray  # (n_sc, n_sym) bool — payload REs the link is scored on
+    modulation: str
+    snr_db: float
+    cfo_hz: float
+    noise_var: float  # true per-complex-RE noise variance (the perfect-CSI bound's N0)
+
+
+def make_mimo_case(
+    seed: int = 0,
+    n_rx: int = 2,
+    modulation: str = "16qam",
+    scramble: bool = True,
+    rnti: int = 0x4601,
+    snr_db: float = 30.0,
+    cfo_hz: float = 200.0,
+    **case_kwargs,
+) -> MimoLinkCase:
+    """Build a full MIMO link: bits -> (scramble) -> Gray-QAM payload + DM-RS
+    pilots -> n_rx independent TDL channels (+ shared CFO, AWGN).
+
+    Geometry kwargs are forwarded to `make_case` (n_prbs, n_layers, two_hops,
+    smoothing, time_interp, ...). Each RX port gets an independently drawn true
+    channel (seed+r); pilots/config/hops come from port 0's case so all ports
+    describe the same transmission. Scrambling follows TS 38.211 §6.3.1.1 with
+    one Gold stream per layer (c_init = pusch_scrambling_c_init(rnti, seed%1024),
+    consumed in C-order over that layer's (n_sc, n_sym, nbits) bits);
+    `scramble_c` is returned aligned with `bits` so the receive side descrambles
+    by elementwise XOR (hard bits) or sign flip (LLRs, demap.descramble_llrs).
+
+    data_mask marks the REs that carry scored payload: every subcarrier of each
+    hop's PRB band over its allocated symbols, minus that hop's DM-RS symbols
+    entirely (at DM-RS symbols the non-pilot REs still carry payload in the
+    received grid, they are just not scored — the conservative convention the
+    end-to-end tests established).
+    """
+    from ..ops import demap, sequences
+
+    case_kwargs.setdefault("cfo_hz", cfo_hz)
+    case_kwargs.setdefault("snr_db", snr_db)
+    cases = [
+        make_case(seed=seed + 7919 * r, **case_kwargs) for r in range(n_rx)
+    ]
+    case = cases[0]
+    pil = case.pilots
+    nL = pil.shape[2]
+    n_sc, n_sym = case.received_rg.shape
+    hops = [case.hop1] + ([case.hop2] if case.hop2 is not None else [])
+    nbits = demap.bits_per_symbol(modulation)
+
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    bits = rng.integers(0, 2, (n_sc, n_sym, nL, nbits), dtype=np.uint8)
+    if scramble:
+        c_planes = []
+        for l in range(nL):
+            c_init = sequences.pusch_scrambling_c_init(rnti, seed % 1024, q=0)
+            # independent per-layer streams: offset each layer into the sequence
+            c = sequences.gold_sequence(c_init, (l + 1) * n_sc * n_sym * nbits)
+            c_planes.append(c[l * n_sc * n_sym * nbits :].reshape(n_sc, n_sym, nbits))
+        scramble_c = np.stack(c_planes, axis=2)  # (n_sc, n_sym, nL, nbits)
+        tx_bits = bits ^ scramble_c
+    else:
+        scramble_c = None
+        tx_bits = bits
+    payload = demap.modulate(tx_bits, modulation)[..., 0]  # (n_sc, n_sym, nL)
+
+    # Shared CFO phase ramp (same UE oscillator seen by every port)
+    cfo_rot = symbol_cfo_rotation(case.config, case_kwargs["cfo_hz"], n_sym)
+
+    noise_std = 10.0 ** (-case_kwargs["snr_db"] / 20.0)
+    n_cdm = math.ceil(nL / 2)
+    data_mask = np.zeros((n_sc, n_sym), dtype=bool)
+    rgs = []
+    for r, c in enumerate(cases):
+        H = c.true_channel  # (n_sc, n_sym, nL)
+        rx = np.einsum("ksl,ksl->ks", H, payload)
+        dsym_off = 0
+        for hop in hops:
+            dmrs_syms = np.nonzero(hop.dmrs_symbol_mask_np)[0]
+            for cdm in range(n_cdm):
+                re_full = np.kron(hop.prb_mask_np, hop.dmrs_re_mask_np[:, cdm])
+                re_idx = np.nonzero(re_full)[0]
+                l0, l1 = cdm * 2, min(nL, (cdm + 1) * 2)
+                for j, s in enumerate(dmrs_syms):
+                    tx = np.zeros(re_idx.size, np.complex128)
+                    for l in range(l0, l1):
+                        tx += case.beta * pil[:, dsym_off + j, l] * H[re_idx, s, l]
+                    rx[re_idx, s] = tx
+            dsym_off += dmrs_syms.size
+            if r == 0:
+                band = np.kron(hop.prb_mask_np, np.ones(NRE, dtype=bool))
+                alloc = np.zeros(n_sym, dtype=bool)
+                alloc[hop.start_symbol : hop.start_symbol + hop.n_allocated_symbols] = True
+                alloc[dmrs_syms] = False
+                data_mask |= band[:, None] & alloc[None, :]
+        rx *= cfo_rot[None, :]
+        nrng = np.random.default_rng((seed + 1) * 1_000_003 + r)
+        rx += noise_std * (
+            nrng.standard_normal(rx.shape) + 1j * nrng.standard_normal(rx.shape)
+        ) / np.sqrt(2.0)
+        rgs.append(rx)
+
+    return MimoLinkCase(
+        received_rg=np.stack(rgs),
+        pilots=pil,
+        beta=case.beta,
+        hop1=case.hop1,
+        hop2=case.hop2,
+        config=case.config,
+        true_channels=np.stack([c.true_channel for c in cases]),
+        bits=bits,
+        scramble_c=scramble_c,
+        payload=payload,
+        data_mask=data_mask,
+        modulation=modulation,
+        snr_db=float(case_kwargs["snr_db"]),
+        cfo_hz=float(case_kwargs["cfo_hz"]),
+        noise_var=float(noise_std**2),
+    )
+
+
 # Canonical benchmark-config geometry (BASELINE.json configs[0..4])
 BENCH_CASES = {
     "c0_baseline_52prb": dict(n_prbs=52, n_layers=1, comb=2, scs_hz=15e3),

@@ -215,11 +215,21 @@ def cmd_quality(args) -> int:
     print("channel class    fixed 250ns    auto-matched")
     for label, row in atable.items():
         print(f"{label:15s} {row['fixed_db']:11.2f} {row['auto_db']:15.2f}")
+    bsnrs = (5.0, 10.0, 15.0, 20.0, 30.0)
+    btable = quality.ber_sweep(
+        snrs_db=bsnrs, modulation="16qam", n_rx=2, n_layers=2,
+        n_cases=min(4, args.cases),
+    )
+    print("\nLink-level uncoded BER (2x2 MIMO 16QAM, full chain: estimate ->")
+    print("joint MMSE -> soft demap -> descramble; vs perfect-CSI MMSE bound):")
+    print("      SNR " + "".join(f"  {s:>7.0f}dB" for s in bsnrs))
+    print("estimated " + "".join(f"  {btable[s]['ber']:9.2e}" for s in bsnrs))
+    print("perfectCSI" + "".join(f"  {btable[s]['ber_perfect_csi']:9.2e}" for s in bsnrs))
     if args.report:
         Path(args.report).write_text(
             json.dumps(
                 {"snr": table, "doppler": dtable, "cfo": ctable, "tracking": ttable,
-                 "delay_adapt": atable},
+                 "delay_adapt": atable, "link_ber": btable},
                 indent=2,
             )
         )

@@ -259,3 +259,103 @@ def sweep(
             row[float(snr)] = 10.0 * float(np.log10(nmse + 1e-300))
         out[sm] = row
     return out
+
+
+def ber_sweep(
+    snrs_db: Sequence[float] = (0.0, 5.0, 10.0, 15.0, 20.0),
+    modulation: str = "16qam",
+    n_rx: int = 2,
+    n_layers: int = 2,
+    n_prbs: int = 24,
+    n_cases: int = 4,
+    seed0: int = 4200,
+    scramble: bool = True,
+    **case_kwargs,
+) -> Dict[float, Dict[str, float]]:
+    """Link-level uncoded BER vs SNR through the FULL receiver chain
+    (estimate -> joint MMSE equalize -> max-log soft demap -> descramble),
+    against the perfect-CSI MMSE bound on the same realizations.
+
+    The reference has no link-level evaluation (it stops at the channel
+    estimate); this closes the loop the way a PHY team actually judges an
+    estimator — by the bit errors it costs downstream. Returns
+    {snr_db: {"ber": ..., "ber_perfect_csi": ..., "n_bits": N}} scored on
+    `data_mask` REs (hard decisions from the fused int8 LLR planes, descrambled
+    by XOR with the transmitter's Gold stream).
+    """
+    from ..models import estimator, receiver
+    from ..ops import demap
+    from ..utils.synthetic import make_mimo_case, symbol_cfo_rotation
+
+    def _perfect_csi_bits(case, nbits):
+        """Hard decisions of the perfect-CSI MMSE receiver, float64 numpy on the
+        host (complex arrays must never cross the TPU device boundary — the
+        production path uses ri layout, the bound doesn't need a device at all).
+        Same math as ops/equalize.mmse_equalize: x = (H^H H + sI)^-1 H^H y / β,
+        s = N0/β², then alpha-unbias and nearest-constellation-point decision
+        (= the sign pattern of the max-log LLRs)."""
+        n_sym = case.received_rg.shape[-1]
+        rot = symbol_cfo_rotation(case.config, case.cfo_hz, n_sym)
+        h = case.true_channels * rot[None, None, :, None]  # (n_rx, sc, sym, nL)
+        nL = h.shape[-1]
+        H = np.transpose(h, (1, 2, 0, 3))  # (sc, sym, rx, nL)
+        y = np.transpose(case.received_rg, (1, 2, 0))[..., None]  # (sc, sym, rx, 1)
+        Hh = np.conj(np.swapaxes(H, -1, -2))
+        s = case.noise_var  # data beta = 1
+        inv = np.linalg.inv(Hh @ H + s * np.eye(nL))
+        x = (inv @ (Hh @ y))[..., 0]  # (sc, sym, nL)
+        d = np.real(np.einsum("...ll->...l", inv))
+        sinr = np.maximum(1.0 / np.maximum(d * s, 1e-30) - 1.0, 0.0)
+        alpha = sinr / (1.0 + sinr)
+        xt = np.where(alpha > 0, x / np.maximum(alpha, 1e-30), 0.0)
+        pts = demap.constellation(case.modulation)
+        idx = np.argmin(np.abs(xt[..., None] - pts[None, None, None, :]), axis=-1)
+        shifts = np.arange(nbits - 1, -1, -1)
+        return ((idx[..., None] >> shifts) & 1).astype(np.uint8)  # (sc, sym, nL, nbits)
+
+    out: Dict[float, Dict[str, float]] = {}
+    for snr in snrs_db:
+        errs = errs_ideal = total = 0
+        for i in range(n_cases):
+            case = make_mimo_case(
+                seed=seed0 + i,
+                n_rx=n_rx,
+                modulation=modulation,
+                scramble=scramble,
+                snr_db=float(snr),
+                n_prbs=n_prbs,
+                n_layers=n_layers,
+                **case_kwargs,
+            )
+            nbits = demap.bits_per_symbol(modulation)
+            fn = receiver.build_receiver_ri(
+                case.hop1, case.hop2, case.config, n_layers, n_rx,
+                modulation=modulation,
+            )
+            res = fn(
+                estimator.split_ri(case.received_rg),
+                estimator.split_ri(case.pilots),
+                jnp.asarray(case.beta),
+            )
+            llr = np.stack([np.asarray(p) for p in res.llr], axis=-1)  # (nL, sym, sc, nbits)
+            dec = (np.transpose(llr, (2, 1, 0, 3)) < 0).astype(np.uint8)
+
+            # Perfect-CSI MMSE bound: true per-port channels (incl. the CFO
+            # ramp the receiver had to estimate) + true noise variance.
+            dec_i = _perfect_csi_bits(case, nbits)
+
+            if case.scramble_c is not None:
+                dec = dec ^ case.scramble_c
+                dec_i = dec_i ^ case.scramble_c
+            mask = np.broadcast_to(
+                case.data_mask[:, :, None, None], case.bits.shape
+            )
+            errs += int(np.sum((dec != case.bits) & mask))
+            errs_ideal += int(np.sum((dec_i != case.bits) & mask))
+            total += int(mask.sum())
+        out[float(snr)] = {
+            "ber": errs / total,
+            "ber_perfect_csi": errs_ideal / total,
+            "n_bits": total,
+        }
+    return out
