@@ -147,11 +147,25 @@ def _hermitian_inverse_lead(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sinr_from_inv_lead(inv: jnp.ndarray, noise_over_beta2: jnp.ndarray) -> jnp.ndarray:
-    """`_sinr_from_inv` for leading matrix axes: inv (nL, nL, ...) -> (nL, ...)."""
+    """`_sinr_from_inv` for leading matrix axes: inv (nL, nL, ...) -> (nL, ...).
+
+    The optimization_barrier below is load-bearing on the TPU backend: when
+    this chain fuses into the full receiver program, XLA duplicates the
+    d*s computation into the reciprocal's fusion, and that duplicated copy
+    miscompiles — max(d*s, 1e-30) evaluates to 0 wherever d < ~1, turning
+    finite SINRs into 1e30 (observed on v5e: 92/288 subcarriers of a 2x2
+    MMSE receiver reported SINR=1e30 while the SAME inv produced correct
+    equalized symbols, and while d*s returned as a program output was
+    perfectly sane; adding one output/reshape toggled the bug). The barrier
+    forces one materialized (nL, ...) real array — negligible — and makes
+    the TPU result bitwise-match CPU. Do not remove without re-running the
+    coded-link eval on hardware (quality.coded_ber_sweep catches it: the
+    poisoned SINRs produce max-confidence int8 LLRs on garbage bits)."""
     nL = inv.shape[0]
     d = jnp.real(jnp.stack([inv[i, i] for i in range(nL)]))
     s = noise_over_beta2.real
-    return jnp.maximum(1.0 / jnp.maximum(d * s, 1e-30) - 1.0, 0.0)
+    ds = jax.lax.optimization_barrier(d * s)
+    return jnp.maximum(1.0 / jnp.maximum(ds, 1e-30) - 1.0, 0.0)
 
 
 def _gram_lead(h: jnp.ndarray, s) -> jnp.ndarray:
