@@ -1,0 +1,336 @@
+"""Batched QC-LDPC soft decoder (normalized min-sum) + GF(2) systematic encoder.
+
+Completes the coded uplink chain past the reference's endpoint: the reference
+stops at the channel estimate (ce_rule_baseline.py:761-768); this framework
+already adds MMSE equalization (ops/equalize) and exact max-log LLRs
+(ops/demap), and here those soft bits are actually *decoded*. The decoder is
+the standard flooding normalized-min-sum over a quasi-cyclic parity-check
+matrix — the code family used by 5G NR PUSCH (TS 38.212 §5.3.2) — built
+TPU-first:
+
+- **Plan-time staticization** (same principle as models/plan.py): the entire
+  Tanner-graph wiring — edge tables, cyclic-shift gather indices, check-node
+  slot padding, the GF(2)-eliminated systematic encoder — is computed once in
+  numpy from the (base matrix, lifting size) pair. The jitted decoder sees one
+  static int32 gather table and dense arrays; one code = one compiled program.
+- **Check-frame layout** `(batch, n_checks_base, max_degree, Z)`: the lifting
+  axis Z (64-384 for NR) rides the 128-lane vector dim, the small check degree
+  (<= 19 for NR BG1) is a cheap sublane reduction, and the batch axis vmaps /
+  dp-shards like every other problem axis in this framework. Messages never
+  exist "per edge scalar" — every op is a full-lane elementwise or a
+  small-axis reduction; there is no per-node Python, no sparse matrices, no
+  data-dependent control flow.
+- **Static iteration count** via `lax.scan` (the XLA-friendly schedule; a
+  data-dependent early-exit would force `while_loop` and kill cross-iteration
+  fusion). The returned `ok` flag reports the final parity check, so callers
+  get the early-termination *signal* without the dynamic control flow.
+
+The code is described by its base matrix (entries: -1 = no edge, s >= 0 =
+identity cyclically shifted by s) and lifting size Z, exactly the TS 38.212
+representation — NR base graphs drop in as literal shift tables. Since those
+spec tables are not available in this environment, `array_code` provides the
+classic Fossorier array-LDPC construction (shift[i][j] = i*j mod Z, Z prime,
+girth >= 6) as a strong built-in family for tests and link-level evaluation.
+
+Conventions match ops/demap: LLR > 0 means bit 0 likelier (3GPP soft-bit
+sign), so hard decisions are `posterior < 0`. int8 LLRs from the fused
+receiver demap feed straight in (cast to float; min-sum is scale-invariant so
+the int8 quantization scale does not even need to be undone).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "QCLdpcCode",
+    "array_code",
+    "LdpcPlan",
+    "make_ldpc_plan",
+    "encode",
+    "build_decoder",
+    "decode_reference",
+    "DecodeResult",
+]
+
+_BIG = 1e30  # mask value for padded check-node slots (never wins a min)
+
+
+@dataclass(frozen=True)
+class QCLdpcCode:
+    """A quasi-cyclic LDPC code: `base[i][j]` is -1 (no block) or a cyclic
+    shift in [0, z); the parity-check matrix is the base matrix with every
+    entry s expanded to the ZxZ identity rolled so row a has its one at
+    column (a + s) mod z. Frozen + hashable -> plan/jit cache key (the same
+    pattern as config.EstimatorConfig)."""
+
+    base: Tuple[Tuple[int, ...], ...]
+    z: int
+
+    @property
+    def n_check_blocks(self) -> int:
+        return len(self.base)
+
+    @property
+    def n_var_blocks(self) -> int:
+        return len(self.base[0])
+
+    @property
+    def n(self) -> int:
+        """Codeword length in bits."""
+        return self.n_var_blocks * self.z
+
+    @property
+    def k(self) -> int:
+        """Information length in bits (n - rank(H); QC expansions can be
+        rank-deficient, e.g. array codes lose mb-1 dependent rows)."""
+        return make_ldpc_plan(self).k
+
+
+def array_code(n_check_blocks: int, n_var_blocks: int, z: int) -> QCLdpcCode:
+    """Fossorier array-LDPC construction: shift(i, j) = (i * j) mod z with z
+    prime and n_var_blocks <= z gives a (n_check_blocks, n_var_blocks)-regular
+    QC code of girth >= 6. A solid classical family; NR base graphs (TS 38.212
+    tables 5.3.2-2/-3) plug into QCLdpcCode directly when available."""
+    assert 2 <= n_check_blocks <= n_var_blocks <= z, (n_check_blocks, n_var_blocks, z)
+    assert all(z % p for p in range(2, int(z**0.5) + 1)), f"z={z} must be prime"
+    base = tuple(
+        tuple((i * j) % z for j in range(n_var_blocks)) for i in range(n_check_blocks)
+    )
+    return QCLdpcCode(base=base, z=z)
+
+
+def _expand_h(code: QCLdpcCode) -> np.ndarray:
+    """Dense (m, n) uint8 parity-check matrix (plan-time only)."""
+    mb, nb, z = code.n_check_blocks, code.n_var_blocks, code.z
+    h = np.zeros((mb * z, nb * z), np.uint8)
+    rows = np.arange(z)
+    for i in range(mb):
+        for j, s in enumerate(code.base[i]):
+            if s >= 0:
+                h[i * z + rows, j * z + (rows + s) % z] = 1
+    return h
+
+
+class LdpcPlan:
+    """Static decode/encode tables for one code (all numpy, built once).
+
+    Decoder wiring (check frame, D = max check degree in blocks):
+      slot_var   (mb, D)    int32  variable-block index per slot (0 for pads)
+      slot_valid (mb, D)    bool   real edge?
+      gather_idx (mb, D, z) int32  flat bit index each check lane reads:
+                                   var*z + (lane + shift) mod z
+    Encoder (GF(2) reduced row echelon of the expanded H):
+      info_cols   (k,)      non-pivot columns = systematic info positions
+      parity_cols (rank,)   pivot columns
+      parity_gen  (rank, k) uint8: codeword[parity_cols] = parity_gen @ u mod 2
+    """
+
+    def __init__(self, code: QCLdpcCode):
+        mb, nb, z = code.n_check_blocks, code.n_var_blocks, code.z
+        self.code = code
+        degs = [sum(s >= 0 for s in row) for row in code.base]
+        assert min(degs) >= 2, "degree-1 check rows are not a valid LDPC"
+        d = max(degs)
+        self.max_degree = d
+        self.slot_var = np.zeros((mb, d), np.int32)
+        self.slot_shift = np.zeros((mb, d), np.int32)
+        self.slot_valid = np.zeros((mb, d), bool)
+        for i, row in enumerate(code.base):
+            t = 0
+            for j, s in enumerate(row):
+                if s >= 0:
+                    self.slot_var[i, t] = j
+                    self.slot_shift[i, t] = s
+                    self.slot_valid[i, t] = True
+                    t += 1
+        lane = np.arange(z, dtype=np.int32)
+        self.gather_idx = (
+            self.slot_var[:, :, None] * z
+            + (lane[None, None, :] + self.slot_shift[:, :, None]) % z
+        ).astype(np.int32)
+
+        # --- systematic encoder via GF(2) reduced row echelon ---
+        h = _expand_h(code)
+        m, n = h.shape
+        r = 0
+        pivots = []
+        for c in range(n):
+            hit = np.nonzero(h[r:, c])[0]
+            if hit.size == 0:
+                continue
+            p = r + hit[0]
+            if p != r:
+                h[[r, p]] = h[[p, r]]
+            elim = np.nonzero(h[:, c])[0]
+            elim = elim[elim != r]
+            h[elim] ^= h[r]
+            pivots.append(c)
+            r += 1
+            if r == m:
+                break
+        self.rank = r
+        self.parity_cols = np.asarray(pivots, np.int64)
+        mask = np.ones(n, bool)
+        mask[self.parity_cols] = False
+        self.info_cols = np.nonzero(mask)[0]
+        self.k = n - r
+        # row i of the RREF: c[pivot_i] + sum_j R[i, info_j] c[info_j] = 0
+        self.parity_gen = h[: self.rank][:, self.info_cols].copy()
+
+
+@functools.lru_cache(maxsize=None)
+def make_ldpc_plan(code: QCLdpcCode) -> LdpcPlan:
+    return LdpcPlan(code)
+
+
+def encode(code: QCLdpcCode, u: np.ndarray) -> np.ndarray:
+    """Systematic encode: info bits u (..., k) in {0,1} -> codewords (..., n)
+    in the natural (decoder) bit order; `plan.info_cols` positions carry u
+    verbatim. Host-side numpy (transmitters live on the host in this
+    framework, like demap.modulate)."""
+    plan = make_ldpc_plan(code)
+    u = np.asarray(u, np.uint8)
+    assert u.shape[-1] == plan.k, (u.shape, plan.k)
+    c = np.zeros(u.shape[:-1] + (code.n,), np.uint8)
+    c[..., plan.info_cols] = u
+    c[..., plan.parity_cols] = (u @ plan.parity_gen.T) % 2
+    return c
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DecodeResult:
+    """bits: hard decisions (..., n) uint8; info: (..., k) uint8 systematic
+    payload; ok: (...) bool — parity check satisfied (all syndromes zero);
+    posterior: (..., n) float soft outputs (same sign convention as input)."""
+
+    bits: jnp.ndarray
+    info: jnp.ndarray
+    ok: jnp.ndarray
+    posterior: jnp.ndarray
+
+
+def build_decoder(code: QCLdpcCode, n_iters: int = 20, norm: float = 0.75):
+    """Build the jitted flooding normalized-min-sum decoder for `code`.
+
+    Returns decode(llr) where llr is (..., n) channel LLRs (float or the
+    receiver's int8 soft bits; positive = bit 0). Any leading axes batch.
+    `norm` is the min-sum normalization factor (0.75 is the standard choice;
+    1.0 = pure min-sum). The schedule is static: `n_iters` flooding sweeps
+    under lax.scan, parity reported in `ok`.
+    """
+    plan = make_ldpc_plan(code)
+    mb, d, z = code.n_check_blocks, plan.max_degree, code.z
+    flat_idx = jnp.asarray(plan.gather_idx.reshape(-1))  # (mb*d*z,)
+    valid = jnp.asarray(plan.slot_valid[None, :, :, None])  # (1, mb, d, 1)
+    info_cols = jnp.asarray(plan.info_cols)
+    slot_arange = jnp.arange(d)[:, None]  # (d, 1) vs argmin (..., z)
+
+    def _check_update(v2c):
+        """Extrinsic normalized min-sum per check lane: sign = product of the
+        other signs, magnitude = min of the other magnitudes (min2 at the
+        argmin slot, min1 elsewhere). Padded slots emit 0."""
+        mag = jnp.where(valid, jnp.abs(v2c), _BIG)
+        neg = valid & (v2c < 0)
+        sgn = 1.0 - 2.0 * neg.astype(v2c.dtype)
+        # total sign as parity of the negative count (a multiplicative
+        # jnp.prod reduction over this axis SIGSEGVs this environment's TPU
+        # compile helper; additive reductions are fine and the math is
+        # identical for +-1 factors); extrinsic sign = s_total / s_e = total*s_e
+        par = jnp.sum(neg.astype(jnp.int32), axis=-2, keepdims=True) % 2
+        ext_sign = (1.0 - 2.0 * par.astype(v2c.dtype)) * sgn
+        i_min = jnp.argmin(mag, axis=-2)  # (..., mb, z)
+        onehot = slot_arange == i_min[..., None, :]  # (..., mb, d, z)
+        min1 = jnp.min(mag, axis=-2, keepdims=True)
+        min2 = jnp.min(jnp.where(onehot, _BIG, mag), axis=-2, keepdims=True)
+        ext_mag = jnp.where(onehot, min2, min1)
+        # pin the dtype: weak-typed literals above would promote f32 carries
+        # to f64 under x64 and break the scan carry contract
+        return jnp.where(valid, norm * ext_sign * ext_mag, 0.0).astype(v2c.dtype)
+
+    @jax.jit
+    def decode(llr) -> DecodeResult:
+        llr = jnp.asarray(llr)
+        llr = llr.astype(jnp.promote_types(llr.dtype, jnp.float32))
+        lead = llr.shape[:-1]
+        ch = llr.reshape((-1, code.n))
+        b = ch.shape[0]
+
+        def scatter(c2v):  # (b, mb, d, z) -> (b, n) sum of messages per bit
+            return jnp.zeros_like(ch).at[:, flat_idx].add(c2v.reshape(b, -1))
+
+        def gather(post):  # (b, n) -> (b, mb, d, z) check-frame view
+            return jnp.take(post, flat_idx, axis=-1).reshape(b, mb, d, z)
+
+        def body(c2v, _):
+            post = ch + scatter(c2v)
+            v2c = gather(post) - c2v
+            return _check_update(v2c), None
+
+        c2v0 = jnp.zeros((b, mb, d, z), ch.dtype)
+        c2v, _ = jax.lax.scan(body, c2v0, None, length=n_iters)
+        posterior = ch + scatter(c2v)
+        bits = (posterior < 0).astype(jnp.uint8)
+        par = jnp.sum(gather(bits.astype(jnp.int32)) * valid, axis=-2) % 2
+        ok = jnp.logical_not(jnp.any(par, axis=(-2, -1)))
+        return DecodeResult(
+            bits=bits.reshape(lead + (code.n,)),
+            info=jnp.take(bits, info_cols, axis=-1).reshape(lead + (plan.k,)),
+            ok=ok.reshape(lead),
+            posterior=posterior.reshape(lead + (code.n,)),
+        )
+
+    return decode
+
+
+def decode_reference(
+    code: QCLdpcCode, llr: np.ndarray, n_iters: int = 20, norm: float = 0.75
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Float64 numpy flooding normalized-min-sum with the identical schedule —
+    the correctness anchor for `build_decoder` (same role utils/oracle.py plays
+    for the estimator). Returns (bits (..., n) uint8, ok (...) bool,
+    posterior (..., n) float64)."""
+    plan = make_ldpc_plan(code)
+    mb, d, z = code.n_check_blocks, plan.max_degree, code.z
+    idx = plan.gather_idx.reshape(-1)
+    valid = plan.slot_valid[None, :, :, None]
+    lead = np.asarray(llr).shape[:-1]
+    ch = np.asarray(llr, np.float64).reshape(-1, code.n)
+    b = ch.shape[0]
+
+    def scatter(c2v):
+        out = np.zeros_like(ch)
+        np.add.at(out, (slice(None), idx), c2v.reshape(b, -1))
+        return out
+
+    def gather(post):
+        return post[:, idx].reshape(b, mb, d, z)
+
+    c2v = np.zeros((b, mb, d, z))
+    for _ in range(n_iters):
+        post = ch + scatter(c2v)
+        v2c = gather(post) - c2v
+        mag = np.where(valid, np.abs(v2c), _BIG)
+        sgn = np.where(valid & (v2c < 0), -1.0, 1.0)
+        ext_sign = np.prod(sgn, axis=-2, keepdims=True) * sgn
+        i_min = np.argmin(mag, axis=-2)
+        onehot = np.arange(d)[:, None] == i_min[..., None, :]
+        min1 = np.min(mag, axis=-2, keepdims=True)
+        min2 = np.min(np.where(onehot, _BIG, mag), axis=-2, keepdims=True)
+        ext = np.where(onehot, min2, min1)
+        c2v = np.where(valid, norm * ext_sign * ext, 0.0)
+    posterior = ch + scatter(c2v)
+    bits = (posterior < 0).astype(np.uint8)
+    par = np.sum(gather(bits.astype(np.int64)) * valid, axis=-2) % 2
+    ok = ~np.any(par, axis=(-2, -1))
+    return (
+        bits.reshape(lead + (code.n,)),
+        ok.reshape(lead),
+        posterior.reshape(lead + (code.n,)),
+    )

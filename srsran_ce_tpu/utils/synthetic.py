@@ -338,6 +338,7 @@ def make_mimo_case(
     rnti: int = 0x4601,
     snr_db: float = 30.0,
     cfo_hz: float = 200.0,
+    bits: Optional[np.ndarray] = None,
     **case_kwargs,
 ) -> MimoLinkCase:
     """Build a full MIMO link: bits -> (scramble) -> Gray-QAM payload + DM-RS
@@ -372,8 +373,15 @@ def make_mimo_case(
     hops = [case.hop1] + ([case.hop2] if case.hop2 is not None else [])
     nbits = demap.bits_per_symbol(modulation)
 
-    rng = np.random.default_rng(seed ^ 0x5EED)
-    bits = rng.integers(0, 2, (n_sc, n_sym, nL, nbits), dtype=np.uint8)
+    if bits is None:
+        rng = np.random.default_rng(seed ^ 0x5EED)
+        bits = rng.integers(0, 2, (n_sc, n_sym, nL, nbits), dtype=np.uint8)
+    else:
+        # injected PRE-scrambling payload (coded evaluations place LDPC
+        # codewords into the scored bit positions; channels/noise stay
+        # identical for a given seed, so coded vs uncoded compare like-for-like)
+        bits = np.asarray(bits, np.uint8)
+        assert bits.shape == (n_sc, n_sym, nL, nbits), (bits.shape, (n_sc, n_sym, nL, nbits))
     if scramble:
         c_planes = []
         for l in range(nL):

@@ -225,11 +225,19 @@ def cmd_quality(args) -> int:
     print("      SNR " + "".join(f"  {s:>7.0f}dB" for s in bsnrs))
     print("estimated " + "".join(f"  {btable[s]['ber']:9.2e}" for s in bsnrs))
     print("perfectCSI" + "".join(f"  {btable[s]['ber_perfect_csi']:9.2e}" for s in bsnrs))
+    ksnrs = (12.0, 14.0, 16.0, 20.0)
+    ktable = quality.coded_ber_sweep(snrs_db=ksnrs, n_cases=min(2, args.cases))
+    print("\nCoded link (rate-0.63 QC-LDPC n=976, batched min-sum, interleaved")
+    print("over the same 2x2 16QAM chain; payload BER / block error rate):")
+    print("      SNR " + "".join(f"  {s:>7.0f}dB" for s in ksnrs))
+    print("uncoded   " + "".join(f"  {ktable[s]['uncoded_ber']:9.2e}" for s in ksnrs))
+    print("coded BER " + "".join(f"  {ktable[s]['coded_ber']:9.2e}" for s in ksnrs))
+    print("BLER      " + "".join(f"  {ktable[s]['coded_bler']:9.2e}" for s in ksnrs))
     if args.report:
         Path(args.report).write_text(
             json.dumps(
                 {"snr": table, "doppler": dtable, "cfo": ctable, "tracking": ttable,
-                 "delay_adapt": atable, "link_ber": btable},
+                 "delay_adapt": atable, "link_ber": btable, "coded_link": ktable},
                 indent=2,
             )
         )
