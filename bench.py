@@ -48,7 +48,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from srsran_ce_tpu.models import estimator as _est  # noqa: E402
 from srsran_ce_tpu.models.plan import make_plan  # noqa: E402
-from srsran_ce_tpu.utils import synthetic  # noqa: E402
+from srsran_ce_tpu.utils import profiling, synthetic  # noqa: E402
 
 
 def log(*a):
@@ -337,6 +337,58 @@ def main():
     except Exception as e:
         log(f"c2_receiver_4rx4l_llr256 FAILED: {type(e).__name__}: {e}")
         details["c2_receiver_4rx4l_llr256"] = {"error": str(e)}
+
+    # QC-LDPC decode throughput (ops/ldpc): 25-iteration normalized min-sum on
+    # the rate-0.63 n=976 code the coded link-level eval uses, batch 512 words.
+    # Chained with a clipped-posterior feedback (min-sum grows LLR magnitudes
+    # every sweep; unclipped feedback overflows f32 across the rep chain).
+    try:
+        import numpy as _np
+
+        from srsran_ce_tpu.ops import ldpc as _ldpc
+
+        code = _ldpc.array_code(6, 16, 61)
+        lplan = _ldpc.make_ldpc_plan(code)
+        rng = _np.random.default_rng(0)
+        u = rng.integers(0, 2, (512, lplan.k), dtype=_np.uint8)
+        cw = _ldpc.encode(code, u)
+        snr = 10.0**0.4
+        llr = (
+            4 * snr * ((1 - 2.0 * cw) + rng.normal(0, _np.sqrt(0.5 / snr), cw.shape))
+        ).astype(_np.float32)
+        dec = _ldpc.build_decoder(code, n_iters=25, kernels="pallas")
+        dec_xla = _ldpc.build_decoder(code, n_iters=25)
+        res = dec(llr)
+        assert bool(_np.asarray(res.ok).all()) and _np.array_equal(
+            _np.asarray(res.info), u
+        ), "LDPC decode correctness gate failed on device"
+        assert _np.array_equal(
+            _np.asarray(res.bits), _np.asarray(dec_xla(llr).bits)
+        ), "pallas decode tier diverged from the XLA tier on device"
+        fb = lambda carry, out: jax.lax.optimization_barrier(jnp.clip(out, -20.0, 20.0))
+        t = profiling.chained_throughput(
+            lambda l: dec(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=20
+        )
+        t_xla = profiling.chained_throughput(
+            lambda l: dec_xla(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=20
+        )
+        r = {
+            "latency_ms_per_batch": t * 1e3,
+            "xla_tier_ms_per_batch": t_xla * 1e3,
+            "batch": 512,
+            "code": "array(6,16,61) n=976 k=%d rate=%.2f" % (lplan.k, lplan.k / code.n),
+            "n_iters": 25,
+            "info_bits_per_s": 512 * lplan.k / t,
+            "edge_msgs_per_s": 512 * len(lplan.edges) * code.z * 25 / t,
+        }
+        details["ldpc_decode_n976_b512"] = r
+        log(
+            f"ldpc_decode_n976_b512: {t*1e3:.3f} ms/batch512 (pallas, VMEM-resident) -> "
+            f"{r['info_bits_per_s']/1e6:.1f} info Mb/s; xla tier {t_xla*1e3:.3f} ms"
+        )
+    except Exception as e:
+        log(f"ldpc_decode FAILED: {type(e).__name__}: {e}")
+        details["ldpc_decode_n976_b512"] = {"error": str(e)}
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
     with open(out_path, "w") as f:

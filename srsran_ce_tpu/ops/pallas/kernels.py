@@ -282,3 +282,126 @@ def inpaint_stack(
         interpret=_interpret(),
     )(x_ri, jnp.asarray(known_f), jnp.asarray(trans if n_transient else np.zeros((1, 2, n), x_ri.dtype)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident QC-LDPC min-sum decoder
+# ---------------------------------------------------------------------------
+
+
+def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm):
+    """One batch-tile program: ALL `n_iters` flooding sweeps in VMEM.
+
+    The XLA tier round-trips every message array through HBM once per
+    iteration (~30 MB/iter at n=976 x batch 512 — measured HBM-bound within
+    10% of the roofline); here the channel LLRs are read once, the c2v
+    messages live as loop-carried VMEM values, and the posterior is written
+    once. Layout matches the XLA tier: batch on the lanes, Z on the
+    sublanes, every QC shift a static sublane roll (slices + concat).
+
+    llr_ref/out_ref: (1, nb, z, B_TILE) — the batch is pre-tiled into a
+    leading grid axis so the minor dim equals the full block (smaller-than-128
+    lane blocks are rejected by the Mosaic lowering). `edges` is
+    LdpcPlan.edges; `rows` maps check row -> tuple of edge ids (static, so
+    every loop below unrolls; the two-min fold replicates jnp.argmin's
+    first-minimum tie semantics elementwise, keeping the Pallas tier
+    bit-identical to the XLA tier)."""
+    ch = [llr_ref[0, j] for j in range(nb)]  # each (z, B)
+    shape = ch[0].shape
+    dtype = ch[0].dtype
+    big = jnp.asarray(_LDPC_BIG, dtype)
+
+    def roll(x, s):
+        s = s % z
+        if s == 0:
+            return x
+        return jnp.concatenate([x[z - s :], x[: z - s]], axis=0)
+
+    def sweep(_, c2v):
+        acc = list(ch)
+        for e, (i, t, j, s) in enumerate(edges):
+            acc[j] = acc[j] + roll(c2v[e], s)
+        new = [None] * len(edges)
+        for i, eids in enumerate(rows):
+            v2c = [roll(acc[edges[e][2]], -edges[e][3]) - c2v[e] for e in eids]
+            mags = [jnp.abs(v) for v in v2c]
+            negs = [v < 0 for v in v2c]
+            # two-min fold with first-min index (== jnp.argmin tie semantics)
+            m1 = mags[0]
+            m2 = jnp.full(shape, big, dtype)
+            i1 = jnp.zeros(shape, jnp.int32)
+            par = negs[0]
+            for t_, m in enumerate(mags[1:], start=1):
+                less = m < m1
+                m2 = jnp.where(less, m1, jnp.minimum(m2, m))
+                i1 = jnp.where(less, t_, i1)
+                m1 = jnp.where(less, m, m1)
+                par = par ^ negs[t_]
+            for t_, e in enumerate(eids):
+                ext_mag = jnp.where(i1 == t_, m2, m1)
+                # extrinsic sign = total sign * own sign (xor of the bools)
+                neg_ext = par ^ negs[t_]
+                sgn = 1.0 - 2.0 * neg_ext.astype(dtype)
+                new[e] = norm * sgn * ext_mag
+        return tuple(new)
+
+    c2v0 = tuple(jnp.zeros(shape, dtype) for _ in edges)
+    c2v = jax.lax.fori_loop(0, n_iters, sweep, c2v0, unroll=False)
+    acc = list(ch)
+    for e, (i, t, j, s) in enumerate(edges):
+        acc[j] = acc[j] + roll(c2v[e], s)
+    for j in range(nb):
+        out_ref[0, j] = acc[j]
+
+
+_LDPC_BIG = 1e30
+
+
+def ldpc_posterior(
+    llr_vzb: jnp.ndarray,
+    edges,
+    nb: int,
+    z: int,
+    n_iters: int,
+    norm: float,
+    block_b: int = 128,
+) -> jnp.ndarray:
+    """Flooding normalized-min-sum posterior, all iterations VMEM-resident.
+
+    llr_vzb: (nb, z, B) channel LLRs in the decoder's batch-last variable
+    frame; B must be a multiple of `block_b` (the ops/ldpc wrapper pads).
+    Returns the posterior in the same frame, bit-identical to the XLA tier
+    (same edge order, same summation association, same tie semantics)."""
+    n_vb, zz, B = llr_vzb.shape
+    assert (n_vb, zz) == (nb, z) and B % block_b == 0, (llr_vzb.shape, block_b)
+    mb = max(i for i, _, _, _ in edges) + 1
+    rows = tuple(
+        tuple(e for e, (i, _, _, _) in enumerate(edges) if i == r) for r in range(mb)
+    )
+    n_tiles = B // block_b
+    # Pre-tile the batch into a leading grid axis: a block whose minor dim is
+    # the FULL array minor dim is always legal, whereas sub-128 lane blocks
+    # are rejected by the Mosaic lowering (block_b < 128 happens when the
+    # per-lane VMEM footprint forces smaller tiles — see ops/ldpc).
+    tiled = jnp.moveaxis(llr_vzb.reshape(nb, z, n_tiles, block_b), 2, 0)
+    out = pl.pallas_call(
+        functools.partial(
+            _ldpc_kernel,
+            edges=tuple(edges),
+            rows=rows,
+            nb=nb,
+            z=z,
+            n_iters=int(n_iters),
+            norm=float(norm),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, nb, z, block_b), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nb, z, block_b), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, nb, z, block_b), llr_vzb.dtype),
+        interpret=_interpret(),
+    )(tiled)
+    return jnp.moveaxis(out, 0, 2).reshape(nb, z, B)

@@ -136,3 +136,32 @@ def test_coded_link_end_to_end():
     assert t["coded_ber"] == 0.0, t
     assert t["coded_bler"] == 0.0, t
     assert t["parity_ok_frac"] == 1.0, t
+
+
+def test_pallas_tier_bit_identical():
+    """The VMEM-resident pallas decoder (interpret mode on CPU) must be
+    BIT-identical to the XLA tier: same edge order, same summation
+    association, same argmin-first tie semantics in the two-min fold."""
+    for code in (
+        ldpc.array_code(3, 8, 13),
+        ldpc.QCLdpcCode(
+            base=((0, 2, -1, 1, -1, 0), (-1, 1, 0, -1, 3, 0), (2, -1, 1, 0, -1, -1)),
+            z=5,
+        ),
+    ):
+        rng = np.random.default_rng(11)
+        llr = rng.normal(0, 2.5, (6, code.n)).astype(np.float32)
+        a = ldpc.build_decoder(code, n_iters=7)(llr)
+        p = ldpc.build_decoder(code, n_iters=7, kernels="pallas")(llr)
+        assert np.array_equal(np.asarray(a.bits), np.asarray(p.bits))
+        assert np.array_equal(np.asarray(a.ok), np.asarray(p.ok))
+        np.testing.assert_array_equal(np.asarray(a.posterior), np.asarray(p.posterior))
+
+
+def test_pallas_tier_vmem_gate():
+    big = ldpc.array_code(6, 16, 389)  # ~19 MB live messages: over budget
+    assert not ldpc._pallas_vmem_fits(big)
+    with pytest.raises(ValueError):
+        ldpc.build_decoder(big, n_iters=5, kernels="pallas")
+    ldpc.build_decoder(big, n_iters=5, kernels="auto")  # falls back, no raise
+    assert ldpc._pallas_vmem_fits(ldpc.array_code(6, 16, 61))
