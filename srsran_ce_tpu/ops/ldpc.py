@@ -353,7 +353,11 @@ def build_decoder(
                 v2c = gather(post) - c2v
                 return _check_update(v2c), None
 
-            c2v0 = jnp.zeros((mb, d, z, b), ch.dtype)
+            # derive the zero init from ch (not a fresh jnp.zeros) so its
+            # varying-axes type matches the body output under shard_map
+            # (parallel.build_dp_decoder) — a constant carry is "unvarying"
+            # and the scan carry contract rejects the mix
+            c2v0 = jnp.zeros((mb, d, z, 1), ch.dtype) + 0.0 * ch[0, 0][None, None, None, :]
             c2v, _ = jax.lax.scan(body, c2v0, None, length=n_iters)
             posterior = accum(c2v)
         bits = (posterior < 0).astype(jnp.uint8)

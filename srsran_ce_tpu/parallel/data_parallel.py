@@ -148,3 +148,34 @@ def build_dp_receiver(
         in_shardings=(batch, batch, batch),
         out_shardings=out_shardings,
     )
+
+
+def build_dp_decoder(
+    code,
+    mesh: Mesh,
+    n_iters: int = 20,
+    norm: float = 0.75,
+    kernels: str = "auto",
+    axis: str = "dp",
+):
+    """Batch-sharded QC-LDPC decode (ops/ldpc): codewords are independent, so
+    DP is pure SPMD with zero collectives — each device min-sum-decodes its
+    local slice of the word batch (XLA or VMEM-resident pallas tier alike,
+    via shard_map so the pallas custom call partitions trivially).
+
+    fn(llr[B, n]) -> DecodeResult with every output sharded on the leading
+    word axis. B must be divisible by the mesh axis size. This is how the
+    served int8 LLR streams (serving.process(out="llrs")) scale out: the
+    receiver dp-shards the problem axis, the decoder dp-shards the codeword
+    axis of the reassembled streams.
+    """
+    from jax import shard_map
+
+    from ..ops import ldpc as _ldpc
+
+    dec = _ldpc.build_decoder(code, n_iters=n_iters, norm=norm, kernels=kernels)
+    spec = P(axis)
+    out_specs = _ldpc.DecodeResult(bits=spec, info=spec, ok=spec, posterior=spec)
+    return jax.jit(
+        shard_map(dec, mesh=mesh, in_specs=(spec,), out_specs=out_specs)
+    )

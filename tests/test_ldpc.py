@@ -165,3 +165,27 @@ def test_pallas_tier_vmem_gate():
         ldpc.build_decoder(big, n_iters=5, kernels="pallas")
     ldpc.build_decoder(big, n_iters=5, kernels="auto")  # falls back, no raise
     assert ldpc._pallas_vmem_fits(ldpc.array_code(6, 16, 61))
+
+
+def test_dp_sharded_decode_matches_unsharded():
+    """parallel.build_dp_decoder: codewords dp-shard with zero collectives;
+    the sharded decode must equal the single-device decode bitwise."""
+    from srsran_ce_tpu.parallel import mesh as mesh_lib
+    from srsran_ce_tpu.parallel.data_parallel import build_dp_decoder
+
+    mesh = mesh_lib.make_mesh((8,), ("dp",))
+    code = ldpc.array_code(3, 8, 53)
+    plan = ldpc.make_ldpc_plan(code)
+    rng = np.random.default_rng(12)
+    u = rng.integers(0, 2, (16, plan.k), dtype=np.uint8)
+    c = ldpc.encode(code, u)
+    snr = 10.0**0.4
+    llr = (4 * snr * ((1 - 2.0 * c) + rng.normal(0, np.sqrt(0.5 / snr), c.shape))).astype(
+        np.float32
+    )
+    res = build_dp_decoder(code, mesh, n_iters=25)(llr)
+    ref = ldpc.build_decoder(code, n_iters=25)(llr)
+    assert np.array_equal(np.asarray(res.bits), np.asarray(ref.bits))
+    assert np.array_equal(np.asarray(res.ok), np.asarray(ref.ok))
+    assert len(res.bits.sharding.device_set) == 8
+    assert np.array_equal(np.asarray(res.info), u)
