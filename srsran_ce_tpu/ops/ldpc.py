@@ -241,10 +241,13 @@ def _pallas_vmem_fits(code: QCLdpcCode) -> bool:
     return _pallas_vmem_bytes(code) <= 12 * 2**20
 
 
+@functools.lru_cache(maxsize=64)
 def build_decoder(
     code: QCLdpcCode, n_iters: int = 20, norm: float = 0.75, kernels: str = "xla"
 ):
-    """Build the jitted flooding normalized-min-sum decoder for `code`.
+    """Build the jitted flooding normalized-min-sum decoder for `code`
+    (lru-cached: repeated builds — e.g. one per serving.process call — reuse
+    the same jitted closure and hence XLA's compilation cache).
 
     Returns decode(llr) where llr is (..., n) channel LLRs (float or the
     receiver's int8 soft bits; positive = bit 0). Any leading axes batch.

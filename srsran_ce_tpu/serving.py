@@ -155,6 +155,20 @@ class LlrServeResult:
         return self.llr.astype(np.float32) / self.llr_scale
 
 
+@dataclass
+class DecodedServeResult:
+    """Per-problem output of `process(out="decoded", modulation=...,
+    coding=...)`: the chain's true endpoint — DECODED payload bits. The
+    receiver's int8 LLR grid is descrambled (sign flips, when the coding
+    carries a scramble_c_init), deinterleaved into codeword streams
+    (transport.extract_streams) and min-sum decoded (ops/ldpc, words batched
+    across all problems sharing a code)."""
+
+    info: np.ndarray  # (c_words, k) uint8 — decoded systematic payloads
+    ok: np.ndarray  # (c_words,) bool — parity check per codeword
+    soft: LlrServeResult  # the underlying soft-bit result (LLR grid + measurements)
+
+
 def _hop1_pilot_estimates(problem: Problem):
     """Raw LS pilot estimates on CDM group 0 of hop 1, shared by the host-side
     measurement probes: (m, n_dsym) complex128 (pair-averaged onto the decimated
@@ -417,6 +431,66 @@ def _scatter_out(out, chunk, results) -> None:
         )
 
 
+def _decode_soft(
+    problems: List[Problem],
+    soft: "List[LlrServeResult]",
+    coding,
+    word_batch: int = 512,
+) -> "List[DecodedServeResult]":
+    """Decode served LLR grids into payloads (the out="decoded" tail).
+
+    Host side: per-problem descramble + deinterleave (transport module), then
+    ONE batched min-sum decode per fixed-size word chunk — words from all
+    problems share the decoder executable (padding the tail chunk by
+    repetition, the same no-second-compile rule as the estimation batches)."""
+    from . import transport as _tr
+    from .ops import ldpc as _ldpc
+
+    dec = _ldpc.build_decoder(
+        coding.code, n_iters=coding.n_iters, norm=coding.norm, kernels=coding.kernels
+    )
+    layouts: Dict[Tuple, _tr.TransportLayout] = {}
+    planes: Dict[Tuple, np.ndarray] = {}
+    streams: List[np.ndarray] = []
+    counts: List[int] = []
+    for p, s in zip(problems, soft):
+        llr = s.llr  # (n_sc, n_sym, nL, nbits) int8
+        n_sc, n_sym, n_layers, nbits = llr.shape
+        key = (p.hop1, p.hop2, n_sc, n_sym, n_layers, nbits)
+        if key not in layouts:
+            layouts[key] = _tr.layout(
+                coding, p.hop1, p.hop2, n_sc, n_sym, n_layers, nbits
+            )
+            if coding.scramble_c_init is not None:
+                planes[key] = _tr.scramble_planes(
+                    coding.scramble_c_init, n_sc, n_sym, n_layers, nbits
+                )
+        lay = layouts[key]
+        if coding.scramble_c_init is not None:
+            llr = llr * (1 - 2 * planes[key].astype(np.int8))
+        streams.append(_tr.extract_streams(lay, llr))
+        counts.append(lay.c_words)
+    words = np.concatenate(streams, axis=0)
+    infos, oks = [], []
+    for start in range(0, words.shape[0], word_batch):
+        chunk = words[start : start + word_batch]
+        if words.shape[0] > word_batch and chunk.shape[0] < word_batch:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], word_batch - chunk.shape[0], axis=0)]
+            )
+        r = dec(chunk)
+        infos.append(np.asarray(r.info))
+        oks.append(np.asarray(r.ok))
+    info = np.concatenate(infos, axis=0)
+    ok = np.concatenate(oks, axis=0)
+    out: List[DecodedServeResult] = []
+    pos = 0
+    for s, c in zip(soft, counts):
+        out.append(DecodedServeResult(info=info[pos : pos + c], ok=ok[pos : pos + c], soft=s))
+        pos += c
+    return out
+
+
 def process(
     problems: List[Problem],
     batch_size: int = 128,
@@ -429,7 +503,8 @@ def process(
     data_beta: float = 1.0,
     modulation: Optional[str] = None,
     llr_scale: float = 8.0,
-) -> "List[ServeResult] | List[FactoredServeResult] | List[EqualizedServeResult] | List[LlrServeResult]":
+    coding=None,
+) -> "List[ServeResult] | List[FactoredServeResult] | List[EqualizedServeResult] | List[LlrServeResult] | List[DecodedServeResult]":
     """Estimate a heterogeneous list of problems; results in submission order
     (ServeResults, or FactoredServeResults with out="factored").
 
@@ -483,12 +558,33 @@ def process(
     import dataclasses as _dc
     from collections import deque
 
-    if out not in ("grid", "factored", "equalized", "llrs"):
+    if out not in ("grid", "factored", "equalized", "llrs", "decoded"):
         raise ValueError(
-            f"out must be 'grid', 'factored', 'equalized' or 'llrs': {out!r}"
+            f"out must be 'grid', 'factored', 'equalized', 'llrs' or 'decoded': {out!r}"
         )
-    if out == "llrs" and modulation is None:
-        raise ValueError("out='llrs' requires modulation=")
+    if out in ("llrs", "decoded") and modulation is None:
+        raise ValueError(f"out={out!r} requires modulation=")
+    if out == "decoded":
+        # `out="decoded"` = the llrs path + a host/device decode post-pass:
+        # descramble -> deinterleave (transport layout) -> batched min-sum
+        # (ops/ldpc). The coded-transport agreement comes in via `coding`
+        # (transport.TransportCoding).
+        if coding is None:
+            raise ValueError("out='decoded' requires coding=transport.TransportCoding(...)")
+        soft = process(
+            problems,
+            batch_size=batch_size,
+            matmul_precision=matmul_precision,
+            params=params,
+            inflight=inflight,
+            wiener_auto_delay=wiener_auto_delay,
+            auto_time_interp_hz=auto_time_interp_hz,
+            out="llrs",
+            data_beta=data_beta,
+            modulation=modulation,
+            llr_scale=llr_scale,
+        )
+        return _decode_soft(problems, soft, coding)
     equalized = out in ("equalized", "llrs")
     factored = out == "factored"
     if not equalized:

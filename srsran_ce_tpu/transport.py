@@ -1,0 +1,161 @@
+"""Coded-transport layout: the TX/RX agreement behind `serving.process(out="decoded")`.
+
+The reference framework stops at the channel estimate; this framework's chain
+continues through equalization, soft demapping (int8 LLRs) and QC-LDPC
+decoding (ops/ldpc). What remains between "a grid of per-RE soft bits" and "a
+decoded payload" is pure bookkeeping that the transmitter and receiver must
+agree on, collected here so the synthetic transmitter (utils/synthetic), the
+link-level evaluations (validation/quality) and the serving path (serving.py)
+share ONE implementation:
+
+  * which REs carry scored payload (`data_mask`: each hop's PRB band over its
+    allocated symbols, minus that hop's DM-RS symbols entirely — the
+    convention the end-to-end tests established);
+  * the bit order (mask positions in (sc, sym) C-order, then (layer, bit));
+  * the channel interleaver (a seeded pseudorandom permutation of codeword
+    bits over the payload positions — frequency fades are hundred-bit bursts
+    in natural order and defeat the code outright without it; this plays the
+    role of NR's rate-matching interleaver, TS 38.212 §5.4.2);
+  * the TS 38.211 §6.3.1.1 scrambling planes (per-layer Gold streams).
+
+Everything here is host-side numpy; the device work stays in models/receiver
+(fused estimate+equalize+demap) and ops/ldpc (batched min-sum decode).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .config import NRE, HopConfig
+from .ops.ldpc import QCLdpcCode, make_ldpc_plan
+
+
+@dataclass(frozen=True)
+class TransportCoding:
+    """Coding/scrambling agreement for one transport stream. Frozen+hashable:
+    used as a bucketing key by the serving path.
+
+    scramble_c_init: TS 38.211 §6.3.1.1 initializer
+    (ops/sequences.pusch_scrambling_c_init); None = unscrambled payload.
+    kernels: ops/ldpc.build_decoder tier ("auto" = VMEM-resident pallas when
+    the code fits and an accelerator is present)."""
+
+    code: QCLdpcCode
+    n_iters: int = 25
+    norm: float = 0.75
+    interleave_seed: int = 0
+    scramble_c_init: Optional[int] = None
+    kernels: str = "auto"
+
+
+@dataclass(frozen=True)
+class TransportLayout:
+    """Static per-geometry layout: where each codeword bit of each word lives.
+
+    mask: (n_sc, n_sym) bool payload REs; perm: (c_words * code.n,) positions
+    into the flattened scored bit stream (mask C-order, then (layer, bit));
+    total: scored bits; k/n: code dimensions."""
+
+    mask: np.ndarray
+    perm: np.ndarray
+    c_words: int
+    total: int
+    k: int
+    n: int
+
+
+def data_mask(
+    hop1: HopConfig, hop2: Optional[HopConfig], n_sc: int, n_sym: int
+) -> np.ndarray:
+    """Scored-payload RE mask: union over hops of (PRB band x allocated
+    symbols), minus each hop's DM-RS symbols entirely (at DM-RS symbols the
+    non-pilot REs still carry signal; they are just not scored — matching
+    utils/synthetic.make_mimo_case)."""
+    mask = np.zeros((n_sc, n_sym), dtype=bool)
+    for hop in [hop1] + ([hop2] if hop2 is not None and not hop2.is_empty else []):
+        band = np.kron(hop.prb_mask_np, np.ones(NRE, dtype=bool))
+        if band.size < n_sc:
+            band = np.concatenate([band, np.zeros(n_sc - band.size, bool)])
+        alloc = np.zeros(n_sym, dtype=bool)
+        alloc[hop.start_symbol : hop.start_symbol + hop.n_allocated_symbols] = True
+        alloc[np.nonzero(hop.dmrs_symbol_mask_np[:n_sym])[0]] = False
+        mask |= band[:n_sc, None] & alloc[None, :]
+    return mask
+
+
+def layout(
+    coding: TransportCoding,
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    n_sc: int,
+    n_sym: int,
+    n_layers: int,
+    nbits: int,
+) -> TransportLayout:
+    """Compute the full static layout for one (coding, geometry) pair."""
+    mask = data_mask(hop1, hop2, n_sc, n_sym)
+    total = int(mask.sum()) * n_layers * nbits
+    n = coding.code.n
+    c_words = total // n
+    if c_words < 1:
+        raise ValueError(
+            f"allocation carries {total} scored bits < one {n}-bit codeword"
+        )
+    rng = np.random.default_rng(coding.interleave_seed)
+    perm = rng.permutation(total)[: c_words * n]
+    plan = make_ldpc_plan(coding.code)
+    return TransportLayout(
+        mask=mask, perm=perm, c_words=c_words, total=total, k=plan.k, n=n
+    )
+
+
+def scramble_planes(
+    c_init: int, n_sc: int, n_sym: int, n_layers: int, nbits: int
+) -> np.ndarray:
+    """TS 38.211 §6.3.1.1 scrambling bits aligned with a (n_sc, n_sym,
+    n_layers, nbits) payload-bit grid: one Gold stream per layer (layer l
+    consumes gold_sequence(c_init, (l+1)*L)[l*L:] — independent per-layer
+    streams by offsetting into the sequence, the convention
+    utils/synthetic.make_mimo_case transmits with)."""
+    from .ops import sequences
+
+    n = n_sc * n_sym * nbits
+    planes = []
+    for l in range(n_layers):
+        c = sequences.gold_sequence(int(c_init), (l + 1) * n)
+        planes.append(c[l * n :].reshape(n_sc, n_sym, nbits))
+    return np.stack(planes, axis=2)  # (n_sc, n_sym, n_layers, nbits)
+
+
+def place_codewords(
+    lay: TransportLayout,
+    codewords: np.ndarray,
+    n_layers: int,
+    nbits: int,
+    fill_rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Transmitter side: scatter encoded words into a PRE-scrambling payload
+    bit grid (n_sc, n_sym, n_layers, nbits). Positions the codewords don't
+    fill get random bits from `fill_rng` (zeros if None)."""
+    codewords = np.asarray(codewords, np.uint8).reshape(-1)
+    assert codewords.size == lay.c_words * lay.n, (codewords.size, lay.c_words, lay.n)
+    stream = (
+        fill_rng.integers(0, 2, lay.total, dtype=np.uint8)
+        if fill_rng is not None
+        else np.zeros(lay.total, np.uint8)
+    )
+    stream[lay.perm] = codewords
+    n_sc, n_sym = lay.mask.shape
+    bits = np.zeros((n_sc, n_sym, n_layers, nbits), np.uint8)
+    bits[lay.mask] = stream.reshape(-1, n_layers, nbits)
+    return bits
+
+
+def extract_streams(lay: TransportLayout, llr_grid: np.ndarray) -> np.ndarray:
+    """Receiver side: pull the (c_words, n) codeword LLRs out of a
+    (n_sc, n_sym, n_layers, nbits) LLR grid (int8 or float; already
+    descrambled). Exact inverse of `place_codewords`' position mapping."""
+    flat = np.asarray(llr_grid)[lay.mask].reshape(-1)
+    return flat[lay.perm].reshape(lay.c_words, lay.n)

@@ -383,13 +383,11 @@ def make_mimo_case(
         bits = np.asarray(bits, np.uint8)
         assert bits.shape == (n_sc, n_sym, nL, nbits), (bits.shape, (n_sc, n_sym, nL, nbits))
     if scramble:
-        c_planes = []
-        for l in range(nL):
-            c_init = sequences.pusch_scrambling_c_init(rnti, seed % 1024, q=0)
-            # independent per-layer streams: offset each layer into the sequence
-            c = sequences.gold_sequence(c_init, (l + 1) * n_sc * n_sym * nbits)
-            c_planes.append(c[l * n_sc * n_sym * nbits :].reshape(n_sc, n_sym, nbits))
-        scramble_c = np.stack(c_planes, axis=2)  # (n_sc, n_sym, nL, nbits)
+        from .. import transport
+
+        c_init = sequences.pusch_scrambling_c_init(rnti, seed % 1024, q=0)
+        # per-layer Gold streams, shared TX/RX convention (transport module)
+        scramble_c = transport.scramble_planes(c_init, n_sc, n_sym, nL, nbits)
         tx_bits = bits ^ scramble_c
     else:
         scramble_c = None

@@ -391,6 +391,7 @@ def coded_ber_sweep(
     Returns {snr_db: {"coded_ber", "coded_bler", "parity_ok_frac",
     "uncoded_ber", "n_info_bits", "n_words"}}.
     """
+    from .. import transport
     from ..models import receiver
     from ..ops import demap, ldpc
     from ..utils.synthetic import make_mimo_case
@@ -413,24 +414,17 @@ def coded_ber_sweep(
         for i in range(n_cases):
             seed = seed0 + i
             probe = make_mimo_case(seed=seed, snr_db=float(snr), **mk)
-            mask = probe.data_mask
-            total = int(mask.sum()) * n_layers * nbits
-            c_words = total // code.n
-            assert c_words >= 1, (
-                f"allocation carries {total} scored bits < one {code.n}-bit codeword"
-            )
+            n_sc, n_sym = probe.data_mask.shape
+            # Channel interleaver + placement via the shared transport layout
+            # (fades are hundred-bit bursts in natural (sc, sym) order —
+            # measured to defeat the code without interleaving).
+            coding = transport.TransportCoding(code=code, interleave_seed=seed ^ 0xC0DED)
+            lay = transport.layout(coding, probe.hop1, probe.hop2, n_sc, n_sym, n_layers, nbits)
+            mask, perm, c_words = lay.mask, lay.perm, lay.c_words
             rng = np.random.default_rng(seed ^ 0xC0DED)
             u = rng.integers(0, 2, (c_words, plan.k), dtype=np.uint8)
-            stream = rng.integers(0, 2, total, dtype=np.uint8)
-            # Channel interleaver: scored positions in (sc, sym) C-order are
-            # fade-correlated (a deep-faded subcarrier is a ~hundred-bit burst
-            # inside one codeword — measured to defeat the code outright), so
-            # codeword bits are scattered by a seeded pseudorandom permutation,
-            # the same role NR's rate-matching interleaver plays.
-            perm = rng.permutation(total)[: c_words * code.n]
-            stream[perm] = ldpc.encode(code, u).reshape(-1)
-            bits = probe.bits.copy()
-            bits[mask] = stream.reshape(-1, n_layers, nbits)
+            bits = transport.place_codewords(lay, ldpc.encode(code, u), n_layers, nbits, fill_rng=rng)
+            stream = bits[mask].reshape(-1)
             case = make_mimo_case(seed=seed, snr_db=float(snr), bits=bits, **mk)
 
             fn = receiver.build_receiver_ri(
@@ -446,7 +440,7 @@ def coded_ber_sweep(
             llr = np.transpose(llr, (2, 1, 0, 3)).astype(np.float32)
             if case.scramble_c is not None:
                 llr = llr * (1.0 - 2.0 * case.scramble_c.astype(np.float32))
-            cw_llrs = llr[mask].reshape(-1)[perm].reshape(c_words, code.n)
+            cw_llrs = transport.extract_streams(lay, llr)
             d = dec(cw_llrs)
             info = np.asarray(d.info)
             info_errs += int(np.sum(info != u))
