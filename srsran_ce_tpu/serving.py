@@ -483,6 +483,10 @@ def _decode_soft(
         oks.append(np.asarray(r.ok))
     info = np.concatenate(infos, axis=0)
     ok = np.concatenate(oks, axis=0)
+    if coding.crc is not None:
+        # TS 38.212-style CRC gate: ok = LDPC parity AND CRC; strip the CRC
+        ok = ok & _tr.crc_check(info, coding.crc)
+        info = info[:, : _tr.payload_bits(coding, info.shape[1])]
     out: List[DecodedServeResult] = []
     pos = 0
     for s, c in zip(soft, counts):

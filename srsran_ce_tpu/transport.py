@@ -40,7 +40,11 @@ class TransportCoding:
     scramble_c_init: TS 38.211 §6.3.1.1 initializer
     (ops/sequences.pusch_scrambling_c_init); None = unscrambled payload.
     kernels: ops/ldpc.build_decoder tier ("auto" = VMEM-resident pallas when
-    the code fits and an accelerator is present)."""
+    the code fits and an accelerator is present).
+    crc: optional TS 38.212 §5.1 CRC attached to each codeword's systematic
+    payload ("crc24a"/"crc24b"/"crc16"/"crc11"/"crc6") — the transmitter
+    encodes crc_attach(payload), the decoded serving path checks it and
+    strips it (ok = LDPC parity AND CRC; info = payload without the CRC)."""
 
     code: QCLdpcCode
     n_iters: int = 25
@@ -48,6 +52,7 @@ class TransportCoding:
     interleave_seed: int = 0
     scramble_c_init: Optional[int] = None
     kernels: str = "auto"
+    crc: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -159,3 +164,55 @@ def extract_streams(lay: TransportLayout, llr_grid: np.ndarray) -> np.ndarray:
     descrambled). Exact inverse of `place_codewords`' position mapping."""
     flat = np.asarray(llr_grid)[lay.mask].reshape(-1)
     return flat[lay.perm].reshape(lay.c_words, lay.n)
+
+
+# --- CRC attachment (TS 38.212 §5.1) -------------------------------------
+
+_CRC_POLYS = {
+    # name: (degree, generator polynomial WITHOUT the leading x^deg term)
+    "crc24a": (24, 0x864CFB),
+    "crc24b": (24, 0x800063),
+    "crc16": (16, 0x1021),
+    "crc11": (11, 0x621),
+    "crc6": (6, 0x61),
+}
+
+
+def crc_bits(bits: np.ndarray, kind: str) -> np.ndarray:
+    """CRC parity bits for message `bits` (..., m) in {0,1}, MSB-first
+    (TS 38.212 §5.1 conventions: a0 is the highest-order coefficient and the
+    parity bits follow the message). Vectorized over leading axes."""
+    deg, poly = _CRC_POLYS[kind]
+    b = np.asarray(bits, np.uint8)
+    lead = b.shape[:-1]
+    b = b.reshape(-1, b.shape[-1])
+    reg = np.zeros(b.shape[0], np.uint64)
+    gen = np.uint64(poly)
+    top = np.uint64(1) << np.uint64(deg - 1)
+    mask = (np.uint64(1) << np.uint64(deg)) - np.uint64(1)
+    for j in range(b.shape[1]):
+        fb = ((reg & top) != 0).astype(np.uint64) ^ b[:, j].astype(np.uint64)
+        reg = ((reg << np.uint64(1)) & mask) ^ (fb * gen)
+    out = np.empty(b.shape[:1] + (deg,), np.uint8)
+    for i in range(deg):
+        out[:, i] = ((reg >> np.uint64(deg - 1 - i)) & np.uint64(1)).astype(np.uint8)
+    return out.reshape(lead + (deg,))
+
+
+def crc_attach(bits: np.ndarray, kind: str) -> np.ndarray:
+    """Append the CRC parity to message bits: (..., m) -> (..., m + deg)."""
+    return np.concatenate([np.asarray(bits, np.uint8), crc_bits(bits, kind)], axis=-1)
+
+
+def crc_check(bits: np.ndarray, kind: str) -> np.ndarray:
+    """True where the trailing CRC of (..., m + deg) words verifies."""
+    deg, _ = _CRC_POLYS[kind]
+    b = np.asarray(bits, np.uint8)
+    return np.all(crc_bits(b[..., :-deg], kind) == b[..., -deg:], axis=-1)
+
+
+def payload_bits(coding: TransportCoding, k: int) -> int:
+    """Usable payload bits per codeword: code dimension k minus the CRC."""
+    if coding.crc is None:
+        return k
+    return k - _CRC_POLYS[coding.crc][0]

@@ -123,3 +123,54 @@ def test_decoded_requires_coding_and_modulation():
     with pytest.raises(ValueError):
         serving.process([prob], out="decoded", coding=transport.TransportCoding(
             code=ldpc.array_code(2, 6, 11)))
+
+
+def test_crc_known_vector_and_detection():
+    # CRC-16/CCITT (poly 0x1021, zero init — the TS 38.212 gCRC16) of the
+    # ASCII bits of "123456789" is 0x31C3 (the classic XMODEM check value).
+    msg = np.unpackbits(np.frombuffer(b"123456789", np.uint8))
+    got = transport.crc_bits(msg, "crc16")
+    want = np.array([int(b) for b in f"{0x31C3:016b}"], np.uint8)
+    assert np.array_equal(got, want)
+    word = transport.crc_attach(msg, "crc24a")
+    assert transport.crc_check(word, "crc24a")
+    bad = word.copy()
+    bad[5] ^= 1
+    assert not transport.crc_check(bad, "crc24a")
+    # vectorized over words
+    words = np.stack([word, bad])
+    assert np.array_equal(transport.crc_check(words, "crc24a"), [True, False])
+
+
+def test_decoded_serving_with_crc_gate():
+    """coding.crc: payload carries a CRC24A inside each codeword; serving
+    checks it, strips it, and the undecodable-at-zero-SNR case flags ok=False
+    even when min-sum happens to satisfy the LDPC parity."""
+    code = ldpc.array_code(8, 16, 61)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("16qam")
+    n_layers, n_rx = 2, 2
+    mk = dict(n_rx=n_rx, modulation="16qam", scramble=False, n_prbs=12, n_layers=n_layers)
+    seed = 5100
+    probe = synthetic.make_mimo_case(seed=seed, snr_db=20.0, **mk)
+    n_sc, n_sym = probe.data_mask.shape
+    coding = transport.TransportCoding(code=code, n_iters=30, interleave_seed=3, crc="crc24a")
+    lay = transport.layout(coding, probe.hop1, probe.hop2, n_sc, n_sym, n_layers, nbits)
+    kp = transport.payload_bits(coding, plan.k)
+    assert kp == plan.k - 24
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 2, (lay.c_words, kp), dtype=np.uint8)
+    cw = ldpc.encode(code, transport.crc_attach(u, "crc24a"))
+    bits = transport.place_codewords(lay, cw, n_layers, nbits, fill_rng=rng)
+    case = synthetic.make_mimo_case(seed=seed, snr_db=20.0, bits=bits, **mk)
+    prob = serving.Problem(
+        case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+        case.beta, case.hop1, case.hop2, case.config,
+    )
+    res = serving.process(
+        [prob], batch_size=4, out="decoded", modulation="16qam", coding=coding,
+        matmul_precision=None,
+    )[0]
+    assert res.info.shape == (lay.c_words, kp)
+    assert bool(np.asarray(res.ok).all())
+    assert np.array_equal(res.info, u)
