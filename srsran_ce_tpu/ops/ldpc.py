@@ -228,17 +228,49 @@ class DecodeResult:
     posterior: jnp.ndarray
 
 
-def _pallas_vmem_bytes(code: QCLdpcCode) -> int:
-    """Live-message footprint of the VMEM-resident kernel per 128-lane batch
-    tile: one (z,) sublane row per edge (the c2v carry) + 2*nb rows (ch +
-    posterior accumulator), sublanes padded to 8, lanes always 128, f32."""
-    plan = make_ldpc_plan(code)
-    rows8 = -(-code.z // 8) * 8
-    return (len(plan.edges) + 2 * code.n_var_blocks) * rows8 * 128 * 4
+# Live-row model vs the ~16 MB scoped-vmem compiler limit: the measured stack
+# allocation runs ~2x the model (the sweep's transient v2c/acc values overlap
+# the carry), so the model budget is half the hardware limit with margin.
+_PALLAS_VMEM_BUDGET = 7 * 2**20
+
+
+def _pallas_live_rows(code: QCLdpcCode) -> int:
+    """Live (z,)-row count of the VMEM-resident kernel per batch tile: one
+    row per edge (the c2v carry) + 2*nb rows (ch + posterior accumulator).
+    Computed straight off the base matrix — the layout gate must not force a
+    plan build (the plan's GF(2) elimination is expensive for huge codes that
+    are only being REJECTED here)."""
+    n_edges = sum(s >= 0 for row in code.base for s in row)
+    return n_edges + 2 * code.n_var_blocks
+
+
+def _pallas_layout(code: QCLdpcCode):
+    """Pick the VMEM-resident kernel layout for this code, or None if even
+    the smallest tile exceeds the scoped-VMEM budget.
+
+    Returns (z_axis, block_b): sublane-z (z_axis=0, 128-lane batch tile, the
+    fast layout) when the live set fits; otherwise lane-z (z_axis=1) with the
+    largest batch-sublane tile in {32, 16, 8} that fits — Z moves to the lane
+    dim so the live set shrinks with the tile instead of being padded to 128
+    lanes."""
+    rows = _pallas_live_rows(code)
+    z8 = -(-code.z // 8) * 8
+    if rows * z8 * 128 * 4 <= _PALLAS_VMEM_BUDGET:
+        return (0, 128)
+    z128 = -(-code.z // 128) * 128
+    for block_b in (32, 16, 8):
+        if rows * block_b * z128 * 4 <= _PALLAS_VMEM_BUDGET:
+            return (1, block_b)
+    return None
 
 
 def _pallas_vmem_fits(code: QCLdpcCode) -> bool:
-    return _pallas_vmem_bytes(code) <= 12 * 2**20
+    return _pallas_layout(code) is not None
+
+
+def _pallas_vmem_bytes(code: QCLdpcCode) -> int:
+    """Smallest-tile footprint (lane-z, 8-row batch tile) — for error text."""
+    return _pallas_live_rows(code) * 8 * (-(-code.z // 128) * 128) * 4
 
 
 @functools.lru_cache(maxsize=64)
@@ -262,10 +294,13 @@ def build_decoder(
     writes the posterior once: 3.65x faster on v5e (961 vs 263 info Mb/s at
     n=976/batch 512/25 iters), BIT-IDENTICAL output (same edge order,
     association, tie handling — tests assert posterior equality exactly).
-    It requires the live message set (n_edges + 2*nb rows of ceil8(z) x 128
-    lanes, f32) to fit the ~16 MB scoped-VMEM budget; kernels="auto" picks
-    pallas on an accelerator when it fits, the XLA tier otherwise (and on
-    CPU, where interpret-mode pallas would just be slow).
+    The live message set (n_edges + 2*nb rows, f32) must fit the ~16 MB
+    scoped-VMEM budget: small/medium Z uses the fast sublane-z layout
+    ((z, 128) tiles); large-Z codes (NR-BG1 scale) switch to the lane-z
+    layout ((8..32, z) tiles — Z on the lanes, batch tile on the sublanes)
+    so the live set shrinks with the tile (`_pallas_layout`). kernels="auto"
+    picks pallas on an accelerator when some layout fits, the XLA tier
+    otherwise (and on CPU, where interpret-mode pallas would just be slow).
     """
     assert kernels in ("xla", "pallas", "auto"), kernels
     if kernels == "auto":
@@ -344,11 +379,12 @@ def build_decoder(
         if kernels == "pallas":
             from .pallas import kernels as pk
 
-            # One batch tile = 128 lanes (the full vector width; narrower
-            # tiles buy NOTHING — VMEM arrays pad the lane dim to 128 anyway).
-            pad = (-b) % 128
+            z_axis, block_b = _pallas_layout(code)
+            pad = (-b) % block_b
             chp = jnp.pad(ch, ((0, 0), (0, 0), (0, pad))) if pad else ch
-            posterior = pk.ldpc_posterior(chp, edges, nb, z, n_iters, norm)
+            posterior = pk.ldpc_posterior(
+                chp, edges, nb, z, n_iters, norm, block_b=block_b, z_axis=z_axis
+            )
             posterior = posterior[..., :b] if pad else posterior
         else:
             def body(c2v, _):

@@ -289,24 +289,32 @@ def inpaint_stack(
 # ---------------------------------------------------------------------------
 
 
-def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm):
+def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm, z_axis):
     """One batch-tile program: ALL `n_iters` flooding sweeps in VMEM.
 
     The XLA tier round-trips every message array through HBM once per
     iteration (~30 MB/iter at n=976 x batch 512 — measured HBM-bound within
     10% of the roofline); here the channel LLRs are read once, the c2v
     messages live as loop-carried VMEM values, and the posterior is written
-    once. Layout matches the XLA tier: batch on the lanes, Z on the
-    sublanes, every QC shift a static sublane roll (slices + concat).
+    once. Two layouts, selected by z_axis:
 
-    llr_ref/out_ref: (1, nb, z, B_TILE) — the batch is pre-tiled into a
-    leading grid axis so the minor dim equals the full block (smaller-than-128
-    lane blocks are rejected by the Mosaic lowering). `edges` is
-    LdpcPlan.edges; `rows` maps check row -> tuple of edge ids (static, so
-    every loop below unrolls; the two-min fold replicates jnp.argmin's
-    first-minimum tie semantics elementwise, keeping the Pallas tier
-    bit-identical to the XLA tier)."""
-    ch = [llr_ref[0, j] for j in range(nb)]  # each (z, B)
+      z_axis=0 ("sublane-z"): per-edge arrays (z, B_TILE=128) — batch on the
+        lanes, Z on the sublanes, every QC shift a static sublane roll
+        (slices + concat). The fast layout; live set scales with Z.
+      z_axis=1 ("lane-z"): per-edge arrays (B_SUB, z) — Z on the lanes,
+        a small batch tile on the sublanes. Rolls become lane-axis
+        slices+concat (costlier), but the live set shrinks by
+        128/B_SUB x, which is what lets NR-BG1-scale codes (Z=384,
+        ~316 edges) stay VMEM-resident at all.
+
+    llr_ref/out_ref: (1, nb, *tile) — the batch is pre-tiled into a leading
+    grid axis so the minor dim equals the full block (smaller-than-128 lane
+    blocks are rejected by the Mosaic lowering). `edges` is LdpcPlan.edges;
+    `rows` maps check row -> tuple of edge ids (static, so every loop below
+    unrolls; the two-min fold replicates jnp.argmin's first-minimum tie
+    semantics elementwise, keeping the Pallas tier bit-identical to the XLA
+    tier)."""
+    ch = [llr_ref[0, j] for j in range(nb)]  # each (z, B) or (B_SUB, z)
     shape = ch[0].shape
     dtype = ch[0].dtype
     big = jnp.asarray(_LDPC_BIG, dtype)
@@ -315,7 +323,9 @@ def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm):
         s = s % z
         if s == 0:
             return x
-        return jnp.concatenate([x[z - s :], x[: z - s]], axis=0)
+        if z_axis == 0:
+            return jnp.concatenate([x[z - s :], x[: z - s]], axis=0)
+        return jnp.concatenate([x[:, z - s :], x[:, : z - s]], axis=1)
 
     def sweep(_, c2v):
         acc = list(ch)
@@ -365,13 +375,19 @@ def ldpc_posterior(
     n_iters: int,
     norm: float,
     block_b: int = 128,
+    z_axis: int = 0,
 ) -> jnp.ndarray:
     """Flooding normalized-min-sum posterior, all iterations VMEM-resident.
 
     llr_vzb: (nb, z, B) channel LLRs in the decoder's batch-last variable
     frame; B must be a multiple of `block_b` (the ops/ldpc wrapper pads).
     Returns the posterior in the same frame, bit-identical to the XLA tier
-    (same edge order, same summation association, same tie semantics)."""
+    (same edge order, same summation association, same tie semantics).
+
+    z_axis selects the tile layout (see _ldpc_kernel): 0 = (z, 128) sublane-z
+    (fast; live set scales with Z), 1 = (block_b, z) lane-z (batch tile on
+    the sublanes — block_b is 8/16/32 here — which shrinks the live set so
+    large-Z codes fit VMEM)."""
     n_vb, zz, B = llr_vzb.shape
     assert (n_vb, zz) == (nb, z) and B % block_b == 0, (llr_vzb.shape, block_b)
     mb = max(i for i, _, _, _ in edges) + 1
@@ -379,11 +395,18 @@ def ldpc_posterior(
         tuple(e for e, (i, _, _, _) in enumerate(edges) if i == r) for r in range(mb)
     )
     n_tiles = B // block_b
-    # Pre-tile the batch into a leading grid axis: a block whose minor dim is
-    # the FULL array minor dim is always legal, whereas sub-128 lane blocks
-    # are rejected by the Mosaic lowering (block_b < 128 happens when the
-    # per-lane VMEM footprint forces smaller tiles — see ops/ldpc).
-    tiled = jnp.moveaxis(llr_vzb.reshape(nb, z, n_tiles, block_b), 2, 0)
+    # Pre-tile the batch into a leading grid axis: a block whose minor dims
+    # equal the FULL array minor dims is always legal, whereas sub-128 lane
+    # blocks are rejected by the Mosaic lowering.
+    if z_axis == 0:
+        tiled = jnp.moveaxis(llr_vzb.reshape(nb, z, n_tiles, block_b), 2, 0)
+        tile = (1, nb, z, block_b)
+    else:
+        # (nb, z, B) -> (n_tiles, nb, block_b, z): batch on sublanes, z on lanes
+        tiled = jnp.transpose(
+            llr_vzb.reshape(nb, z, n_tiles, block_b), (2, 0, 3, 1)
+        )
+        tile = (1, nb, block_b, z)
     out = pl.pallas_call(
         functools.partial(
             _ldpc_kernel,
@@ -393,15 +416,14 @@ def ldpc_posterior(
             z=z,
             n_iters=int(n_iters),
             norm=float(norm),
+            z_axis=z_axis,
         ),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, nb, z, block_b), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, nb, z, block_b), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, nb, z, block_b), llr_vzb.dtype),
+        in_specs=[pl.BlockSpec(tile, lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(tile, lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles,) + tile[1:], llr_vzb.dtype),
         interpret=_interpret(),
     )(tiled)
-    return jnp.moveaxis(out, 0, 2).reshape(nb, z, B)
+    if z_axis == 0:
+        return jnp.moveaxis(out, 0, 2).reshape(nb, z, B)
+    return jnp.transpose(out, (1, 3, 0, 2)).reshape(nb, z, B)

@@ -158,13 +158,49 @@ def test_pallas_tier_bit_identical():
         np.testing.assert_array_equal(np.asarray(a.posterior), np.asarray(p.posterior))
 
 
-def test_pallas_tier_vmem_gate():
-    big = ldpc.array_code(6, 16, 389)  # ~19 MB live messages: over budget
-    assert not ldpc._pallas_vmem_fits(big)
+def test_pallas_tier_layout_selection_and_gate():
+    assert ldpc._pallas_layout(ldpc.array_code(6, 16, 61)) == (0, 128)
+    # too big for sublane-z (19 MB live at 128 lanes) -> lane-z with the
+    # largest fitting batch-sublane tile
+    z_axis, block_b = ldpc._pallas_layout(ldpc.array_code(6, 16, 389))
+    assert z_axis == 1 and block_b == 16
+    huge = ldpc.array_code(16, 64, 1021)  # ~37 MB even at the 8-row tile
+    assert ldpc._pallas_layout(huge) is None
     with pytest.raises(ValueError):
-        ldpc.build_decoder(big, n_iters=5, kernels="pallas")
-    ldpc.build_decoder(big, n_iters=5, kernels="auto")  # falls back, no raise
-    assert ldpc._pallas_vmem_fits(ldpc.array_code(6, 16, 61))
+        ldpc.build_decoder(huge, n_iters=5, kernels="pallas")
+    # auto falls back to the XLA tier when no pallas layout fits
+    small = ldpc.array_code(2, 6, 11)
+    orig = ldpc._pallas_layout
+    ldpc._pallas_layout = lambda c: None
+    try:
+        ldpc.build_decoder.cache_clear()
+        dec = ldpc.build_decoder(small, n_iters=3, kernels="auto")
+        rng = np.random.default_rng(0)
+        dec(rng.normal(0, 1, (4, small.n)).astype(np.float32))  # runs, no raise
+    finally:
+        ldpc._pallas_layout = orig
+        ldpc.build_decoder.cache_clear()
+
+
+def test_pallas_lane_z_layout_bit_identical():
+    """The lane-z tile (z on lanes, batch on sublanes — the large-Z route)
+    must match the XLA tier bitwise too; force it by monkeypatching the
+    layout choice on a small code (interpret mode on CPU)."""
+    code = ldpc.array_code(3, 8, 13)
+    rng = np.random.default_rng(13)
+    llr = rng.normal(0, 2.5, (9, code.n)).astype(np.float32)  # 9 -> pads to 16
+    a = ldpc.build_decoder(code, n_iters=7)(llr)
+    orig = ldpc._pallas_layout
+    ldpc._pallas_layout = lambda c: (1, 8)
+    try:
+        ldpc.build_decoder.cache_clear()
+        p = ldpc.build_decoder(code, n_iters=7, kernels="pallas")(llr)
+    finally:
+        ldpc._pallas_layout = orig
+        ldpc.build_decoder.cache_clear()
+    assert np.array_equal(np.asarray(a.bits), np.asarray(p.bits))
+    assert np.array_equal(np.asarray(a.ok), np.asarray(p.ok))
+    np.testing.assert_array_equal(np.asarray(a.posterior), np.asarray(p.posterior))
 
 
 def test_dp_sharded_decode_matches_unsharded():
