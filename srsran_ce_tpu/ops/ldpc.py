@@ -109,6 +109,28 @@ def array_code(n_check_blocks: int, n_var_blocks: int, z: int) -> QCLdpcCode:
     return QCLdpcCode(base=base, z=z)
 
 
+def load_base_graph(path, z: int) -> QCLdpcCode:
+    """Load a QC base graph from JSON and lift at Z = `z`.
+
+    Format: {"base": [[...], ...]} (or a bare 2-D list), entries -1 for "no
+    block" or a shift value; shifts are reduced mod z, the TS 38.212 §5.3.2
+    lifting rule (the spec tables give V_{i,j} for the max Z of a set; the
+    applied shift is V mod Z). This is the drop-in point for the NR BG1/BG2
+    tables — not bundled here because the spec tables are unavailable in this
+    environment; export them to JSON and every decoder tier (XLA, both pallas
+    layouts), the encoder and the transport layer work unchanged."""
+    import json
+    import pathlib
+
+    raw = json.loads(pathlib.Path(path).read_text())
+    base = raw["base"] if isinstance(raw, dict) else raw
+    rows = tuple(
+        tuple(-1 if int(s) < 0 else int(s) % int(z) for s in row) for row in base
+    )
+    assert len({len(r) for r in rows}) == 1, "ragged base matrix"
+    return QCLdpcCode(base=rows, z=int(z))
+
+
 def _expand_h(code: QCLdpcCode) -> np.ndarray:
     """Dense (m, n) uint8 parity-check matrix (plan-time only)."""
     mb, nb, z = code.n_check_blocks, code.n_var_blocks, code.z

@@ -449,6 +449,13 @@ def _decode_soft(
     dec = _ldpc.build_decoder(
         coding.code, n_iters=coding.n_iters, norm=coding.norm, kernels=coding.kernels
     )
+    early = coding.early_iters
+    if early is not None and early < coding.n_iters:
+        dec_early = _ldpc.build_decoder(
+            coding.code, n_iters=early, norm=coding.norm, kernels=coding.kernels
+        )
+    else:
+        dec_early = None
     layouts: Dict[Tuple, _tr.TransportLayout] = {}
     planes: Dict[Tuple, np.ndarray] = {}
     streams: List[np.ndarray] = []
@@ -471,18 +478,32 @@ def _decode_soft(
         streams.append(_tr.extract_streams(lay, llr))
         counts.append(lay.c_words)
     words = np.concatenate(streams, axis=0)
-    infos, oks = [], []
-    for start in range(0, words.shape[0], word_batch):
-        chunk = words[start : start + word_batch]
-        if words.shape[0] > word_batch and chunk.shape[0] < word_batch:
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], word_batch - chunk.shape[0], axis=0)]
-            )
-        r = dec(chunk)
-        infos.append(np.asarray(r.info))
-        oks.append(np.asarray(r.ok))
-    info = np.concatenate(infos, axis=0)
-    ok = np.concatenate(oks, axis=0)
+
+    def run_chunks(decoder, w):
+        infos, oks = [], []
+        for start in range(0, w.shape[0], word_batch):
+            chunk = w[start : start + word_batch]
+            if w.shape[0] > word_batch and chunk.shape[0] < word_batch:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], word_batch - chunk.shape[0], axis=0)]
+                )
+            r = decoder(chunk)
+            infos.append(np.asarray(r.info)[: min(word_batch, w.shape[0] - start)])
+            oks.append(np.asarray(r.ok)[: min(word_batch, w.shape[0] - start)])
+        return np.concatenate(infos, axis=0), np.concatenate(oks, axis=0)
+
+    if dec_early is not None:
+        # two-phase early termination: converged words keep their early
+        # decision (standard first-parity-pass semantics); only failures pay
+        # the full iteration budget
+        info, ok = run_chunks(dec_early, words)
+        retry = np.nonzero(~ok)[0]
+        if retry.size:
+            info2, ok2 = run_chunks(dec, words[retry])
+            info[retry] = info2
+            ok[retry] = ok2
+    else:
+        info, ok = run_chunks(dec, words)
     if coding.crc is not None:
         # TS 38.212-style CRC gate: ok = LDPC parity AND CRC; strip the CRC
         ok = ok & _tr.crc_check(info, coding.crc)

@@ -53,6 +53,13 @@ class TransportCoding:
     scramble_c_init: Optional[int] = None
     kernels: str = "auto"
     crc: Optional[str] = None
+    # Two-phase early termination in the serving decode: every word first
+    # runs `early_iters` sweeps (converged words — the vast majority at
+    # operating SNR — are done); only parity failures rerun at the full
+    # n_iters. The lax.scan schedule is static per executable, so this is
+    # batch-level early exit: two executables instead of a dynamic loop.
+    # None disables (single full-n_iters pass).
+    early_iters: Optional[int] = 8
 
 
 @dataclass(frozen=True)

@@ -225,3 +225,53 @@ def test_dp_sharded_decode_matches_unsharded():
     assert np.array_equal(np.asarray(res.ok), np.asarray(ref.ok))
     assert len(res.bits.sharding.device_set) == 8
     assert np.array_equal(np.asarray(res.info), u)
+
+
+def test_load_base_graph_json(tmp_path):
+    import json
+
+    base = [[0, 2, -1, 1, -1, 0], [-1, 1, 0, -1, 3, 0], [2, -1, 1, 0, -1, -1]]
+    p = tmp_path / "bg.json"
+    p.write_text(json.dumps({"base": base}))
+    code = ldpc.load_base_graph(p, z=5)
+    assert code == ldpc.QCLdpcCode(base=tuple(tuple(r) for r in base), z=5)
+    # shifts reduce mod z (the TS 38.212 lifting rule)
+    p.write_text(json.dumps([[7, 12], [-1, 6]]))
+    code = ldpc.load_base_graph(p, z=5)
+    assert code.base == ((2, 2), (-1, 1))
+
+
+def test_early_termination_serving_equivalence():
+    """Two-phase serving decode (early_iters) must deliver the same payloads
+    as the single full pass on a decodable link, and still rerun failures."""
+    from srsran_ce_tpu import serving, transport
+    from srsran_ce_tpu.ops import demap
+    from srsran_ce_tpu.utils import synthetic
+
+    code = ldpc.array_code(8, 16, 61)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("16qam")
+    mk = dict(n_rx=2, modulation="16qam", scramble=False, n_prbs=12, n_layers=2)
+    probe = synthetic.make_mimo_case(seed=5100, snr_db=20.0, **mk)
+    n_sc, n_sym = probe.data_mask.shape
+    base = dict(code=code, n_iters=30, interleave_seed=3)
+    lay = transport.layout(
+        transport.TransportCoding(**base), probe.hop1, probe.hop2, n_sc, n_sym, 2, nbits
+    )
+    rng = np.random.default_rng(5100)
+    u = rng.integers(0, 2, (lay.c_words, plan.k), dtype=np.uint8)
+    bits = transport.place_codewords(lay, ldpc.encode(code, u), 2, nbits, fill_rng=rng)
+    case = synthetic.make_mimo_case(seed=5100, snr_db=20.0, bits=bits, **mk)
+    prob = serving.Problem(
+        case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+        case.beta, case.hop1, case.hop2, case.config,
+    )
+    kw = dict(batch_size=4, out="decoded", modulation="16qam", matmul_precision=None)
+    r_two = serving.process(
+        [prob], coding=transport.TransportCoding(**base, early_iters=4), **kw
+    )[0]
+    r_one = serving.process(
+        [prob], coding=transport.TransportCoding(**base, early_iters=None), **kw
+    )[0]
+    assert bool(np.asarray(r_two.ok).all()) and bool(np.asarray(r_one.ok).all())
+    assert np.array_equal(r_two.info, u) and np.array_equal(r_one.info, u)
