@@ -618,6 +618,7 @@ def _estimate_impl(
     h_ps = []
     h_ts = []
     h_pres = []
+    cfo_hs = []
     for hp, pil in hops:
         e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t, h_pre = _process_hop(
             hp, config, received_rg, pil, beta, sst, kernels, params
@@ -633,6 +634,7 @@ def _estimate_impl(
         h_ps.append(h_p)
         h_ts.append(h_t)
         h_pres.append(h_pre)
+        cfo_hs.append(cfo_h)
 
     # --- Multi-slot tracking blend (models/tracking.py; no reference counterpart).
     # Pool the gain statistics across hops: sig2 = observation noise proxy from
@@ -643,13 +645,38 @@ def _estimate_impl(
     track_out = None
     if h_prev is not None:
         assert all(h_t is None for h_t in h_ts), "tracking requires time_interp='none'"
+        # Phase-anchor each hop's observation before blending: with CFO
+        # compensation on, this slot's raw pilot average carries the phase
+        # exp(-j*2pi*t_bar*cfo_hat) of ITS OWN (noisy) CFO estimate at the
+        # DM-RS-symbol centroid t_bar — a phase that the single-slot
+        # reconstruction cancels internally (the final rotation re-applies the
+        # same cfo_hat) but that is inconsistent ACROSS slots. The tracked
+        # state therefore lives in the anchor-free (absolute) domain:
+        # multiply by conj of that phase before blending, divide after —
+        # without this, equalizing with tracked profiles measured WORSE
+        # hard-decision BER than single-slot despite 12 dB better channel
+        # NMSE (the current slot's full CFO-noise ramp lands on the tracked
+        # profile un-anchored).
+        anchors = []
+        for (hp, _), cfo_h in zip(hops, cfo_hs):
+            if config.cfo_compensate and cfo_h is not None:
+                t_bar = float(np.mean(sst[hp.dmrs_sym_idx]))
+                anchors.append(
+                    jnp.exp(1j * (2.0 * np.pi * t_bar) * cfo_h).astype(cdtype)
+                )
+            else:
+                anchors.append(None)
+        h_obs = [
+            h_pre if an is None else h_pre * an
+            for h_pre, an in zip(h_pres, anchors)
+        ]
         sig2 = jnp.zeros((), rdtype)
         innov = jnp.zeros((), rdtype)
         n_s = n_i = 0
-        for h_pre, h_pr in zip(h_pres, h_prev):
-            d = h_pre[:, 1:] - h_pre[:, :-1]
+        for h_ob, h_pr in zip(h_obs, h_prev):
+            d = h_ob[:, 1:] - h_ob[:, :-1]
             sig2 = sig2 + jnp.sum(jnp.real(d) ** 2 + jnp.imag(d) ** 2) / 2.0
-            e = h_pre - h_pr
+            e = h_ob - h_pr
             innov = innov + jnp.sum(jnp.real(e) ** 2 + jnp.imag(e) ** 2)
             n_s += d.size
             n_i += e.size
@@ -664,13 +691,15 @@ def _estimate_impl(
         a = jnp.maximum(a_static, a_move)
         a = jnp.where(w < 0.5, jnp.ones((), rdtype), a)
         a_c = a.astype(cdtype)
-        h_blend = [h_pr + a_c * (h_pre - h_pr) for h_pre, h_pr in zip(h_pres, h_prev)]
-        # Re-smooth the blended pilot estimates — the tracked state lives in the
-        # raw domain so its noise statistics stay interpretable slot to slot, and
-        # data-adaptive smoothers (wiener) see the averaged (cleaner) input.
+        h_blend = [h_pr + a_c * (h_ob - h_pr) for h_ob, h_pr in zip(h_obs, h_prev)]
+        # Re-smooth the blended pilot estimates (rotated back into THIS slot's
+        # compensation convention) — the tracked state lives in the raw
+        # anchor-free domain so its noise statistics stay interpretable slot
+        # to slot, and data-adaptive smoothers (wiener) see the averaged
+        # (cleaner) input.
         h_ps = [
-            _smooth(hp, config, h_b, kernels, params)
-            for (hp, _), h_b in zip(hops, h_blend)
+            _smooth(hp, config, h_b if an is None else h_b * jnp.conj(an), kernels, params)
+            for (hp, _), h_b, an in zip(hops, h_blend, anchors)
         ]
         w_new = jnp.minimum(1.0 / jnp.maximum(a, jnp.asarray(1e-3, rdtype)), 64.0)
         track_out = (tuple(h_blend), w_new)

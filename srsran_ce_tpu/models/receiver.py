@@ -119,13 +119,21 @@ def receiver_impl(
     nbits bytes/RE vs 8 for complex64 symbols (4x less transfer at QPSK, equal
     at 256QAM) and the host does zero demap work."""
     out_layout = "factored" if factored else "serve"
-    hop_plans = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
-    n_layers = plan.n_layers
     rg = _ri_to_complex(rg_ri)  # (n_rx, n_sc, n_sym)
     pil = _ri_to_complex(pil_ri)
     est = jax.vmap(
         lambda r: _estimate_impl(plan, r, pil, beta, kernels, params, out_layout)
     )(rg)
+    return _equalize_tail(plan, rg, est, factored, data_beta, modulation, llr_scale)
+
+
+def _equalize_tail(
+    plan, rg, est, factored, data_beta, modulation, llr_scale
+) -> "ReceiverResult | LlrResult":
+    """Cross-port MMSE equalization (+ optional fused demap) of per-port
+    estimator outputs — shared by the plain and the tracked receiver."""
+    hop_plans = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
+    n_layers = plan.n_layers
     noise = jnp.mean(est.noise_est)
     y = jnp.moveaxis(rg, -1, -2)  # (n_rx, n_sym, n_sc)
     if factored:
@@ -273,3 +281,88 @@ def build_receiver_ri(
         modulation,
         float(llr_scale),
     )
+
+
+def tracked_receiver_impl(
+    plan,
+    rg_ri: jnp.ndarray,
+    pil_ri: jnp.ndarray,
+    beta,
+    h_prev_ri,
+    w,
+    data_beta: float = 1.0,
+    modulation: Optional[str] = None,
+    llr_scale: float = 8.0,
+):
+    """Traceable multi-slot TRACKED receiver body: per-port tracked estimation
+    (models/tracking's alpha filter with self-tuned gain, each RX port
+    carrying its own state) + the same fused cross-port MMSE equalize (+
+    demap) tail as the plain receiver. Tracking lives on the factored path
+    (it requires time_interp="none"), so the equalizer's per-subcarrier
+    filter consumes the TRACKED profiles — on a static channel the post-MMSE
+    SINR grows with every sounding, and the demapper's LLR confidence follows
+    automatically (the filter is rebuilt from the tracked Gram each slot).
+
+    h_prev_ri: tuple (one per hop) of (n_rx, 2, nL, n_re) ri states
+    (tracking.init_state(batch=n_rx)); w: (n_rx,) weights. Returns
+    (ReceiverResult | LlrResult, h_new_ri, w_new)."""
+    rg = _ri_to_complex(rg_ri)  # (n_rx, n_sc, n_sym)
+    pil = _ri_to_complex(pil_ri)
+
+    def one_port(r, hp_ri, wp):
+        h_prev = tuple(_ri_to_complex(h) for h in hp_ri)
+        res, (h_new, w_new) = _estimate_impl(
+            plan, r, pil, beta, "xla", None, "factored", None,
+            h_prev=h_prev, track_w=wp,
+        )
+        return res, tuple(_complex_to_ri(h) for h in h_new), w_new
+
+    est, h_new_ri, w_new = jax.vmap(one_port)(rg, h_prev_ri, w)
+    out = _equalize_tail(plan, rg, est, True, data_beta, modulation, llr_scale)
+    return out, h_new_ri, w_new
+
+
+def build_tracked_receiver_ri(
+    hop1: HopConfig,
+    hop2: Optional[HopConfig],
+    config: EstimatorConfig,
+    n_layers: int,
+    n_rx: int,
+    data_beta: float = 1.0,
+    modulation: Optional[str] = None,
+    llr_scale: float = 8.0,
+):
+    """Jitted tracked multi-RX receiver:
+    fn(rg_ri, pil_ri, beta, h_prev_ri, w) -> (result, h_new_ri, w_new).
+
+    Thread the returned state into the next sounding's call (slot 0 state:
+    `models.tracking.init_state(hop1, hop2, config, n_layers, batch=n_rx)` —
+    weight 0 makes the first call identical to the plain receiver). Requires
+    time_interp="none" (the tracking/factored domain). `modulation` fuses the
+    int8 soft demapper exactly as in build_receiver_ri.
+    """
+    if hop2 is not None and hop2.is_empty:
+        hop2 = None
+    assert config.time_interp == "none", "tracking requires time_interp='none'"
+    assert config.smoothing not in ("learned", "learned2d")
+    if modulation is not None:
+        demap.bits_per_symbol(modulation)
+    return _build_tracked_receiver_cached(
+        (hop1, hop2, config, n_layers), n_rx, float(data_beta), modulation,
+        float(llr_scale),
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _build_tracked_receiver_cached(plan_key, n_rx, data_beta, modulation, llr_scale):
+    hop1, hop2, config, n_layers = plan_key
+    plan = make_plan(hop1, hop2, config, n_layers)
+    prefetch_plan_constants(plan)
+
+    def single(rg_ri, pil_ri, beta, h_prev_ri, w):
+        assert rg_ri.shape[1] == n_rx, (rg_ri.shape, n_rx)
+        return tracked_receiver_impl(
+            plan, rg_ri, pil_ri, beta, h_prev_ri, w, data_beta, modulation, llr_scale
+        )
+
+    return jax.jit(single)

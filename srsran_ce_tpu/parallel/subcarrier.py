@@ -464,6 +464,15 @@ def _sharded_problem(
         # otherwise it is pair-averaged (estimator._process_hop h_pre).
         track_raw = _est._use_fused_smooth(hp, "xla") and nL >= 2
         h_pre = h_raw if track_raw else h_pre
+        # Phase anchor (estimator tracking-block semantics): store the state
+        # in the anchor-free domain — undo this slot's CFO-estimate phase at
+        # the DM-RS centroid before blending, re-apply it for the fill.
+        # cfo_hop is a psum, so the anchor is identical on every shard.
+        anchor = None
+        if config.cfo_compensate and cfo_hop is not None:
+            t_bar = float(np.mean(np.asarray(sst)[hp.dmrs_sym_idx]))
+            anchor = jnp.exp(1j * (2.0 * np.pi * t_bar) * cfo_hop).astype(cdtype)
+            h_pre = h_pre * anchor
         d = h_pre[:, 1:] - h_pre[:, :-1]
         s_loc = jnp.sum(jnp.real(d) ** 2 + jnp.imag(d) ** 2) / 2.0
         if n_sp > 1:
@@ -483,7 +492,8 @@ def _sharded_problem(
         a = jnp.maximum(a_static, a_move)
         a = jnp.where(w < 0.5, jnp.ones((), rdtype), a)
         h_blend = h_prev + a.astype(cdtype) * (h_pre - h_prev)
-        h_fill = smooth_rows(pair_average(h_blend) if track_raw else h_blend)
+        h_cur = h_blend if anchor is None else h_blend * jnp.conj(anchor)
+        h_fill = smooth_rows(pair_average(h_cur) if track_raw else h_cur)
         h_all_fill = (
             jax.lax.all_gather(h_fill, axis, axis=1, tiled=True)
             if config.interp == "cnn"
@@ -630,6 +640,7 @@ def _sharded_problem_hopped(
     h_ps = []
     h_ts = []
     h_pres = []
+    cfo_hs = []
     for hp, pil_h in hops:
         e_i, cfo_h, ta_i, n_i, r_i, h_p, h_t, h_pre = _est._process_hop(
             hp, config, rg_full, pil_h, beta, sst
@@ -640,6 +651,7 @@ def _sharded_problem_hopped(
         h_ps.append(h_p)
         h_ts.append(h_t)
         h_pres.append(h_pre)
+        cfo_hs.append(cfo_h)
     rsrp = rsrp / plan.n_pilots / nL
     epre = epre / plan.n_pilots
     noise = noise / plan.noise_den
@@ -650,10 +662,24 @@ def _sharded_problem_hopped(
     track_out = None
     if h_prev is not None:
         assert all(h_t is None for h_t in h_ts), "tracking requires time_interp='none'"
+        # phase anchor per hop (estimator tracking-block semantics)
+        anchors = []
+        for (hp, _), cfo_h in zip(hops, cfo_hs):
+            if config.cfo_compensate and cfo_h is not None:
+                t_bar = float(np.mean(np.asarray(sst)[hp.dmrs_sym_idx]))
+                anchors.append(
+                    jnp.exp(1j * (2.0 * np.pi * t_bar) * cfo_h).astype(cdtype)
+                )
+            else:
+                anchors.append(None)
+        h_obs = [
+            h_pre if an is None else h_pre * an
+            for h_pre, an in zip(h_pres, anchors)
+        ]
         sig2 = jnp.zeros((), rdtype)
         innov = jnp.zeros((), rdtype)
         n_s = n_i2 = 0
-        for h_pre, h_pr in zip(h_pres, h_prev):
+        for h_pre, h_pr in zip(h_obs, h_prev):
             d = h_pre[:, 1:] - h_pre[:, :-1]
             sig2 = sig2 + jnp.sum(jnp.real(d) ** 2 + jnp.imag(d) ** 2) / 2.0
             e = h_pre - h_pr
@@ -668,10 +694,10 @@ def _sharded_problem_hopped(
         a = jnp.maximum(a_static, a_move)
         a = jnp.where(w < 0.5, jnp.ones((), rdtype), a)
         a_c = a.astype(cdtype)
-        h_blend = [h_pr + a_c * (h_pre - h_pr) for h_pre, h_pr in zip(h_pres, h_prev)]
+        h_blend = [h_pr + a_c * (h_ob - h_pr) for h_ob, h_pr in zip(h_obs, h_prev)]
         h_ps = [
-            _est._smooth(hp, config, h_b, "xla", None)
-            for (hp, _), h_b in zip(hops, h_blend)
+            _est._smooth(hp, config, h_b if an is None else h_b * jnp.conj(an), "xla", None)
+            for (hp, _), h_b, an in zip(hops, h_blend, anchors)
         ]
         w_new = jnp.minimum(1.0 / jnp.maximum(a, jnp.asarray(1e-3, rdtype)), 64.0)
         track_out = (tuple(_est._complex_to_ri(h) for h in h_blend), w_new)

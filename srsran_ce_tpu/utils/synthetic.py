@@ -424,7 +424,11 @@ def make_mimo_case(
                 alloc[dmrs_syms] = False
                 data_mask |= band[:, None] & alloc[None, :]
         rx *= cfo_rot[None, :]
-        nrng = np.random.default_rng((seed + 1) * 1_000_003 + r)
+        # noise_seed (forwarded via case_kwargs) varies the AWGN draw while
+        # keeping channels/payload fixed — multi-slot tracking evals sound the
+        # SAME static channel through independent noise
+        nseed = case_kwargs.get("noise_seed") or seed
+        nrng = np.random.default_rng((nseed + 1) * 1_000_003 + r)
         rx += noise_std * (
             nrng.standard_normal(rx.shape) + 1j * nrng.standard_normal(rx.shape)
         ) / np.sqrt(2.0)
