@@ -331,6 +331,7 @@ def build_tracked_receiver_ri(
     data_beta: float = 1.0,
     modulation: Optional[str] = None,
     llr_scale: float = 8.0,
+    batched: bool = False,
 ):
     """Jitted tracked multi-RX receiver:
     fn(rg_ri, pil_ri, beta, h_prev_ri, w) -> (result, h_new_ri, w_new).
@@ -339,7 +340,9 @@ def build_tracked_receiver_ri(
     `models.tracking.init_state(hop1, hop2, config, n_layers, batch=n_rx)` —
     weight 0 makes the first call identical to the plain receiver). Requires
     time_interp="none" (the tracking/factored domain). `modulation` fuses the
-    int8 soft demapper exactly as in build_receiver_ri.
+    int8 soft demapper exactly as in build_receiver_ri. With batched=True
+    every argument (state included) gains a leading problem axis and problems
+    track independently (serving.TrackedServer's multi-port path).
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
@@ -349,12 +352,14 @@ def build_tracked_receiver_ri(
         demap.bits_per_symbol(modulation)
     return _build_tracked_receiver_cached(
         (hop1, hop2, config, n_layers), n_rx, float(data_beta), modulation,
-        float(llr_scale),
+        float(llr_scale), batched,
     )
 
 
 @functools.lru_cache(maxsize=128)
-def _build_tracked_receiver_cached(plan_key, n_rx, data_beta, modulation, llr_scale):
+def _build_tracked_receiver_cached(
+    plan_key, n_rx, data_beta, modulation, llr_scale, batched=False
+):
     hop1, hop2, config, n_layers = plan_key
     plan = make_plan(hop1, hop2, config, n_layers)
     prefetch_plan_constants(plan)
@@ -365,4 +370,4 @@ def _build_tracked_receiver_cached(plan_key, n_rx, data_beta, modulation, llr_sc
             plan, rg_ri, pil_ri, beta, h_prev_ri, w, data_beta, modulation, llr_scale
         )
 
-    return jax.jit(single)
+    return jax.jit(jax.vmap(single)) if batched else jax.jit(single)

@@ -755,12 +755,27 @@ class TrackedServer:
             self._state = {k: v for k, v in self._state.items() if k[1] != stream_id}
 
     def process(
-        self, problems: List[Problem], stream_ids: List
-    ) -> List[ServeResult]:
+        self,
+        problems: List[Problem],
+        stream_ids: List,
+        out: str = "grid",
+        modulation: Optional[str] = None,
+        data_beta: float = 1.0,
+        llr_scale: float = 8.0,
+    ) -> "List[ServeResult] | List[EqualizedServeResult] | List[LlrServeResult]":
+        """out="grid" (default): tracked channel-estimate grids (single-port
+        problems). out="equalized"/"llrs": the TRACKED multi-RX receiver
+        (models/receiver.build_tracked_receiver_ri) — each stream's per-port
+        tracking states thread across soundings and the per-subcarrier MMSE
+        filter is rebuilt each slot from the tracked profiles (`modulation`
+        required for "llrs", as in `process`)."""
         import dataclasses as _dc
 
         from .models import tracking
 
+        assert out in ("grid", "equalized", "llrs"), out
+        if out == "llrs" and modulation is None:
+            raise ValueError("out='llrs' requires modulation=")
         assert len(problems) == len(stream_ids)
         buckets: Dict[Tuple, List[int]] = {}
         for i, p in enumerate(problems):
@@ -769,19 +784,40 @@ class TrackedServer:
         results: List[Optional[ServeResult]] = [None] * len(problems)
         for sig, idxs in buckets.items():
             hop1, hop2, config, n_layers, n_rx = sig
-            assert n_rx == 1, "TrackedServer tracks one RX port per problem"
+            if out == "grid":
+                assert n_rx == 1, "out='grid' tracks one RX port per problem"
             if self.matmul_precision is not None:
                 config = _dc.replace(config, matmul_precision=self.matmul_precision)
-            eff_sig = (hop1, hop2, config, n_layers)
-            fn = tracking.build_tracked_ri(
-                hop1, hop2, config, n_layers, batched=True, out_layout="serve"
-            )
-            zero_h, zero_w = tracking.init_state(hop1, hop2, config, n_layers)
+            eff_sig = (hop1, hop2, config, n_layers, n_rx, out != "grid")
+            if out == "grid":
+                fn = tracking.build_tracked_ri(
+                    hop1, hop2, config, n_layers, batched=True, out_layout="serve"
+                )
+                zero_h, zero_w = tracking.init_state(hop1, hop2, config, n_layers)
+            else:
+                from .models import receiver as _receiver
+
+                fn = _receiver.build_tracked_receiver_ri(
+                    hop1, hop2, config, n_layers, n_rx,
+                    data_beta=data_beta,
+                    modulation=modulation if out == "llrs" else None,
+                    llr_scale=llr_scale,
+                    batched=True,
+                )
+                zero_h, zero_w = tracking.init_state(
+                    hop1, hop2, config, n_layers, batch=n_rx
+                )
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
                 pad = self.batch_size - len(chunk) if len(idxs) > self.batch_size else 0
                 take = chunk + [chunk[-1]] * pad
-                rg_b = _assemble([problems[i].received_rg for i in take])
+                rgs = [
+                    problems[i].received_rg
+                    if problems[i].received_rg.ndim == 3 or out == "grid"
+                    else problems[i].received_rg[None]
+                    for i in take
+                ]
+                rg_b = _assemble(rgs)
                 pil_b = _assemble([problems[i].pilots for i in take])
                 beta = np.asarray([problems[i].beta for i in take], np.float32)
                 # gather per-stream states (zero for unseen streams)
@@ -794,27 +830,38 @@ class TrackedServer:
                     for j in range(len(zero_h))
                 )
                 w_b = np.asarray([s[1] for s in states], np.float32)
-                out, h_new, w_new = fn(rg_b, pil_b, jnp.asarray(beta), h_b, w_b)
-                ch = _merge_batch(np.asarray(out.channel_est_rg))
-                noise = np.asarray(out.noise_est)
-                rsrp = np.asarray(out.rsrp)
-                epre = np.asarray(out.epre)
-                ta = np.asarray(out.time_alignment)
-                cfo = np.asarray(out.cfo_hz)
+                out_b, h_new, w_new = fn(rg_b, pil_b, jnp.asarray(beta), h_b, w_b)
+                if out == "llrs":
+                    _scatter_out_llrs(
+                        out_b, chunk, results, sig=(hop1, hop2), factored=True,
+                        llr_scale=llr_scale,
+                    )
+                elif out == "equalized":
+                    _scatter_out_equalized(
+                        out_b, chunk, results, sig=(hop1, hop2), factored=True
+                    )
+                else:
+                    ch = _merge_batch(np.asarray(out_b.channel_est_rg))
+                    noise = np.asarray(out_b.noise_est)
+                    rsrp = np.asarray(out_b.rsrp)
+                    epre = np.asarray(out_b.epre)
+                    ta = np.asarray(out_b.time_alignment)
+                    cfo = np.asarray(out_b.cfo_hz)
+                    for k, i in enumerate(chunk):
+                        grid = ch[k]
+                        results[i] = ServeResult(
+                            channel_est_rg=np.moveaxis(grid, (0, 1, 2), (2, 1, 0)),
+                            noise_est=float(noise[k]),
+                            rsrp=float(rsrp[k]),
+                            epre=float(epre[k]),
+                            time_alignment=float(ta[k]),
+                            cfo_hz=float(cfo[k]),
+                        )
                 h_new = tuple(np.asarray(h) for h in h_new)
                 w_new = np.asarray(w_new)
                 for k, i in enumerate(chunk):
-                    grid = ch[k]
-                    results[i] = ServeResult(
-                        channel_est_rg=np.moveaxis(grid, (0, 1, 2), (2, 1, 0)),
-                        noise_est=float(noise[k]),
-                        rsrp=float(rsrp[k]),
-                        epre=float(epre[k]),
-                        time_alignment=float(ta[k]),
-                        cfo_hz=float(cfo[k]),
-                    )
                     self._state[(eff_sig, stream_ids[i])] = (
                         tuple(h[k] for h in h_new),
-                        float(w_new[k]),
+                        np.asarray(w_new[k]) if out != "grid" else float(w_new[k]),
                     )
         return results  # type: ignore[return-value]

@@ -223,3 +223,49 @@ def test_tracked_receiver_first_slot_matches_plain_and_then_improves():
     # and the tracked receiver is at least as good in bits on the same input
     bt, bp = ber(res, cases[-1]), ber(rp, cases[-1])
     assert bt <= bp, (bt, bp)
+
+
+def test_tracked_server_receiver_llrs():
+    """serving.TrackedServer(out='llrs'): the stateful tracked multi-RX
+    receiver served per stream — state advances across soundings and the
+    final-slot hard decisions are at least as good as the stateless path."""
+    import numpy as np
+
+    from srsran_ce_tpu import serving
+    from srsran_ce_tpu.utils.synthetic import make_mimo_case
+
+    n_slots, n_rx, nL = 5, 2, 1
+    mk = dict(n_rx=n_rx, modulation="qpsk", scramble=False, n_prbs=12,
+              n_layers=nL, cfo_hz=200.0)
+    cases = [
+        make_mimo_case(seed=43, snr_db=0.0, noise_seed=900 + s, **mk)
+        for s in range(n_slots)
+    ]
+    srv = serving.TrackedServer(batch_size=4, matmul_precision=None)
+    res = None
+    for c in cases:
+        prob = serving.Problem(
+            c.received_rg.astype(np.complex64), c.pilots.astype(np.complex64),
+            c.beta, c.hop1, c.hop2, c.config,
+        )
+        res = srv.process([prob], ["ue7"], out="llrs", modulation="qpsk")[0]
+    assert isinstance(res, serving.LlrServeResult)
+    c = cases[-1]
+    plain = serving.process(
+        [serving.Problem(c.received_rg.astype(np.complex64),
+                         c.pilots.astype(np.complex64), c.beta,
+                         c.hop1, c.hop2, c.config)],
+        batch_size=4, out="llrs", modulation="qpsk", matmul_precision=None,
+    )[0]
+
+    def ber(r):
+        dec = (r.llr < 0).astype(np.uint8)
+        m = np.broadcast_to(c.data_mask[:, :, None, None], c.bits.shape)
+        return float(np.mean((dec != c.bits)[m]))
+
+    assert ber(res) <= ber(plain) + 1e-9, (ber(res), ber(plain))
+    # stream state really accumulated (weight near the slot count)
+    key = next(k for k in srv._state if k[1] == "ue7")
+    assert float(np.asarray(srv._state[key][1]).min()) > n_slots - 2
+    srv.reset("ue7")
+    assert not any(k[1] == "ue7" for k in srv._state)
