@@ -372,19 +372,34 @@ def main():
         t_xla = profiling.chained_throughput(
             lambda l: dec_xla(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=20
         )
+        # layered schedule at the matched-quality sweep count (~half of
+        # flooding's; gate it on decoding this batch payload-exactly)
+        dec_lay = _ldpc.build_decoder(code, n_iters=13, kernels="pallas", schedule="layered")
+        res_l = dec_lay(llr)
+        lay_ok = bool(_np.asarray(res_l.ok).all()) and _np.array_equal(
+            _np.asarray(res_l.info), u
+        )
+        t_lay = profiling.chained_throughput(
+            lambda l: dec_lay(l).posterior, fb, (jnp.asarray(llr),), reps_lo=16, reps_hi=64
+        )
         r = {
             "latency_ms_per_batch": t * 1e3,
             "xla_tier_ms_per_batch": t_xla * 1e3,
+            "layered13_ms_per_batch": t_lay * 1e3,
+            "layered13_payload_exact": lay_ok,
             "batch": 512,
             "code": "array(6,16,61) n=976 k=%d rate=%.2f" % (lplan.k, lplan.k / code.n),
             "n_iters": 25,
             "info_bits_per_s": 512 * lplan.k / t,
+            "layered13_info_bits_per_s": 512 * lplan.k / t_lay,
             "edge_msgs_per_s": 512 * len(lplan.edges) * code.z * 25 / t,
         }
         details["ldpc_decode_n976_b512"] = r
         log(
             f"ldpc_decode_n976_b512: {t*1e3:.3f} ms/batch512 (pallas, VMEM-resident) -> "
-            f"{r['info_bits_per_s']/1e6:.1f} info Mb/s; xla tier {t_xla*1e3:.3f} ms"
+            f"{r['info_bits_per_s']/1e6:.1f} info Mb/s; xla tier {t_xla*1e3:.3f} ms; "
+            f"layered-13 {t_lay*1e3:.3f} ms ({r['layered13_info_bits_per_s']/1e6:.0f} Mb/s, "
+            f"exact={lay_ok})"
         )
     except Exception as e:
         log(f"ldpc_decode FAILED: {type(e).__name__}: {e}")

@@ -297,7 +297,11 @@ def _pallas_vmem_bytes(code: QCLdpcCode) -> int:
 
 @functools.lru_cache(maxsize=64)
 def build_decoder(
-    code: QCLdpcCode, n_iters: int = 20, norm: float = 0.75, kernels: str = "xla"
+    code: QCLdpcCode,
+    n_iters: int = 20,
+    norm: float = 0.75,
+    kernels: str = "xla",
+    schedule: str = "flooding",
 ):
     """Build the jitted flooding normalized-min-sum decoder for `code`
     (lru-cached: repeated builds — e.g. one per serving.process call — reuse
@@ -325,9 +329,17 @@ def build_decoder(
     otherwise (and on CPU, where interpret-mode pallas would just be slow).
     """
     assert kernels in ("xla", "pallas", "auto"), kernels
+    assert schedule in ("flooding", "layered"), schedule
     if kernels == "auto":
         fits = _pallas_vmem_fits(code)
         kernels = "pallas" if fits and jax.default_backend() != "cpu" else "xla"
+    if schedule == "layered" and kernels != "pallas":
+        # the row-serial schedule lives only in the VMEM-resident kernel (the
+        # XLA tier's whole-frame accum/gather formulation is flooding-shaped);
+        # mirror anchor = decode_reference(schedule="layered")
+        if kernels == "xla" and not _pallas_vmem_fits(code):
+            raise ValueError("schedule='layered' needs the pallas tier; code too large")
+        kernels = "pallas"
     elif kernels == "pallas" and not _pallas_vmem_fits(code):
         raise ValueError(
             "code too large for the VMEM-resident pallas tier "
@@ -405,7 +417,8 @@ def build_decoder(
             pad = (-b) % block_b
             chp = jnp.pad(ch, ((0, 0), (0, 0), (0, pad))) if pad else ch
             posterior = pk.ldpc_posterior(
-                chp, edges, nb, z, n_iters, norm, block_b=block_b, z_axis=z_axis
+                chp, edges, nb, z, n_iters, norm, block_b=block_b, z_axis=z_axis,
+                schedule=schedule,
             )
             posterior = posterior[..., :b] if pad else posterior
         else:
@@ -437,7 +450,11 @@ def build_decoder(
 
 
 def decode_reference(
-    code: QCLdpcCode, llr: np.ndarray, n_iters: int = 20, norm: float = 0.75
+    code: QCLdpcCode,
+    llr: np.ndarray,
+    n_iters: int = 20,
+    norm: float = 0.75,
+    schedule: str = "flooding",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Float64 numpy flooding normalized-min-sum with the identical schedule
     (same edge order, same per-variable summation association as the
@@ -465,6 +482,42 @@ def decode_reference(
         return out
 
     c2v = np.zeros((b, mb, d, z))
+    if schedule == "layered":
+        # row-serial mirror of the pallas layered sweep: identical row order,
+        # identical two-min/tie semantics (np.argmin = first minimum)
+        L = ch.copy()
+        cv = {e: np.zeros((b, z)) for e in range(len(edges))}
+        row_eids = [[e for e, (i2, _, _, _) in enumerate(edges) if i2 == i] for i in range(mb)]
+        for _ in range(n_iters):
+            for i in range(mb):
+                eids = row_eids[i]
+                v2c = np.stack(
+                    [np.roll(L[:, edges[e][2]], -edges[e][3], axis=-1) - cv[e] for e in eids],
+                    axis=1,
+                )  # (b, deg, z)
+                mag = np.abs(v2c)
+                neg = v2c < 0
+                i_min = np.argmin(mag, axis=1)
+                onehot = np.arange(len(eids))[:, None] == i_min[:, None, :]
+                min1 = np.min(mag, axis=1, keepdims=True)
+                min2 = np.min(np.where(onehot, _BIG, mag), axis=1, keepdims=True)
+                ext = np.where(onehot, min2, min1)
+                par = np.logical_xor.reduce(neg, axis=1, keepdims=True)
+                sgn = 1.0 - 2.0 * np.logical_xor(par, neg)
+                upd = norm * sgn * ext
+                for t_, e in enumerate(eids):
+                    j, s = edges[e][2], edges[e][3]
+                    L[:, j] += np.roll(upd[:, t_] - cv[e], s, axis=-1)
+                    cv[e] = upd[:, t_]
+        posterior = L.reshape(b, code.n)
+        bits = (posterior < 0).astype(np.uint8)
+        par2 = np.sum(gather(bits.reshape(b, nb, z).astype(np.int64)) * valid, axis=-2) % 2
+        ok = ~np.any(par2, axis=(-2, -1))
+        return (
+            bits.reshape(lead + (code.n,)),
+            ok.reshape(lead),
+            posterior.reshape(lead + (code.n,)),
+        )
     for _ in range(n_iters):
         post = accum(c2v)
         v2c = gather(post) - c2v

@@ -289,7 +289,7 @@ def inpaint_stack(
 # ---------------------------------------------------------------------------
 
 
-def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm, z_axis):
+def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm, z_axis, schedule):
     """One batch-tile program: ALL `n_iters` flooding sweeps in VMEM.
 
     The XLA tier round-trips every message array through HBM once per
@@ -327,41 +327,71 @@ def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm, z_axis)
             return jnp.concatenate([x[z - s :], x[: z - s]], axis=0)
         return jnp.concatenate([x[:, z - s :], x[:, : z - s]], axis=1)
 
-    def sweep(_, c2v):
+    def row_update(v2c):
+        """Row-extrinsic min-sum messages for one check row's v2c list —
+        two-min fold with first-min index (== jnp.argmin tie semantics)."""
+        mags = [jnp.abs(v) for v in v2c]
+        negs = [v < 0 for v in v2c]
+        m1 = mags[0]
+        m2 = jnp.full(shape, big, dtype)
+        i1 = jnp.zeros(shape, jnp.int32)
+        par = negs[0]
+        for t_, m in enumerate(mags[1:], start=1):
+            less = m < m1
+            m2 = jnp.where(less, m1, jnp.minimum(m2, m))
+            i1 = jnp.where(less, t_, i1)
+            m1 = jnp.where(less, m, m1)
+            par = par ^ negs[t_]
+        out = []
+        for t_ in range(len(v2c)):
+            ext_mag = jnp.where(i1 == t_, m2, m1)
+            # extrinsic sign = total sign * own sign (xor of the bools)
+            neg_ext = par ^ negs[t_]
+            sgn = 1.0 - 2.0 * neg_ext.astype(dtype)
+            out.append(norm * sgn * ext_mag)
+        return out
+
+    def sweep_flooding(_, c2v):
         acc = list(ch)
         for e, (i, t, j, s) in enumerate(edges):
             acc[j] = acc[j] + roll(c2v[e], s)
         new = [None] * len(edges)
         for i, eids in enumerate(rows):
             v2c = [roll(acc[edges[e][2]], -edges[e][3]) - c2v[e] for e in eids]
-            mags = [jnp.abs(v) for v in v2c]
-            negs = [v < 0 for v in v2c]
-            # two-min fold with first-min index (== jnp.argmin tie semantics)
-            m1 = mags[0]
-            m2 = jnp.full(shape, big, dtype)
-            i1 = jnp.zeros(shape, jnp.int32)
-            par = negs[0]
-            for t_, m in enumerate(mags[1:], start=1):
-                less = m < m1
-                m2 = jnp.where(less, m1, jnp.minimum(m2, m))
-                i1 = jnp.where(less, t_, i1)
-                m1 = jnp.where(less, m, m1)
-                par = par ^ negs[t_]
+            upd = row_update(v2c)
             for t_, e in enumerate(eids):
-                ext_mag = jnp.where(i1 == t_, m2, m1)
-                # extrinsic sign = total sign * own sign (xor of the bools)
-                neg_ext = par ^ negs[t_]
-                sgn = 1.0 - 2.0 * neg_ext.astype(dtype)
-                new[e] = norm * sgn * ext_mag
+                new[e] = upd[t_]
         return tuple(new)
 
+    def sweep_layered(_, state):
+        # Row-layered (serial) schedule: the posterior updates after EVERY
+        # check row, so later rows in the same sweep see fresher beliefs —
+        # ~2x faster convergence per sweep than flooding at the same
+        # per-sweep op count (the classic layered-decoding property).
+        L, c2v = list(state[0]), list(state[1])
+        for i, eids in enumerate(rows):
+            v2c = [roll(L[edges[e][2]], -edges[e][3]) - c2v[e] for e in eids]
+            upd = row_update(v2c)
+            for t_, e in enumerate(eids):
+                j, s = edges[e][2], edges[e][3]
+                L[j] = L[j] + roll(upd[t_] - c2v[e], s)
+                c2v[e] = upd[t_]
+        return tuple(L), tuple(c2v)
+
     c2v0 = tuple(jnp.zeros(shape, dtype) for _ in edges)
-    c2v = jax.lax.fori_loop(0, n_iters, sweep, c2v0, unroll=False)
-    acc = list(ch)
-    for e, (i, t, j, s) in enumerate(edges):
-        acc[j] = acc[j] + roll(c2v[e], s)
-    for j in range(nb):
-        out_ref[0, j] = acc[j]
+    if schedule == "layered":
+        L, _ = jax.lax.fori_loop(
+            0, n_iters, sweep_layered, (tuple(ch), c2v0), unroll=False
+        )
+        for j in range(nb):
+            out_ref[0, j] = L[j]
+    else:
+        c2v = jax.lax.fori_loop(0, n_iters, sweep_flooding, c2v0, unroll=False)
+        acc = list(ch)
+        for e, (i, t, j, s) in enumerate(edges):
+            acc[j] = acc[j] + roll(c2v[e], s)
+        for j in range(nb):
+            out_ref[0, j] = acc[j]
 
 
 _LDPC_BIG = 1e30
@@ -376,6 +406,7 @@ def ldpc_posterior(
     norm: float,
     block_b: int = 128,
     z_axis: int = 0,
+    schedule: str = "flooding",
 ) -> jnp.ndarray:
     """Flooding normalized-min-sum posterior, all iterations VMEM-resident.
 
@@ -417,6 +448,7 @@ def ldpc_posterior(
             n_iters=int(n_iters),
             norm=float(norm),
             z_axis=z_axis,
+            schedule=schedule,
         ),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(tile, lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)],

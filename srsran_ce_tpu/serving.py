@@ -446,13 +446,16 @@ def _decode_soft(
     from . import transport as _tr
     from .ops import ldpc as _ldpc
 
+    sched = getattr(coding, "schedule", "flooding")
     dec = _ldpc.build_decoder(
-        coding.code, n_iters=coding.n_iters, norm=coding.norm, kernels=coding.kernels
+        coding.code, n_iters=coding.n_iters, norm=coding.norm,
+        kernels=coding.kernels, schedule=sched,
     )
     early = coding.early_iters
     if early is not None and early < coding.n_iters:
         dec_early = _ldpc.build_decoder(
-            coding.code, n_iters=early, norm=coding.norm, kernels=coding.kernels
+            coding.code, n_iters=early, norm=coding.norm,
+            kernels=coding.kernels, schedule=sched,
         )
     else:
         dec_early = None

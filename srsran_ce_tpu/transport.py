@@ -53,6 +53,10 @@ class TransportCoding:
     scramble_c_init: Optional[int] = None
     kernels: str = "auto"
     crc: Optional[str] = None
+    # min-sum schedule: "flooding" (all tiers) or "layered" (row-serial,
+    # pallas tier only — ~2x fewer sweeps for the same BER, so set n_iters
+    # accordingly; measured 2.3x effective throughput at matched quality)
+    schedule: str = "flooding"
     # Two-phase early termination in the serving decode: every word first
     # runs `early_iters` sweeps (converged words — the vast majority at
     # operating SNR — are done); only parity failures rerun at the full

@@ -275,3 +275,34 @@ def test_early_termination_serving_equivalence():
     )[0]
     assert bool(np.asarray(r_two.ok).all()) and bool(np.asarray(r_one.ok).all())
     assert np.array_equal(r_two.info, u) and np.array_equal(r_one.info, u)
+
+
+def test_layered_schedule_matches_reference_and_converges_faster():
+    """schedule='layered' (pallas tier, row-serial): bitwise vs its float64
+    numpy mirror, and strictly-no-worse convergence than flooding at equal
+    sweep counts (the classic layered property: later rows see fresher
+    beliefs, ~2x fewer sweeps for the same BER)."""
+    code = ldpc.array_code(3, 8, 13)
+    rng = np.random.default_rng(21)
+    llr = rng.normal(0, 2.5, (6, code.n)).astype(np.float32)
+    p = ldpc.build_decoder(code, n_iters=5, kernels="pallas", schedule="layered")(llr)
+    rb, rok, rpost = ldpc.decode_reference(code, llr, n_iters=5, schedule="layered")
+    assert np.array_equal(np.asarray(p.bits), rb)
+    assert np.array_equal(np.asarray(p.ok), rok)
+    np.testing.assert_allclose(np.asarray(p.posterior), rpost, rtol=0, atol=1e-5)
+
+    code2 = ldpc.array_code(3, 8, 53)
+    plan2 = ldpc.make_ldpc_plan(code2)
+    u = rng.integers(0, 2, (64, plan2.k), dtype=np.uint8)
+    c = ldpc.encode(code2, u)
+    snr = 10.0 ** 0.2  # 2 dB: near threshold, few sweeps don't finish everything
+    llr2 = (4 * snr * ((1 - 2.0 * c) + rng.normal(0, np.sqrt(0.5 / snr), c.shape))).astype(np.float32)
+    ok_f = int(np.asarray(ldpc.build_decoder(code2, n_iters=3)(llr2).ok).sum())
+    ok_l = int(np.asarray(
+        ldpc.build_decoder(code2, n_iters=3, kernels="pallas", schedule="layered")(llr2).ok
+    ).sum())
+    assert ok_l >= ok_f, (ok_l, ok_f)
+    assert ok_l > 48, ok_l  # layered at 3 sweeps already converges most words
+    # layered on a too-large code without the pallas tier must raise
+    with pytest.raises(ValueError):
+        ldpc.build_decoder(ldpc.array_code(16, 64, 1021), n_iters=3, schedule="layered")
