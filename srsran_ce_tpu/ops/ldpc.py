@@ -342,9 +342,10 @@ def build_decoder(
         kernels = "pallas"
     elif kernels == "pallas" and not _pallas_vmem_fits(code):
         raise ValueError(
-            "code too large for the VMEM-resident pallas tier "
-            f"(~{_pallas_vmem_bytes(code)/2**20:.0f} MB live messages > 12 MB budget); "
-            "use kernels='xla' or 'auto'"
+            "code too large for the VMEM-resident pallas tier: smallest tile "
+            f"(lane-z, 8-row batch) needs ~{_pallas_vmem_bytes(code)/2**20:.1f} MB "
+            f"live messages > the {_PALLAS_VMEM_BUDGET/2**20:.0f} MB model budget "
+            "(half the 16 MB scoped-vmem limit); use kernels='xla' or 'auto'"
         )
     plan = make_ldpc_plan(code)
     mb, nb, d, z = code.n_check_blocks, code.n_var_blocks, plan.max_degree, code.z

@@ -477,22 +477,34 @@ def _decode_soft(
                 )
         lay = layouts[key]
         if coding.scramble_c_init is not None:
-            llr = llr * (1 - 2 * planes[key].astype(np.int8))
+            from .ops import demap as _demap
+
+            llr = _demap.descramble_llrs(llr, planes[key])
         streams.append(_tr.extract_streams(lay, llr))
         counts.append(lay.c_words)
     words = np.concatenate(streams, axis=0)
 
     def run_chunks(decoder, w):
+        # Every chunk is padded (by repetition) to a power-of-two bucket in
+        # [32, word_batch], so the executable set stays bounded regardless of
+        # the DATA-DEPENDENT word counts this sees — the early-termination
+        # retry set size varies with the noise realization, and an unpadded
+        # call would compile a fresh program per distinct failure count.
         infos, oks = [], []
         for start in range(0, w.shape[0], word_batch):
             chunk = w[start : start + word_batch]
-            if w.shape[0] > word_batch and chunk.shape[0] < word_batch:
+            n = chunk.shape[0]
+            bucket = 32
+            while bucket < n:
+                bucket *= 2
+            bucket = min(bucket, word_batch)
+            if n < bucket:
                 chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], word_batch - chunk.shape[0], axis=0)]
+                    [chunk, np.repeat(chunk[-1:], bucket - n, axis=0)]
                 )
             r = decoder(chunk)
-            infos.append(np.asarray(r.info)[: min(word_batch, w.shape[0] - start)])
-            oks.append(np.asarray(r.ok)[: min(word_batch, w.shape[0] - start)])
+            infos.append(np.asarray(r.info)[:n])
+            oks.append(np.asarray(r.ok)[:n])
         return np.concatenate(infos, axis=0), np.concatenate(oks, axis=0)
 
     if dec_early is not None:

@@ -427,7 +427,8 @@ def make_mimo_case(
         # noise_seed (forwarded via case_kwargs) varies the AWGN draw while
         # keeping channels/payload fixed — multi-slot tracking evals sound the
         # SAME static channel through independent noise
-        nseed = case_kwargs.get("noise_seed") or seed
+        _ns = case_kwargs.get("noise_seed")
+        nseed = seed if _ns is None else _ns  # `or` would discard noise_seed=0
         nrng = np.random.default_rng((nseed + 1) * 1_000_003 + r)
         rx += noise_std * (
             nrng.standard_normal(rx.shape) + 1j * nrng.standard_normal(rx.shape)

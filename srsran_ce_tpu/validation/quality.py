@@ -413,13 +413,19 @@ def coded_ber_sweep(
         unc_errs = unc_total = 0
         for i in range(n_cases):
             seed = seed0 + i
-            probe = make_mimo_case(seed=seed, snr_db=float(snr), **mk)
-            n_sc, n_sym = probe.data_mask.shape
+            # geometry probe: a single-port make_case carries the same hops /
+            # grid shape as the full MIMO link (make_mimo_case builds its
+            # per-port cases from it) without drawing n_rx channels + noise
+            geo = synthetic.make_case(
+                seed=seed, snr_db=float(snr), n_prbs=n_prbs, n_layers=n_layers,
+                **case_kwargs,
+            )
+            n_sc, n_sym = geo.received_rg.shape
             # Channel interleaver + placement via the shared transport layout
             # (fades are hundred-bit bursts in natural (sc, sym) order —
             # measured to defeat the code without interleaving).
             coding = transport.TransportCoding(code=code, interleave_seed=seed ^ 0xC0DED)
-            lay = transport.layout(coding, probe.hop1, probe.hop2, n_sc, n_sym, n_layers, nbits)
+            lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, n_layers, nbits)
             mask, perm, c_words = lay.mask, lay.perm, lay.c_words
             rng = np.random.default_rng(seed ^ 0xC0DED)
             u = rng.integers(0, 2, (c_words, plan.k), dtype=np.uint8)
@@ -439,7 +445,7 @@ def coded_ber_sweep(
             llr = np.stack([np.asarray(p) for p in res.llr], axis=-1)
             llr = np.transpose(llr, (2, 1, 0, 3)).astype(np.float32)
             if case.scramble_c is not None:
-                llr = llr * (1.0 - 2.0 * case.scramble_c.astype(np.float32))
+                llr = demap.descramble_llrs(llr, case.scramble_c)
             cw_llrs = transport.extract_streams(lay, llr)
             d = dec(cw_llrs)
             info = np.asarray(d.info)
