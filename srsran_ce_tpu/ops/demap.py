@@ -12,7 +12,8 @@ whose unbiased estimate x_tilde = x_hat / alpha sees complex noise variance
 returns, so demapping needs no extra channel state.
 
 For the square Gray-mapped QAM constellations of TS 38.211 §5.1 (QPSK, 16QAM,
-64QAM, 256QAM) the I and Q bit groups demap independently, so the exact
+64QAM, 256QAM, 1024QAM; BPSK demaps on its diagonal axis) the I and Q bit
+groups demap independently, so the exact
 max-log LLR per bit is a min over at most 2^(m-1) = 8 PAM levels per
 hypothesis — vectorized as one (levels,)-trailing broadcast that XLA fuses
 into a few elementwise ops per RE; no per-constellation-point Python loops and
@@ -32,14 +33,17 @@ import jax.numpy as jnp
 
 # m = bits per PAM axis; levels are odd integers scaled by 1/sqrt(norm)
 # (TS 38.211 §5.1.3-§5.1.6 normalizations).
-_QAM_NORM = {1: 2.0, 2: 10.0, 3: 42.0, 4: 170.0}
+_QAM_NORM = {1: 2.0, 2: 10.0, 3: 42.0, 4: 170.0, 5: 682.0}
 
-MODULATIONS = ("qpsk", "16qam", "64qam", "256qam")
+MODULATIONS = ("bpsk", "qpsk", "16qam", "64qam", "256qam", "1024qam")
 
 
 def bits_per_symbol(modulation: str) -> int:
     try:
-        return {"qpsk": 2, "16qam": 4, "64qam": 6, "256qam": 8}[modulation]
+        return {
+            "bpsk": 1, "qpsk": 2, "16qam": 4, "64qam": 6, "256qam": 8,
+            "1024qam": 10,
+        }[modulation]
     except KeyError:
         raise ValueError(f"modulation must be one of {MODULATIONS}: {modulation!r}")
 
@@ -74,6 +78,9 @@ def constellation(modulation: str) -> np.ndarray:
     (b0..b_{n-1} -> index sum b_k 2^(n-1-k)). Host-side numpy (modulators and
     the test oracle use it)."""
     nbits = bits_per_symbol(modulation)
+    if nbits == 1:
+        # TS 38.211 5.1.2 BPSK: d = (1-2b)(1+j)/sqrt(2)
+        return np.array([(1 + 1j), (-1 - 1j)]) / np.sqrt(2.0)
     m = nbits // 2
     s = np.sqrt(_QAM_NORM[m])
     pts = np.empty(1 << nbits, np.complex128)
@@ -92,6 +99,11 @@ def _llr_list(x: jnp.ndarray, sinr: jnp.ndarray, modulation: str):
     sinr = jnp.broadcast_to(jnp.asarray(sinr, rdt), x.shape)
     alpha = sinr / (1.0 + sinr)
     xt_scale = jnp.where(sinr > 0, 1.0 / jnp.maximum(alpha, 1e-30), 0.0)
+    if nbits == 1:
+        # BPSK: one bit on the diagonal axis p = (1+j)/sqrt(2);
+        # exact max-log LLR = 4 * sinr * Re(x_tilde * conj(p))
+        t = (jnp.real(x) + jnp.imag(x)) * (xt_scale / np.sqrt(2.0))
+        return [4.0 * t * sinr]
     norm = _QAM_NORM[m]
     s = np.sqrt(norm)
     # work in t-units (levels at odd integers): t = Re/Im(x_tilde) * sqrt(norm)

@@ -14,7 +14,9 @@ def test_constellation_unit_energy_gray(mod):
     assert np.unique(np.round(pts, 12)).size == pts.size
     np.testing.assert_allclose(np.mean(np.abs(pts) ** 2), 1.0, rtol=1e-12)
     # Gray property: adjacent levels on each axis differ in exactly one bit
-    # (check via sorting the I-axis bit groups)
+    # (check via sorting the I-axis bit groups); BPSK has a single level pair
+    if n == 1:
+        return
     m = n // 2
     levels, bits = demap._pam_table(m)
     order = np.argsort(levels)
