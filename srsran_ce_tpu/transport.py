@@ -227,3 +227,26 @@ def payload_bits(coding: TransportCoding, k: int) -> int:
     if coding.crc is None:
         return k
     return k - _CRC_POLYS[coding.crc][0]
+
+
+def combine_llrs(llr_list) -> np.ndarray:
+    """HARQ chase combining: sum soft bits across retransmissions of the SAME
+    codeword placement (TS 38.214-style HARQ with identical redundancy — each
+    retransmission's LLR grid is extracted with the same TransportLayout, then
+    added; min-sum consumes the combined beliefs, worth ~10*log10(n_tx) dB of
+    effective SNR).
+
+    llr_list: sequence of int8 or float LLR arrays (same shape, already
+    descrambled per-transmission). int8 inputs combine in int16 headroom and
+    re-saturate to the int8 range [-127, 127]; float inputs sum exactly."""
+    arrs = [np.asarray(a) for a in llr_list]
+    assert len(arrs) >= 1 and all(a.shape == arrs[0].shape for a in arrs)
+    if all(a.dtype == np.int8 for a in arrs):
+        acc = np.zeros(arrs[0].shape, np.int16)
+        for a in arrs:
+            acc += a.astype(np.int16)
+        return np.clip(acc, -127, 127).astype(np.int8)
+    acc = np.zeros(arrs[0].shape, np.float64)
+    for a in arrs:
+        acc += a.astype(np.float64)
+    return acc

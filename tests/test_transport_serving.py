@@ -174,3 +174,48 @@ def test_decoded_serving_with_crc_gate():
     assert res.info.shape == (lay.c_words, kp)
     assert bool(np.asarray(res.ok).all())
     assert np.array_equal(res.info, u)
+
+
+def test_harq_chase_combining_recovers_failed_transmissions():
+    """transport.combine_llrs: two transmissions of the SAME codewords at an
+    SNR where each alone fails; chase-combined soft bits must decode exactly
+    (int8 path, with saturation semantics)."""
+    code = ldpc.array_code(8, 16, 61)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("16qam")
+    n_layers, n_rx = 2, 2
+    snr = 11.0  # each transmission alone is below the code's waterfall
+    mk = dict(n_rx=n_rx, modulation="16qam", scramble=False, n_prbs=12, n_layers=n_layers)
+    seed = 6200
+    geo = synthetic.make_case(seed=seed, snr_db=snr, n_prbs=12, n_layers=n_layers)
+    n_sc, n_sym = geo.received_rg.shape
+    coding = transport.TransportCoding(code=code, n_iters=30, interleave_seed=1)
+    lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, n_layers, nbits)
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 2, (lay.c_words, plan.k), dtype=np.uint8)
+    bits = transport.place_codewords(lay, ldpc.encode(code, u), n_layers, nbits, fill_rng=rng)
+
+    soft = []
+    per_tx_ok = []
+    for tx in range(2):
+        case = synthetic.make_mimo_case(
+            seed=seed, snr_db=snr, bits=bits, noise_seed=7000 + tx, **mk
+        )
+        prob = serving.Problem(
+            case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+            case.beta, case.hop1, case.hop2, case.config,
+        )
+        res = serving.process(
+            [prob], batch_size=4, out="decoded", modulation="16qam", coding=coding,
+            matmul_precision=None,
+        )[0]
+        per_tx_ok.append(bool(np.asarray(res.ok).all()))
+        soft.append(res.soft.llr)
+    assert not all(per_tx_ok), "SNR chosen so a single transmission fails sometimes"
+    combined = transport.combine_llrs(soft)
+    assert combined.dtype == np.int8
+    dec = ldpc.build_decoder(code, n_iters=30)(transport.extract_streams(lay, combined))
+    assert bool(np.asarray(dec.ok).all()), "chase combining must rescue the block"
+    assert np.array_equal(
+        np.asarray(dec.bits)[:, ldpc.make_ldpc_plan(code).info_cols], u
+    )
