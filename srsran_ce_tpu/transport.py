@@ -64,6 +64,15 @@ class TransportCoding:
     # batch-level early exit: two executables instead of a dynamic loop.
     # None disables (single full-n_iters pass).
     early_iters: Optional[int] = 8
+    # Incremental-redundancy HARQ (TS 38.212 §5.4.2 circular buffer, simplified):
+    # tx_bits < n transmits only a contiguous (mod n) window of each codeword,
+    # starting at rv * tx_bits — effective rate k/tx_bits per transmission.
+    # Untransmitted positions extract as LLR 0 (erasures, which min-sum handles
+    # natively); retransmissions with different `rv` fill different windows, so
+    # combine_llrs of the extracted streams IS incremental-redundancy combining.
+    # None = transmit the full codeword (chase combining across identical TXs).
+    tx_bits: Optional[int] = None
+    rv: int = 0
 
 
 @dataclass(frozen=True)
@@ -80,6 +89,8 @@ class TransportLayout:
     total: int
     k: int
     n: int
+    tx_bits: int  # coded bits transmitted per word (n unless IR-punctured)
+    cw_sel: np.ndarray  # (tx_bits,) codeword positions this RV transmits
 
 
 def data_mask(
@@ -114,16 +125,22 @@ def layout(
     mask = data_mask(hop1, hop2, n_sc, n_sym)
     total = int(mask.sum()) * n_layers * nbits
     n = coding.code.n
-    c_words = total // n
+    tx_bits = coding.tx_bits if coding.tx_bits is not None else n
+    assert 1 <= tx_bits <= n, (tx_bits, n)
+    c_words = total // tx_bits
     if c_words < 1:
         raise ValueError(
-            f"allocation carries {total} scored bits < one {n}-bit codeword"
+            f"allocation carries {total} scored bits < one {tx_bits}-bit transmission"
         )
     rng = np.random.default_rng(coding.interleave_seed)
-    perm = rng.permutation(total)[: c_words * n]
+    perm = rng.permutation(total)[: c_words * tx_bits]
+    # circular-buffer window for this redundancy version (same RE positions
+    # for every RV — only WHICH code bits ride them changes)
+    cw_sel = (coding.rv * tx_bits + np.arange(tx_bits)) % n
     plan = make_ldpc_plan(coding.code)
     return TransportLayout(
-        mask=mask, perm=perm, c_words=c_words, total=total, k=plan.k, n=n
+        mask=mask, perm=perm, c_words=c_words, total=total, k=plan.k, n=n,
+        tx_bits=tx_bits, cw_sel=cw_sel,
     )
 
 
@@ -155,14 +172,13 @@ def place_codewords(
     """Transmitter side: scatter encoded words into a PRE-scrambling payload
     bit grid (n_sc, n_sym, n_layers, nbits). Positions the codewords don't
     fill get random bits from `fill_rng` (zeros if None)."""
-    codewords = np.asarray(codewords, np.uint8).reshape(-1)
-    assert codewords.size == lay.c_words * lay.n, (codewords.size, lay.c_words, lay.n)
+    codewords = np.asarray(codewords, np.uint8).reshape(lay.c_words, lay.n)
     stream = (
         fill_rng.integers(0, 2, lay.total, dtype=np.uint8)
         if fill_rng is not None
         else np.zeros(lay.total, np.uint8)
     )
-    stream[lay.perm] = codewords
+    stream[lay.perm] = codewords[:, lay.cw_sel].reshape(-1)
     n_sc, n_sym = lay.mask.shape
     bits = np.zeros((n_sc, n_sym, n_layers, nbits), np.uint8)
     bits[lay.mask] = stream.reshape(-1, n_layers, nbits)
@@ -172,9 +188,14 @@ def place_codewords(
 def extract_streams(lay: TransportLayout, llr_grid: np.ndarray) -> np.ndarray:
     """Receiver side: pull the (c_words, n) codeword LLRs out of a
     (n_sc, n_sym, n_layers, nbits) LLR grid (int8 or float; already
-    descrambled). Exact inverse of `place_codewords`' position mapping."""
+    descrambled). Exact inverse of `place_codewords`' position mapping;
+    codeword positions this RV did not transmit come back as LLR 0
+    (erasures — IR-HARQ retransmissions fill them via `combine_llrs`)."""
     flat = np.asarray(llr_grid)[lay.mask].reshape(-1)
-    return flat[lay.perm].reshape(lay.c_words, lay.n)
+    sub = flat[lay.perm].reshape(lay.c_words, lay.tx_bits)
+    out = np.zeros((lay.c_words, lay.n), sub.dtype)
+    out[:, lay.cw_sel] = sub
+    return out
 
 
 # --- CRC attachment (TS 38.212 §5.1) -------------------------------------

@@ -219,3 +219,83 @@ def test_harq_chase_combining_recovers_failed_transmissions():
     assert np.array_equal(
         np.asarray(dec.bits)[:, ldpc.make_ldpc_plan(code).info_cols], u
     )
+
+
+def test_decoded_serving_mixed_geometries_one_call():
+    """One process(out='decoded') call over problems with DIFFERENT
+    geometries (12 vs 18 PRB): per-geometry layouts, cross-problem word
+    batching and the scatter-back ordering must all hold."""
+    code = ldpc.array_code(8, 16, 61)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("16qam")
+    coding = transport.TransportCoding(code=code, n_iters=30, interleave_seed=9)
+    problems, payloads, counts = [], [], []
+    for seed, prbs in ((7300, 12), (7301, 18), (7302, 12)):
+        mk = dict(n_rx=2, modulation="16qam", scramble=False, n_prbs=prbs, n_layers=2)
+        geo = synthetic.make_case(seed=seed, snr_db=22.0, n_prbs=prbs, n_layers=2)
+        n_sc, n_sym = geo.received_rg.shape
+        lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, 2, nbits)
+        rng = np.random.default_rng(seed)
+        u = rng.integers(0, 2, (lay.c_words, plan.k), dtype=np.uint8)
+        bits = transport.place_codewords(lay, ldpc.encode(code, u), 2, nbits, fill_rng=rng)
+        case = synthetic.make_mimo_case(seed=seed, snr_db=22.0, bits=bits, **mk)
+        problems.append(serving.Problem(
+            case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+            case.beta, case.hop1, case.hop2, case.config))
+        payloads.append(u)
+        counts.append(lay.c_words)
+    res = serving.process(problems, batch_size=4, out="decoded", modulation="16qam",
+                          coding=coding, matmul_precision=None)
+    assert counts[0] != counts[1], "geometries must differ in word count"
+    for r, u in zip(res, payloads):
+        assert r.info.shape[0] == u.shape[0]
+        assert bool(np.asarray(r.ok).all())
+        assert np.array_equal(r.info, u)
+
+
+def test_ir_harq_punctured_rvs_combine_and_decode():
+    """Incremental redundancy: tx_bits = n/2 sends half the codeword per
+    transmission (effective rate ~1 — undecodable alone even at high SNR);
+    RV0 + RV1 cover the full codeword, and combine_llrs of the extracted
+    streams decodes exactly."""
+    code = ldpc.array_code(8, 16, 61)  # n=976, mother rate ~0.5
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("16qam")
+    n_layers = 2
+    mk = dict(n_rx=2, modulation="16qam", scramble=False, n_prbs=12, n_layers=n_layers)
+    seed = 8400
+    geo = synthetic.make_case(seed=seed, snr_db=25.0, n_prbs=12, n_layers=n_layers)
+    n_sc, n_sym = geo.received_rg.shape
+    base = dict(code=code, n_iters=30, interleave_seed=4, tx_bits=code.n // 2)
+    lay0 = transport.layout(transport.TransportCoding(**base, rv=0),
+                            geo.hop1, geo.hop2, n_sc, n_sym, n_layers, nbits)
+    lay1 = transport.layout(transport.TransportCoding(**base, rv=1),
+                            geo.hop1, geo.hop2, n_sc, n_sym, n_layers, nbits)
+    assert lay0.c_words == lay1.c_words
+    assert np.intersect1d(lay0.cw_sel, lay1.cw_sel).size == 0, "RV windows disjoint"
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 2, (lay0.c_words, plan.k), dtype=np.uint8)
+    cw = ldpc.encode(code, u)
+
+    streams = []
+    for rv, lay in ((0, lay0), (1, lay1)):
+        bits = transport.place_codewords(lay, cw, n_layers, nbits, fill_rng=rng)
+        case = synthetic.make_mimo_case(
+            seed=seed, snr_db=25.0, bits=bits, noise_seed=8500 + rv, **mk
+        )
+        prob = serving.Problem(
+            case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+            case.beta, case.hop1, case.hop2, case.config,
+        )
+        soft = serving.process(
+            [prob], batch_size=4, out="llrs", modulation="16qam",
+            matmul_precision=None,
+        )[0]
+        streams.append(transport.extract_streams(lay, soft.llr))
+        # a single punctured RV is rate ~1: parity cannot be satisfied reliably
+        d1 = ldpc.build_decoder(code, n_iters=30)(streams[-1])
+        assert not bool(np.asarray(d1.ok).all()), f"rv{rv} alone must not decode"
+    combined = transport.combine_llrs(streams)
+    d = ldpc.build_decoder(code, n_iters=30)(combined)
+    assert bool(np.asarray(d.ok).all()), "RV0+RV1 must decode"
+    assert np.array_equal(np.asarray(d.info), u)
