@@ -624,6 +624,20 @@ def process(
             modulation=modulation,
             llr_scale=llr_scale,
         )
+        if isinstance(coding, (list, tuple)):
+            # per-problem codings (e.g. per-UE scramble_c_init / code / RV):
+            # group by the frozen coding value, decode each group's words
+            # together, scatter back in submission order
+            assert len(coding) == len(problems), (len(coding), len(problems))
+            results_d: List[Optional[DecodedServeResult]] = [None] * len(problems)
+            groups: Dict[object, List[int]] = {}
+            for i, c in enumerate(coding):
+                groups.setdefault(c, []).append(i)
+            for c, idxs in groups.items():
+                sub = _decode_soft([problems[i] for i in idxs], [soft[i] for i in idxs], c)
+                for i, r in zip(idxs, sub):
+                    results_d[i] = r
+            return results_d  # type: ignore[return-value]
         return _decode_soft(problems, soft, coding)
     equalized = out in ("equalized", "llrs")
     factored = out == "factored"

@@ -299,3 +299,38 @@ def test_ir_harq_punctured_rvs_combine_and_decode():
     d = ldpc.build_decoder(code, n_iters=30)(combined)
     assert bool(np.asarray(d.ok).all()), "RV0+RV1 must decode"
     assert np.array_equal(np.asarray(d.info), u)
+
+
+def test_decoded_serving_per_problem_codings():
+    """coding= accepts a list aligned with problems: per-UE scrambling
+    initializers decode correctly in ONE process call."""
+    code = ldpc.array_code(8, 16, 61)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("16qam")
+    n_layers = 2
+    problems, payloads, codings = [], [], []
+    for seed, rnti in ((7500, 0x1111), (7501, 0x2222)):
+        mk = dict(n_rx=2, modulation="16qam", scramble=True, rnti=rnti,
+                  n_prbs=12, n_layers=n_layers)
+        geo = synthetic.make_case(seed=seed, snr_db=22.0, n_prbs=12, n_layers=n_layers)
+        n_sc, n_sym = geo.received_rg.shape
+        c_init = sequences.pusch_scrambling_c_init(rnti, seed % 1024)
+        coding = transport.TransportCoding(
+            code=code, n_iters=30, interleave_seed=2, scramble_c_init=c_init
+        )
+        lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, n_layers, nbits)
+        rng = np.random.default_rng(seed)
+        u = rng.integers(0, 2, (lay.c_words, plan.k), dtype=np.uint8)
+        bits = transport.place_codewords(lay, ldpc.encode(code, u), n_layers, nbits, fill_rng=rng)
+        case = synthetic.make_mimo_case(seed=seed, snr_db=22.0, bits=bits, **mk)
+        problems.append(serving.Problem(
+            case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+            case.beta, case.hop1, case.hop2, case.config))
+        payloads.append(u)
+        codings.append(coding)
+    assert codings[0] != codings[1]
+    res = serving.process(problems, batch_size=4, out="decoded", modulation="16qam",
+                          coding=codings, matmul_precision=None)
+    for r, u in zip(res, payloads):
+        assert bool(np.asarray(r.ok).all())
+        assert np.array_equal(r.info, u)
