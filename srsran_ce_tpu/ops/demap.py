@@ -14,10 +14,9 @@ returns, so demapping needs no extra channel state.
 For the square Gray-mapped QAM constellations of TS 38.211 §5.1 (QPSK, 16QAM,
 64QAM, 256QAM, 1024QAM; BPSK demaps on its diagonal axis) the I and Q bit
 groups demap independently, so the exact
-max-log LLR per bit is a min over at most 2^(m-1) = 8 PAM levels per
-hypothesis — vectorized as one (levels,)-trailing broadcast that XLA fuses
-into a few elementwise ops per RE; no per-constellation-point Python loops and
-no approximate "folding" (this is EXACT max-log, verified against a brute-force
+max-log LLR per bit is a min over at most 2^(m-1) PAM levels per hypothesis
+(16 at 1024QAM) — computed as a closed-form Gray fold of a few elementwise
+ops per RE; no per-constellation-point Python loops and no approximation (this is EXACT max-log, verified against a brute-force
 2D constellation scan in tests/test_demap.py).
 
 LLR sign convention: positive = bit 0 more likely (3GPP soft-bit convention,

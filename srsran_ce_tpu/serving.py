@@ -628,7 +628,10 @@ def process(
             # per-problem codings (e.g. per-UE scramble_c_init / code / RV):
             # group by the frozen coding value, decode each group's words
             # together, scatter back in submission order
-            assert len(coding) == len(problems), (len(coding), len(problems))
+            if len(coding) != len(problems):
+                raise ValueError(
+                    f"coding list length {len(coding)} != {len(problems)} problems"
+                )
             results_d: List[Optional[DecodedServeResult]] = [None] * len(problems)
             groups: Dict[object, List[int]] = {}
             for i, c in enumerate(coding):

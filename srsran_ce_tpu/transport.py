@@ -79,9 +79,10 @@ class TransportCoding:
 class TransportLayout:
     """Static per-geometry layout: where each codeword bit of each word lives.
 
-    mask: (n_sc, n_sym) bool payload REs; perm: (c_words * code.n,) positions
-    into the flattened scored bit stream (mask C-order, then (layer, bit));
-    total: scored bits; k/n: code dimensions."""
+    mask: (n_sc, n_sym) bool payload REs; perm: (c_words * tx_bits,)
+    positions into the flattened scored bit stream (mask C-order, then
+    (layer, bit)); total: scored bits; k/n: code dimensions; tx_bits = n
+    unless IR-punctured (TransportCoding.tx_bits)."""
 
     mask: np.ndarray
     perm: np.ndarray
@@ -126,7 +127,8 @@ def layout(
     total = int(mask.sum()) * n_layers * nbits
     n = coding.code.n
     tx_bits = coding.tx_bits if coding.tx_bits is not None else n
-    assert 1 <= tx_bits <= n, (tx_bits, n)
+    if not (1 <= tx_bits <= n):
+        raise ValueError(f"tx_bits must be in [1, n={n}]: {tx_bits}")
     c_words = total // tx_bits
     if c_words < 1:
         raise ValueError(

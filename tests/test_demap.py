@@ -74,7 +74,7 @@ def test_zero_sinr_is_erasure():
     assert np.all(out == 0.0)
 
 
-@pytest.mark.parametrize("mod,snr_db", [("qpsk", 15.0), ("16qam", 20.0),
+@pytest.mark.parametrize("mod,snr_db", [("bpsk", 12.0), ("qpsk", 15.0), ("16qam", 20.0), ("1024qam", 42.0),
                                         ("64qam", 26.0), ("256qam", 33.0)])
 def test_end_to_end_bits_roundtrip(mod, snr_db):
     """modulate -> AWGN at high SNR -> llrs: hard decisions recover the bits."""

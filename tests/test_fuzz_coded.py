@@ -26,7 +26,7 @@ def test_coded_chain_fuzz(trial):
     n_rx = int(rng.choice([1, 2, 3]))
     if n_rx < n_layers:
         n_rx = n_layers
-    modulation = str(rng.choice(["bpsk", "qpsk", "16qam", "256qam"]))
+    modulation = str(rng.choice(["bpsk", "qpsk", "16qam", "256qam", "1024qam"]))
     scramble = bool(rng.integers(0, 2))
     crc = str(rng.choice(["crc16", "crc24b"])) if rng.integers(0, 2) else None
     schedule = "layered" if rng.integers(0, 2) else "flooding"
@@ -36,8 +36,11 @@ def test_coded_chain_fuzz(trial):
     plan = ldpc.make_ldpc_plan(code)
     nbits = demap.bits_per_symbol(modulation)
 
-    # 256QAM needs headroom; hopped allocations have fewer scored REs
-    snr_db = 35.0 if modulation == "256qam" else 30.0
+    # high orders need headroom + RX diversity so deep fades don't bind
+    # (a 2x2 256QAM at 6 PRB is raw-BER-marginal even at 35 dB)
+    snr_db = {"256qam": 35.0, "1024qam": 42.0}.get(modulation, 30.0)
+    if modulation in ("256qam", "1024qam"):
+        n_rx = max(n_rx, n_layers + 1)
     seed = 9100 + trial
     rnti = 0x17A3
     mk = dict(
