@@ -772,19 +772,30 @@ class TrackedServer:
     the same stream in one call both read the same prior state (the second is
     not chained onto the first — last write wins). Batch across streams, loop
     across soundings.
+
+    Tracking state is keyed per (signature, out-mode) because the grid mode
+    (out="grid") and the receiver modes (out="equalized"/"llrs") carry
+    different state shapes (single-port vs per-RX-port). Switching a live
+    stream between the two mode families therefore cannot carry its profile
+    over: the server detects the switch and RESETS that stream's state (the
+    next sounding passes through, as for a brand-new stream) instead of
+    silently keeping two independent states per stream_id.
     """
 
     def __init__(self, batch_size: int = 128, matmul_precision: Optional[str] = "high"):
         self.batch_size = batch_size
         self.matmul_precision = matmul_precision
         self._state: Dict[Tuple, tuple] = {}  # (sig, stream_id) -> (h tuple, w)
+        self._mode: Dict = {}  # stream_id -> last out-mode family (True = receiver)
 
     def reset(self, stream_id=None) -> None:
         """Drop tracking state — for one stream, or all when stream_id is None."""
         if stream_id is None:
             self._state.clear()
+            self._mode.clear()
         else:
             self._state = {k: v for k, v in self._state.items() if k[1] != stream_id}
+            self._mode.pop(stream_id, None)
 
     def process(
         self,
@@ -809,6 +820,14 @@ class TrackedServer:
         if out == "llrs" and modulation is None:
             raise ValueError("out='llrs' requires modulation=")
         assert len(problems) == len(stream_ids)
+        # mode-switch detection: a stream that flips between the grid and
+        # receiver mode families cannot carry its state over (different
+        # shapes) — reset it explicitly instead of silently forking state
+        mode = out != "grid"
+        for sid in stream_ids:
+            if self._mode.get(sid, mode) != mode:
+                self.reset(sid)
+            self._mode[sid] = mode
         buckets: Dict[Tuple, List[int]] = {}
         for i, p in enumerate(problems):
             buckets.setdefault(p.signature(), []).append(i)

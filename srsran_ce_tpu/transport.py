@@ -16,7 +16,9 @@ share ONE implementation:
     bits over the payload positions — frequency fades are hundred-bit bursts
     in natural order and defeat the code outright without it; this plays the
     role of NR's rate-matching interleaver, TS 38.212 §5.4.2);
-  * the TS 38.211 §6.3.1.1 scrambling planes (per-layer Gold streams).
+  * the scrambling planes (per-layer TS 38.211 Gold streams applied to grid
+    planes — see `scramble_planes` for the deliberate deviation from the
+    §6.3.1.1 pre-layer-mapping bit-stream order).
 
 Everything here is host-side numpy; the device work stays in models/receiver
 (fused estimate+equalize+demap) and ops/ldpc (batched min-sum decode).
@@ -149,18 +151,24 @@ def layout(
 def scramble_planes(
     c_init: int, n_sc: int, n_sym: int, n_layers: int, nbits: int
 ) -> np.ndarray:
-    """TS 38.211 §6.3.1.1 scrambling bits aligned with a (n_sc, n_sym,
-    n_layers, nbits) payload-bit grid: one Gold stream per layer (layer l
-    consumes gold_sequence(c_init, (l+1)*L)[l*L:] — independent per-layer
-    streams by offsetting into the sequence, the convention
-    utils/synthetic.make_mimo_case transmits with)."""
+    """Scrambling bits aligned with a (n_sc, n_sym, n_layers, nbits)
+    payload-bit grid: layer l consumes the l-th length-L window of one
+    TS 38.211 Gold stream (gold_sequence(c_init, n_layers*L)[l*L:(l+1)*L]) —
+    independent per-layer streams, the convention
+    utils/synthetic.make_mimo_case transmits with.
+
+    Deliberate deviation from TS 38.211 §6.3.1.1 (which scrambles the
+    per-codeword BIT STREAM before layer mapping, not per-(sc, sym, layer)
+    grid planes): this framework scrambles after placement so the planes are
+    static per geometry and the device-side descramble is a sign flip on the
+    LLR grid. TX and RX share this one implementation so the chain is
+    self-consistent; bit-exact §6.3.1.1 conformance against external NR
+    vectors would need the pre-layer-mapping order (same Gold generator)."""
     from .ops import sequences
 
     n = n_sc * n_sym * nbits
-    planes = []
-    for l in range(n_layers):
-        c = sequences.gold_sequence(int(c_init), (l + 1) * n)
-        planes.append(c[l * n :].reshape(n_sc, n_sym, nbits))
+    c = sequences.gold_sequence(int(c_init), n_layers * n)
+    planes = [c[l * n : (l + 1) * n].reshape(n_sc, n_sym, nbits) for l in range(n_layers)]
     return np.stack(planes, axis=2)  # (n_sc, n_sym, n_layers, nbits)
 
 
@@ -246,10 +254,20 @@ def crc_check(bits: np.ndarray, kind: str) -> np.ndarray:
 
 
 def payload_bits(coding: TransportCoding, k: int) -> int:
-    """Usable payload bits per codeword: code dimension k minus the CRC."""
+    """Usable payload bits per codeword: code dimension k minus the CRC.
+
+    Raises when the CRC leaves no room for payload (k <= CRC degree) — the
+    decoded-serving path would otherwise slice with a non-positive bound and
+    silently return empty payloads."""
     if coding.crc is None:
         return k
-    return k - _CRC_POLYS[coding.crc][0]
+    deg = _CRC_POLYS[coding.crc][0]
+    if k <= deg:
+        raise ValueError(
+            f"code dimension k={k} leaves no payload after {coding.crc} "
+            f"({deg} parity bits) — use a larger code or a shorter CRC"
+        )
+    return k - deg
 
 
 def combine_llrs(llr_list) -> np.ndarray:

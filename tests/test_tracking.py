@@ -269,3 +269,43 @@ def test_tracked_server_receiver_llrs():
     assert float(np.asarray(srv._state[key][1]).min()) > n_slots - 2
     srv.reset("ue7")
     assert not any(k[1] == "ue7" for k in srv._state)
+
+
+def test_tracked_server_mode_switch_resets_stream():
+    """Switching a live stream between the grid and receiver mode families
+    resets its tracking state (different state shapes — it cannot carry over,
+    and must not silently fork into two per-mode states)."""
+    import numpy as np
+
+    from srsran_ce_tpu import serving
+    from srsran_ce_tpu.utils.synthetic import make_case, make_mimo_case
+
+    kw = dict(n_prbs=6, n_layers=1, cfo_hz=0.0, cfo_compensate=False)
+    srv = serving.TrackedServer(batch_size=2, matmul_precision=None)
+    for s in range(2):
+        c = make_case(seed=91, snr_db=5.0, noise_seed=50 + s, **kw)
+        prob = serving.Problem(
+            c.received_rg.astype(np.complex64), c.pilots.astype(np.complex64),
+            c.beta, c.hop1, c.hop2, c.config,
+        )
+        srv.process([prob], ["s0"])
+    assert any(k[1] == "s0" for k in srv._state)
+    grid_keys = {k for k in srv._state if k[1] == "s0"}
+    # switch the SAME stream to the receiver family: old state must be dropped
+    m = make_mimo_case(seed=92, n_rx=2, modulation="qpsk", n_prbs=6, n_layers=1)
+    prob = serving.Problem(
+        m.received_rg.astype(np.complex64), m.pilots.astype(np.complex64),
+        m.beta, m.hop1, m.hop2, m.config,
+    )
+    srv.process([prob], ["s0"], out="equalized")
+    assert not (grid_keys & set(srv._state)), "grid-mode state survived the switch"
+    new_keys = {k for k in srv._state if k[1] == "s0"}
+    assert new_keys and new_keys.isdisjoint(grid_keys)
+    # switching back resets again (fresh first sounding)
+    c = make_case(seed=91, snr_db=5.0, noise_seed=60, **kw)
+    prob = serving.Problem(
+        c.received_rg.astype(np.complex64), c.pilots.astype(np.complex64),
+        c.beta, c.hop1, c.hop2, c.config,
+    )
+    srv.process([prob], ["s0"])
+    assert not (new_keys & set(srv._state)), "receiver-mode state survived the switch back"

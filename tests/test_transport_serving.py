@@ -334,3 +334,18 @@ def test_decoded_serving_per_problem_codings():
     for r, u in zip(res, payloads):
         assert bool(np.asarray(r.ok).all())
         assert np.array_equal(r.info, u)
+
+
+def test_payload_bits_rejects_crc_wider_than_k():
+    """payload_bits must raise when the CRC leaves no payload (k <= degree) —
+    otherwise decoded serving would slice with a non-positive bound and
+    silently return empty payloads."""
+    code = ldpc.array_code(3, 8, 11)
+    plan = ldpc.make_ldpc_plan(code)
+    assert plan.k > 24
+    ok = transport.TransportCoding(code=code, crc="crc24a")
+    assert transport.payload_bits(ok, plan.k) == plan.k - 24
+    with pytest.raises(ValueError):
+        transport.payload_bits(ok, 24)  # k == degree
+    with pytest.raises(ValueError):
+        transport.payload_bits(ok, 20)  # k < degree
