@@ -143,6 +143,103 @@ def _expand_h(code: QCLdpcCode) -> np.ndarray:
     return h
 
 
+def _detect_nr_structure(code: QCLdpcCode):
+    """Detect the NR base-graph encoding structure (TS 38.212 §5.3.2 shape):
+    kb = nb - mb systematic block-columns, 4 core parity columns kb..kb+3 where
+    col kb has 3 entries in the first 4 rows (two shifts equal, one unique) and
+    cols kb+1..kb+3 form the shift-0 double-diagonal staircase, then an identity
+    parity extension (row i >= 4 owns col kb+i at shift 0 and touches only
+    columns < kb+4 otherwise). Returns the unique col-kb shift, or None.
+
+    This is what makes encoding O(edges * z) instead of a dense GF(2)
+    elimination of the expanded H — for BG1 at Z=384 (n=26112) the dense path
+    is minutes of plan build and a 17664x8448 dense generator; the structured
+    path is a handful of np.rolls. Official 3GPP tables and ops/nr_ldpc's
+    structured stand-ins both satisfy it.
+    """
+    mb, nb, z = code.n_check_blocks, code.n_var_blocks, code.z
+    kb = nb - mb
+    if kb < 1 or mb < 5:
+        return None
+    base = [list(r) for r in code.base]
+    # only the CORE rows 0..3 constrain the staircase/col-kb patterns —
+    # extension rows may (and in the official tables do) also touch the core
+    # parity columns; they are handled after p0..p3 are known.
+    col4 = lambda j: [(i, base[i][j]) for i in range(4) if base[i][j] >= 0]
+    stair = ({(0, 0), (1, 0)}, {(1, 0), (2, 0)}, {(2, 0), (3, 0)})
+    for j, want in zip(range(kb + 1, kb + 4), stair):
+        if set(col4(j)) != want:
+            return None
+    # col kb: 3 entries in the core rows, two equal shifts + one unique
+    ckb = col4(kb)
+    if len(ckb) != 3:
+        return None
+    shifts = sorted(s for _, s in ckb)
+    if shifts[0] == shifts[1] and shifts[1] != shifts[2]:
+        s_unique = shifts[2]
+    elif shifts[1] == shifts[2] and shifts[0] != shifts[1]:
+        s_unique = shifts[0]
+    else:
+        return None
+    # core rows confined to cols < kb+4; extension rows = identity + cols < kb+4
+    for i in range(4):
+        if any(base[i][j] >= 0 for j in range(kb + 4, nb)):
+            return None
+    for i in range(4, mb):
+        if base[i][kb + i] != 0:
+            return None
+        if any(base[i][j] >= 0 for j in range(kb + 4, nb) if j != kb + i):
+            return None
+    return s_unique
+
+
+def _roll_last(x: np.ndarray, s: int) -> np.ndarray:
+    return np.roll(x, s, axis=-1)
+
+
+def _encode_structured(code: QCLdpcCode, s_unique: int, u: np.ndarray) -> np.ndarray:
+    """NR-structured systematic encode (see _detect_nr_structure): core parity
+    p0 by XORing the 4 core rows (staircase cancels pairwise, the two equal
+    col-kb shifts cancel, leaving P^{s_unique} p0 = sum of core syndromes),
+    then p1..p3 by the staircase recurrence, then the identity extension."""
+    mb, nb, z = code.n_check_blocks, code.n_var_blocks, code.z
+    kb = nb - mb
+    base = code.base
+    u = np.asarray(u, np.uint8)
+    lead = u.shape[:-1]
+    s_blk = u.reshape(lead + (kb, z))
+
+    def syndrome(i, blocks):
+        """XOR_j roll(x_j, -shift_ij) over the given {col: bits} dict."""
+        acc = np.zeros(lead + (z,), np.uint8)
+        for j, x in blocks.items():
+            sh = base[i][j]
+            if sh >= 0:
+                acc ^= _roll_last(x, -sh)
+        return acc
+
+    sys_blocks = {j: s_blk[..., j, :] for j in range(kb)}
+    lam = [syndrome(i, sys_blocks) for i in range(4)]
+    p0 = _roll_last(lam[0] ^ lam[1] ^ lam[2] ^ lam[3], s_unique)
+    t = []
+    for i in range(3):
+        ti = lam[i]
+        if base[i][kb] >= 0:
+            ti = ti ^ _roll_last(p0, -base[i][kb])
+        t.append(ti)
+    p1 = t[0]
+    p2 = t[1] ^ p1
+    p3 = t[2] ^ p2
+    par = {kb: p0, kb + 1: p1, kb + 2: p2, kb + 3: p3}
+    out = np.zeros(lead + (nb, z), np.uint8)
+    out[..., :kb, :] = s_blk
+    for j, x in par.items():
+        out[..., j, :] = x
+    for i in range(4, mb):
+        out[..., kb + i, :] = syndrome(i, {**sys_blocks, **par})
+    return out.reshape(lead + (nb * z,))
+
+
 class LdpcPlan:
     """Static decode/encode tables for one code (all numpy, built once).
 
@@ -189,7 +286,20 @@ class LdpcPlan:
             if self.slot_valid[i, t]
         ]
 
-        # --- systematic encoder via GF(2) reduced row echelon ---
+        # --- systematic encoder ---
+        self.nr_structure = _detect_nr_structure(code)
+        if self.nr_structure is not None:
+            # NR shape: full-rank by construction (double diagonal + identity
+            # extension are triangular in the parity part); encode() goes
+            # through the O(edges * z) structured path, no dense elimination.
+            self.rank = mb * z
+            self.k = (nb - mb) * z
+            self.info_cols = np.arange(self.k, dtype=np.int64)
+            self.parity_cols = np.arange(self.k, nb * z, dtype=np.int64)
+            self.parity_gen = None
+            return
+
+        # generic QC codes: GF(2) reduced row echelon of the expanded H
         h = _expand_h(code)
         m, n = h.shape
         r = 0
@@ -231,6 +341,8 @@ def encode(code: QCLdpcCode, u: np.ndarray) -> np.ndarray:
     plan = make_ldpc_plan(code)
     u = np.asarray(u, np.uint8)
     assert u.shape[-1] == plan.k, (u.shape, plan.k)
+    if plan.nr_structure is not None:
+        return _encode_structured(code, plan.nr_structure, u)
     c = np.zeros(u.shape[:-1] + (code.n,), np.uint8)
     c[..., plan.info_cols] = u
     c[..., plan.parity_cols] = (u @ plan.parity_gen.T) % 2

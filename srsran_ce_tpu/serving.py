@@ -519,10 +519,13 @@ def _decode_soft(
             ok[retry] = ok2
     else:
         info, ok = run_chunks(dec, words)
+    k_eff = info.shape[1] - coding.n_filler  # systematic bits minus known-zero fillers
     if coding.crc is not None:
-        # TS 38.212-style CRC gate: ok = LDPC parity AND CRC; strip the CRC
-        ok = ok & _tr.crc_check(info, coding.crc)
-        info = info[:, : _tr.payload_bits(coding, info.shape[1])]
+        # TS 38.212-style CRC gate: ok = LDPC parity AND CRC (computed over the
+        # payload+CRC span, excluding fillers)
+        ok = ok & _tr.crc_check(info[:, :k_eff], coding.crc)
+    if coding.crc is not None or coding.n_filler:
+        info = info[:, : _tr.payload_bits(coding, info.shape[1])]  # strip CRC+fillers
     out: List[DecodedServeResult] = []
     pos = 0
     for s, c in zip(soft, counts):

@@ -75,6 +75,18 @@ class TransportCoding:
     # None = transmit the full codeword (chase combining across identical TXs).
     tx_bits: Optional[int] = None
     rv: int = 0
+    # Rate-matching mode: "circular" = the simplified contiguous window above;
+    # "nr" = full TS 38.212 §5.4.2 (2Z-puncture circular buffer, per-rv k0,
+    # filler skip, Qm bit interleaver — ops/nr_ldpc.make_rate_match; requires an
+    # NR base-graph code, e.g. nr_ldpc.nr_base_graph). The PRP channel
+    # interleaver (interleave_seed) still maps the transmitted stream onto REs
+    # in both modes — it plays the role of NR's frequency-distributed resource
+    # mapping, not of the §5.4.2.2 bit interleaver.
+    rate_match: str = "circular"
+    # Known-zero filler bits at the tail of the systematic part (§5.2.2 when
+    # K' < K_b*Z): never transmitted ("nr" mode), pinned to +max LLR at the
+    # receiver, excluded from payload_bits.
+    n_filler: int = 0
 
 
 @dataclass(frozen=True)
@@ -94,6 +106,11 @@ class TransportLayout:
     n: int
     tx_bits: int  # coded bits transmitted per word (n unless IR-punctured)
     cw_sel: np.ndarray  # (tx_bits,) codeword positions this RV transmits
+    # "nr" rate matching only: known-zero filler codeword positions (pinned to
+    # +max LLR on extraction) and whether cw_sel repeats positions (E beyond
+    # one circular-buffer pass -> extraction soft-combines duplicates).
+    filler_pos: Optional[np.ndarray] = None
+    has_repeats: bool = False
 
 
 def data_mask(
@@ -128,9 +145,36 @@ def layout(
     mask = data_mask(hop1, hop2, n_sc, n_sym)
     total = int(mask.sum()) * n_layers * nbits
     n = coding.code.n
-    tx_bits = coding.tx_bits if coding.tx_bits is not None else n
-    if not (1 <= tx_bits <= n):
-        raise ValueError(f"tx_bits must be in [1, n={n}]: {tx_bits}")
+    filler_pos = None
+    has_repeats = False
+    if coding.rate_match == "nr":
+        from .ops import nr_ldpc as _nr
+
+        nbv = coding.code.n_var_blocks
+        bg = {68: 1, 52: 2}.get(nbv)
+        if bg is None:
+            raise ValueError(
+                f"rate_match='nr' needs a full NR base graph (68/52 block cols), got {nbv}"
+            )
+        z = coding.code.z
+        if coding.tx_bits is not None:
+            tx_bits = coding.tx_bits
+        else:
+            # default E: one full circular-buffer pass, rounded down to Qm
+            tx_bits = ((n - 2 * z - coding.n_filler) // nbits) * nbits
+        rm = _nr.make_rate_match(
+            bg, z, nbv, tx_bits, qm=nbits, rv=coding.rv, n_filler=coding.n_filler
+        )
+        cw_sel = rm.tx_sel
+        filler_pos = rm.filler_pos
+        has_repeats = bool(np.unique(cw_sel).size < cw_sel.size)
+    else:
+        tx_bits = coding.tx_bits if coding.tx_bits is not None else n
+        if not (1 <= tx_bits <= n):
+            raise ValueError(f"tx_bits must be in [1, n={n}]: {tx_bits}")
+        # circular-buffer window for this redundancy version (same RE positions
+        # for every RV — only WHICH code bits ride them changes)
+        cw_sel = (coding.rv * tx_bits + np.arange(tx_bits)) % n
     c_words = total // tx_bits
     if c_words < 1:
         raise ValueError(
@@ -138,13 +182,11 @@ def layout(
         )
     rng = np.random.default_rng(coding.interleave_seed)
     perm = rng.permutation(total)[: c_words * tx_bits]
-    # circular-buffer window for this redundancy version (same RE positions
-    # for every RV — only WHICH code bits ride them changes)
-    cw_sel = (coding.rv * tx_bits + np.arange(tx_bits)) % n
     plan = make_ldpc_plan(coding.code)
     return TransportLayout(
         mask=mask, perm=perm, c_words=c_words, total=total, k=plan.k, n=n,
-        tx_bits=tx_bits, cw_sel=cw_sel,
+        tx_bits=tx_bits, cw_sel=cw_sel, filler_pos=filler_pos,
+        has_repeats=has_repeats,
     )
 
 
@@ -200,11 +242,26 @@ def extract_streams(lay: TransportLayout, llr_grid: np.ndarray) -> np.ndarray:
     (n_sc, n_sym, n_layers, nbits) LLR grid (int8 or float; already
     descrambled). Exact inverse of `place_codewords`' position mapping;
     codeword positions this RV did not transmit come back as LLR 0
-    (erasures — IR-HARQ retransmissions fill them via `combine_llrs`)."""
+    (erasures — IR-HARQ retransmissions fill them via `combine_llrs`).
+
+    "nr" rate matching extras: repeated positions (E beyond one circular-buffer
+    pass) soft-combine (int8 combines in int16 headroom and re-saturates), and
+    known-zero filler positions are pinned to the maximum positive LLR."""
     flat = np.asarray(llr_grid)[lay.mask].reshape(-1)
     sub = flat[lay.perm].reshape(lay.c_words, lay.tx_bits)
-    out = np.zeros((lay.c_words, lay.n), sub.dtype)
-    out[:, lay.cw_sel] = sub
+    is_int8 = sub.dtype == np.int8
+    if lay.has_repeats:
+        acc_dt = np.int16 if is_int8 else sub.dtype
+        out = np.zeros((lay.c_words, lay.n), acc_dt)
+        np.add.at(out, (np.arange(lay.c_words)[:, None], lay.cw_sel[None, :]), sub)
+        if is_int8:
+            out = np.clip(out, -127, 127).astype(np.int8)
+    else:
+        out = np.zeros((lay.c_words, lay.n), sub.dtype)
+        out[:, lay.cw_sel] = sub
+    if lay.filler_pos is not None and lay.filler_pos.size:
+        big = 127 if is_int8 else max(1.0, float(np.abs(sub).max())) * 16.0
+        out[:, lay.filler_pos] = big
     return out
 
 
@@ -254,20 +311,19 @@ def crc_check(bits: np.ndarray, kind: str) -> np.ndarray:
 
 
 def payload_bits(coding: TransportCoding, k: int) -> int:
-    """Usable payload bits per codeword: code dimension k minus the CRC.
+    """Usable payload bits per codeword: code dimension k minus fillers and CRC.
 
-    Raises when the CRC leaves no room for payload (k <= CRC degree) — the
-    decoded-serving path would otherwise slice with a non-positive bound and
-    silently return empty payloads."""
-    if coding.crc is None:
-        return k
-    deg = _CRC_POLYS[coding.crc][0]
-    if k <= deg:
+    Raises when fillers + CRC leave no room for payload — the decoded-serving
+    path would otherwise slice with a non-positive bound and silently return
+    empty payloads."""
+    deg = _CRC_POLYS[coding.crc][0] if coding.crc is not None else 0
+    p = k - coding.n_filler - deg
+    if p <= 0:
         raise ValueError(
-            f"code dimension k={k} leaves no payload after {coding.crc} "
-            f"({deg} parity bits) — use a larger code or a shorter CRC"
+            f"code dimension k={k} leaves no payload after {coding.n_filler} "
+            f"fillers and {coding.crc or 'no'} CRC ({deg} parity bits)"
         )
-    return k - deg
+    return p
 
 
 def combine_llrs(llr_list) -> np.ndarray:
