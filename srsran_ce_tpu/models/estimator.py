@@ -366,6 +366,134 @@ def _grid_fill_rotate_pallas_serve(
     return jax.lax.complex(blk[0], blk[1])
 
 
+def _serve_pallas_deferred_ok(plan: EstimatorPlan) -> bool:
+    """True when the batched deferred-fill Pallas serve path applies: a rank-1-in-
+    time fill (no time interp), a linear interp/inpaint OPERATOR available for every
+    CDM group, and every operator TILE small enough to stay VMEM-resident (the
+    kernel blocks the sc axis at <=512 lanes, so only the per-tile slice of the
+    n_cdm stacked operators occupies VMEM — wideband 273-PRB operators qualify)."""
+    max_w_tile_bytes = 6 * 1024 * 1024
+    for hp in (plan.hop1, plan.hop2):
+        if hp is None:
+            continue
+        if hp.time_interp_mat is not None:
+            return False
+        if plan.config.interp == "linear" and hp.interp_matrix is None:
+            return False
+        if plan.config.interp == "cnn" and hp.inpaint_schedules is None:
+            return False
+        tile = min(512, hp.n_sc_hop)
+        if hp.n_cdm * hp.n_re * tile * np.dtype(np.float32).itemsize > max_w_tile_bytes:
+            return False
+    return True
+
+
+def _serve_fill_pallas_batched(
+    plan: EstimatorPlan,
+    h_ps_ri,  # tuple per hop of (B, 2, n_layers, n_re) real
+    rot_ri: jnp.ndarray,  # (B, 2, n_sym) real
+    n_sc: int,
+    n_sym: int,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Batched serve-layout grid assembly: ONE fused Pallas interp+broadcast+rotate+
+    write kernel per (hop, CDM group) over the WHOLE problem batch.
+
+    This runs OUTSIDE the per-problem vmap — vmap of a pallas_call prepends the
+    batch as the outermost grid dim, which re-fetches the interp-operator tile once
+    per problem (~400 MB/batch of redundant HBM traffic at 106 PRB x batch 128, the
+    reason the round-1 Pallas tier lost to XLA). Called directly on the batch, the
+    kernel's own (sc_tile, batch) grid keeps each operator tile resident across all
+    consecutive batch programs. Returns (B, 2, n_layers, n_sym, n_sc).
+    """
+    from ..ops.pallas import kernels as _plk
+
+    config = plan.config
+    B = rot_ri.shape[0]
+    nL = plan.n_layers
+    rdtype = h_ps_ri[0].dtype
+    gdtype = rdtype if out_dtype in (None, "ri") else out_dtype
+    hops = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
+    channel = None
+    for h, hp in enumerate(hops):
+        rot_slice = jax.lax.slice_in_dim(
+            rot_ri, hp.sym_start, hp.sym_start + hp.n_alloc_syms, axis=2
+        )
+        ws = []
+        for c in range(hp.n_cdm):
+            if config.interp == "linear":
+                ws.append(jnp.asarray(hp.interp_matrix[c], dtype=rdtype))
+            else:
+                transient, steady = hp.inpaint_schedules[c]
+                ws.append(
+                    dsp.inpaint_operator(hp.inpaint_known[c], len(transient) + steady, rdtype)
+                )
+        blk = _plk.fused_fill_rotate_serve(
+            h_ps_ri[h],
+            jnp.stack(ws) if len(ws) > 1 else ws[0][None],
+            rot_slice,
+            precision=dsp.precision_of(config.matmul_precision),
+            layer_slices=hp.layer_slices,
+        )  # (B, 2, nL, n_alloc, n_sc_hop) — all CDM groups in one kernel pass
+        if blk.dtype != gdtype:
+            blk = blk.astype(gdtype)
+        if (
+            len(hops) == 1
+            and hp.sc_start == 0
+            and hp.n_sc_hop == n_sc
+            and hp.sym_start == 0
+            and hp.n_alloc_syms == n_sym
+        ):
+            return blk  # hop covers the whole grid: no copy-into-zeros pass
+        if channel is None:
+            channel = jnp.zeros((B, 2, nL, n_sym, n_sc), gdtype)
+        channel = jax.lax.dynamic_update_slice(
+            channel, blk, (0, 0, 0, hp.sym_start, hp.sc_start)
+        )
+    return channel
+
+
+def _serve_fill_xla_ri(
+    hp_plan: HopPlan,
+    config: EstimatorConfig,
+    h_p: jnp.ndarray,  # (n_layers, n_re) complex
+    rot_slice: jnp.ndarray,  # (n_alloc,) complex
+) -> jnp.ndarray:
+    """XLA-tier serve fill in EXPLICIT real (ri) arithmetic: interp einsums on the
+    ri parts, rotate as real broadcast-FMAs, one stacked (2, nL, n_alloc, n_sc_hop)
+    real output that XLA fuses into a single write pass.
+
+    Replaces the round-1 complex path (complex block -> concat over CDM groups ->
+    dynamic_update_slice -> complex->ri conversion in result_to_ri), which cost
+    ~3 extra full passes over the dominant grid write — measured 0.32 ms vs
+    0.095 ms front-only at 106 PRB x 4 layers x batch 128 on v5e; the fill tail
+    was ~70% of the whole estimator."""
+    prec = dsp.precision_of(config.matmul_precision)
+    rdtype = jnp.real(h_p).dtype
+    frs, fis = [], []
+    for c, (l0, l1) in enumerate(hp_plan.layer_slices):
+        if config.interp == "linear" and hp_plan.interp_matrix is not None:
+            w = jnp.asarray(hp_plan.interp_matrix[c], dtype=rdtype)
+        elif config.interp == "cnn" and hp_plan.inpaint_schedules is not None:
+            transient, steady = hp_plan.inpaint_schedules[c]
+            w = dsp.inpaint_operator(hp_plan.inpaint_known[c], len(transient) + steady, rdtype)
+        else:
+            full = _grid_fill(hp_plan, config, h_p)  # gather fallback (complex)
+            fr, fi = jnp.real(full), jnp.imag(full)
+            frs, fis = [fr], [fi]
+            break
+        vals = h_p[l0:l1]
+        frs.append(jnp.matmul(jnp.real(vals), w, precision=prec))
+        fis.append(jnp.matmul(jnp.imag(vals), w, precision=prec))
+    fr = jnp.concatenate(frs, axis=0) if len(frs) > 1 else frs[0]  # (nL, n_sc_hop)
+    fi = jnp.concatenate(fis, axis=0) if len(fis) > 1 else fis[0]
+    rr = jnp.real(rot_slice).astype(rdtype)[None, :, None]  # (1, n_alloc, 1)
+    ri = jnp.imag(rot_slice).astype(rdtype)[None, :, None]
+    fr_b = fr[:, None, :]
+    fi_b = fi[:, None, :]
+    return jnp.stack([fr_b * rr - fi_b * ri, fr_b * ri + fi_b * rr])
+
+
 def _process_hop(
     hp: HopPlan,
     config: EstimatorConfig,
@@ -566,6 +694,7 @@ def _estimate_impl(
     out_dtype=None,
     h_prev=None,
     track_w=None,
+    defer_fill: bool = False,
 ) -> EstimateResult:
     """h_prev/track_w: optional multi-slot tracking state (models/tracking.py) —
     per-hop previous pilot-lattice estimates and their accumulated weight. When
@@ -587,10 +716,14 @@ def _estimate_impl(
     # writes tile the full 128-lane width instead of padding a length-nL lane
     # (for nL<=4 the ref layout wastes ~97% of write bandwidth on tile padding).
     assert out_layout in ("ref", "serve", "factored")
-    # out_dtype (e.g. bfloat16): reduced-precision serving output. The grid buffer
-    # is then ri-layout REAL (2, ...) from the start — complex bf16 does not exist,
-    # and casting at the write point is what halves the dominant HBM write cost.
+    # out_dtype: a real dtype (e.g. bfloat16) or the sentinel "ri" = the input's
+    # native real dtype. Either way the grid buffer is ri-layout REAL (2, ...) from
+    # the start and the serve fill runs in explicit real arithmetic — no complex
+    # intermediates, no final complex->ri conversion pass (the builders use "ri"
+    # for every serve-layout program; see _serve_fill_xla_ri for the measured why).
     assert out_dtype is None or out_layout == "serve", "out_dtype requires serve layout"
+    if out_dtype == "ri":
+        out_dtype = rdtype
     n_hops = 2 if plan.has_hop2 else 1
     if out_layout == "factored":
         # Rank-1-in-time output (see FactoredResult): valid only when each hop
@@ -723,6 +856,27 @@ def _estimate_impl(
     else:
         rot = jnp.ones((n_sym,), dtype=cdtype)
 
+    if defer_fill:
+        # Batched-Pallas serve path (see _serve_fill_pallas_batched): return the
+        # per-hop smoothed pilot profiles + the CFO rotation; the caller assembles
+        # the grid with ONE batched kernel per hop outside the per-problem vmap.
+        assert out_layout == "serve" and track_out is None
+        assert all(h_t is None for h_t in h_ts), "defer_fill requires time_interp='none'"
+        cfo_hz = (
+            (cfo * config.scs_hz).astype(rdtype)
+            if cfo is not None
+            else jnp.full((), jnp.nan, dtype=rdtype)
+        )
+        return (
+            tuple(_complex_to_ri(h_p) for h_p in h_ps),
+            _complex_to_ri(rot),
+            noise,
+            rsrp,
+            epre,
+            ta,
+            cfo_hz,
+        )
+
     for h, ((hp, _), h_p, h_t) in enumerate(zip(hops, h_ps, h_ts)):
         if out_layout == "factored":
             # Store the hop's smoothed full-band profile; the symbol broadcast and
@@ -761,20 +915,31 @@ def _estimate_impl(
                 )
             continue
         if out_layout == "serve":
+            if out_dtype is not None:
+                # Real-arithmetic fill: (2, nL, n_alloc, n_sc_hop), one write pass.
+                blk_ri = _serve_fill_xla_ri(hp, config, h_p, rot_slice).astype(out_dtype)
+                if (
+                    n_hops == 1
+                    and hp.sc_start == 0
+                    and hp.n_sc_hop == n_sc
+                    and hp.sym_start == 0
+                    and hp.n_alloc_syms == n_sym
+                ):
+                    # Hop covers the whole grid: skip the copy-into-zeros pass.
+                    channel = blk_ri
+                else:
+                    channel = jax.lax.dynamic_update_slice(
+                        channel, blk_ri, (0, 0, hp.sym_start, hp.sc_start)
+                    )
+                continue
             if kernels == "pallas":
                 block = _grid_fill_rotate_pallas_serve(hp, config, h_p, rot_slice)
             else:
                 full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
                 block = full[:, None, :] * rot_slice[None, :, None]  # (nL, n_alloc, n_sc_hop)
-            if out_dtype is not None:
-                blk_ri = _complex_to_ri(block).astype(out_dtype)
-                channel = jax.lax.dynamic_update_slice(
-                    channel, blk_ri, (0, 0, hp.sym_start, hp.sc_start)
-                )
-            else:
-                channel = jax.lax.dynamic_update_slice(
-                    channel, block, (0, hp.sym_start, hp.sc_start)
-                )
+            channel = jax.lax.dynamic_update_slice(
+                channel, block, (0, hp.sym_start, hp.sc_start)
+            )
             continue
         if kernels == "pallas":
             block = _grid_fill_rotate_pallas(hp, config, h_p, rot_slice)
@@ -904,6 +1069,11 @@ def _build_ri_cached(
     hop1, hop2, config, n_layers = plan_key
     plan = make_plan(hop1, hop2, config, n_layers)
     prefetch_plan_constants(plan)
+    if out_layout == "serve" and out_dtype is None:
+        # Serve-layout programs always build the grid as a real ri buffer in the
+        # input's native real dtype — identical output values/shape, but the fill
+        # runs in explicit real arithmetic (see _serve_fill_xla_ri).
+        out_dtype = "ri"
     if kernels == "pallas" and config.interp == "cnn":
         # the Pallas fill kernel always applies the exact inpainting operator
         for hp in (plan.hop1, plan.hop2):
@@ -915,6 +1085,49 @@ def _build_ri_cached(
 
     def to_ri(res):
         return result_to_ri(res, out_dtype)
+
+    if kernels == "pallas" and out_layout == "serve" and _serve_pallas_deferred_ok(plan):
+        # Deferred-fill Pallas serve path: the per-problem front (gather, LS, CFO,
+        # smoothing, metrics — all small ops, best left to XLA's fused matrices)
+        # stays vmapped; the bandwidth-dominant fill+broadcast+rotate+grid-write
+        # runs as ONE batched Pallas kernel per (hop, CDM group) afterwards.
+        has_params = config.smoothing in ("learned", "learned2d")
+
+        def front(rg_ri, pil_ri, beta, params=None):
+            return _estimate_impl(
+                plan,
+                _ri_to_complex(rg_ri),
+                _ri_to_complex(pil_ri),
+                beta,
+                "xla",
+                params,
+                "serve",
+                None,
+                defer_fill=True,
+            )
+
+        def run(rg_ri, pil_ri, beta, params=None):
+            if batched:
+                h_ps, rot_ri, noise, rsrp, epre, ta, cfo_hz = jax.vmap(
+                    front, in_axes=(0, 0, 0, None)
+                )(rg_ri, pil_ri, beta, params)
+                n_sc, n_sym = rg_ri.shape[2], rg_ri.shape[3]
+            else:
+                out1 = front(rg_ri, pil_ri, beta, params)
+                h_ps = tuple(h[None] for h in out1[0])
+                rot_ri = out1[1][None]
+                noise, rsrp, epre, ta, cfo_hz = out1[2:]
+                n_sc, n_sym = rg_ri.shape[1], rg_ri.shape[2]
+            channel = _serve_fill_pallas_batched(
+                plan, h_ps, rot_ri, n_sc, n_sym, out_dtype
+            )
+            if not batched:
+                channel = channel[0]
+            return EstimateResult(channel, noise, rsrp, epre, ta, cfo_hz)
+
+        if has_params:
+            return jax.jit(run)
+        return jax.jit(lambda rg_ri, pil_ri, beta: run(rg_ri, pil_ri, beta))
 
     if config.smoothing in ("learned", "learned2d"):
         # params pytree rides along as a replicated (non-batched) argument

@@ -102,64 +102,193 @@ def fused_fill_rotate(
     return out[:, :, :n_sc]
 
 
-def _fill_rotate_serve_kernel(h_ref, w_ref, rot_ref, out_ref, *, n_sym: int, n_layers: int):
-    """One (batch, sc-tile) program, SERVE layout (subcarrier-last).
+def _dot_f32x3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """3-pass bf16 emulation of f32 matmul at XLA's Precision.HIGH (Mosaic only
+    lowers DEFAULT/HIGHEST dots; HIGHEST costs 6 passes): split both operands
+    into bf16 hi+lo and sum hi@hi + hi@lo + lo@hi in f32."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(a.dtype)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(b.dtype)).astype(jnp.bfloat16)
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=a.dtype)
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
 
-    h_ref:   (1, 2, n_layers, n_re)   pilot-position estimates (ri)
-    w_ref:   (n_re, TILE_SC)          interpolation operator tile
-    rot_ref: (1, 2, n_sym)            per-symbol CFO rotation (ri)
-    out_ref: (1, 2, n_layers, n_sym, TILE_SC) — minor axis is the long frequency
-             axis, so every write fills full 128-lane tiles (the whole point of
-             the serve layout; cf. _fill_rotate_kernel where the n_layers<=4 minor
-             axis starves the lanes).
+
+def _fill_rotate_serve_kernel(
+    h_ref, w_ref, rot_ref, out_ref, *, n_sym: int, layer_slices, block_b: int, precision
+):
+    """One (sc-tile, batch-block) program, SERVE layout (subcarrier-last).
+
+    h_ref:   (block_b, 2, n_layers, n_re)   pilot-position estimates (ri)
+    w_ref:   (n_cdm, n_re, TILE_SC)         per-CDM-group interp operator tiles
+    rot_ref: (block_b, 2, n_sym)            per-symbol CFO rotation (ri)
+    out_ref: (block_b, 2, n_layers, n_sym, TILE_SC) — minor axis is the long
+             frequency axis, so every write fills full 128-lane tiles (the whole
+             point of the serve layout; cf. _fill_rotate_kernel where the
+             n_layers<=4 minor axis starves the lanes).
+
+    All CDM groups of a hop are written by the SAME program (layer_slices is the
+    static (l0, l1) per group), so the hop's grid block leaves the kernel in one
+    pass — no per-group concat afterwards. Each group's interp matmul stacks all
+    block_b problems' layers into one (2*block_b*n_l_c, n_re) @ (n_re, TILE_SC)
+    product so the MXU sees a tall M dim; the rotate is one batched broadcast-FMA
+    pair over the whole block.
     """
-    hr = h_ref[0, 0]  # (nL, n_re)
-    hi = h_ref[0, 1]
-    w = w_ref[:]  # (n_re, T)
-    fr = jnp.dot(hr, w, preferred_element_type=hr.dtype, precision=jax.lax.Precision.HIGHEST)
-    fi = jnp.dot(hi, w, preferred_element_type=hr.dtype, precision=jax.lax.Precision.HIGHEST)
-    rr = rot_ref[0, 0]  # (n_sym,)
-    ri = rot_ref[0, 1]
-    # out[l, y, t] = full[l, t] * rot[y] (complex multiply), frequency minor
-    out_ref[0, 0] = fr[:, None, :] * rr[None, :, None] - fi[:, None, :] * ri[None, :, None]
-    out_ref[0, 1] = fr[:, None, :] * ri[None, :, None] + fi[:, None, :] * rr[None, :, None]
+    n_re = h_ref.shape[-1]
+    rot = rot_ref[:]  # (block_b, 2, n_sym)
+    rr = rot[:, 0][:, None, :, None]  # (block_b, 1, n_sym, 1)
+    ri = rot[:, 1][:, None, :, None]
+    for c, (l0, l1) in enumerate(layer_slices):
+        n_lc = l1 - l0
+        # (block_b, 2, n_lc, n_re) -> (block_b*2*n_lc, n_re): one MXU pass
+        h_c = h_ref[:, :, l0:l1].reshape(block_b * 2 * n_lc, n_re)
+        w = w_ref[c]  # (n_re, T)
+        if precision == "f32x3":
+            f = _dot_f32x3(h_c, w)
+        else:
+            f = jnp.dot(h_c, w, preferred_element_type=h_c.dtype, precision=precision)
+        f = f.reshape(block_b, 2, n_lc, 1, w.shape[-1])
+        fr = f[:, 0]  # (block_b, n_lc, 1, T)
+        fi = f[:, 1]
+        # out[b, l, y, t] = full[b, l, t] * rot[b, y] (complex multiply), freq minor
+        out_ref[:, 0, l0:l1] = fr * rr - fi * ri
+        out_ref[:, 1, l0:l1] = fr * ri + fi * rr
+
+
+def _fill_rotate_serve_kernel3(
+    h_ref, w_ref, rot_ref, out_ref, *, block_b: int, n_lc: int, precision
+):
+    """3-D-grid variant: one (cdm-group, sc-tile, batch-block) program writing
+    its group's FULL (block_b, 2, n_lc, n_sym, TILE_SC) block — no sliced
+    STORES (measured ~2.5x slower than full-block stores). The layer axis
+    cannot be blocked by the BlockSpec (it is h's second-minor dim, so blocks
+    must be 8-divisible or full); instead h arrives whole and the group's
+    layers are sliced on the read via program_id.
+
+    h_ref: (block_b, 2, n_layers, n_re); w_ref: (1, n_re, TILE_SC);
+    rot_ref: (block_b, 2, n_sym); out_ref: (block_b, 2, n_lc, n_sym, TILE_SC).
+    """
+    c = pl.program_id(0)
+    h_c = h_ref[:, :, pl.ds(c * n_lc, n_lc)].reshape(
+        block_b * 2 * n_lc, h_ref.shape[-1]
+    )
+    w = w_ref[0]
+    if precision == "f32x3":
+        f = _dot_f32x3(h_c, w)
+    else:
+        f = jnp.dot(h_c, w, preferred_element_type=h_c.dtype, precision=precision)
+    f = f.reshape(block_b, 2, n_lc, 1, w.shape[-1])
+    fr = f[:, 0]
+    fi = f[:, 1]
+    rot = rot_ref[:]
+    rr = rot[:, 0][:, None, :, None]
+    ri = rot[:, 1][:, None, :, None]
+    out_ref[:, 0] = fr * rr - fi * ri
+    out_ref[:, 1] = fr * ri + fi * rr
 
 
 def fused_fill_rotate_serve(
     h_ri: jnp.ndarray,  # (B, 2, n_layers, n_re)
-    w: jnp.ndarray,  # (n_re, n_sc)
+    w: jnp.ndarray,  # (n_re, n_sc) or (n_cdm, n_re, n_sc)
     rot_ri: jnp.ndarray,  # (B, 2, n_sym)
     tile_sc: int = 512,
+    block_b: int = 8,
+    precision=jax.lax.Precision.HIGHEST,
+    layer_slices=None,  # static ((l0, l1), ...) per CDM group; default one group
 ) -> jnp.ndarray:
     """(B, 2, n_layers, n_sym, n_sc) interpolated, symbol-broadcast, CFO-rotated
     channel block in serve layout, written in a single pass.
 
-    Measured on v5e (106 PRB, 4 layers, batch 128): the XLA serve tier still wins.
-    Under vmap the batch is the outermost grid dim, so the (n_re, tile_sc) operator
-    block is re-fetched for every problem (Pallas only skips the copy when the
-    block index repeats on *consecutive* programs) — ~400 MB of redundant operator
-    traffic per batch; making the tile big enough to be revisit-constant blows the
-    relay's VMEM budget. Kept as the exact-parity kernel tier; serving uses
-    kernels="xla"."""
+    Grid order is (sc_tile, batch) with the BATCH INNERMOST: the operator tile's
+    block index is then constant across consecutive programs, so Pallas fetches
+    each (n_re, tile_sc) tile once per sc-tile instead of once per problem (the
+    round-1 (batch, tile) order re-fetched the operator per problem — ~400 MB of
+    redundant HBM traffic per batch-128 at 106 PRB, which is why the XLA tier won
+    then). block_b problems share one program so the interp matmul's M dim is
+    2*block_b*n_l_c rows (MXU-efficient) and per-program overhead amortizes."""
     B, _, nL, n_re = h_ri.shape
-    n_sc = w.shape[1]
+    if precision == jax.lax.Precision.HIGH or precision == "high":
+        # Mosaic has no HIGH dot; use the equivalent 3-pass bf16 split on TPU
+        # f32 (interpret mode / f64 conformance runs fall back to exact HIGHEST).
+        precision = (
+            "f32x3"
+            if (not _interpret() and h_ri.dtype == jnp.float32)
+            else jax.lax.Precision.HIGHEST
+        )
+    if w.ndim == 2:
+        w = w[None]
+    if layer_slices is None:
+        layer_slices = ((0, nL),)
+    assert len(layer_slices) == w.shape[0] and layer_slices[-1][1] == nL
+    n_sc = w.shape[-1]
     n_sym = rot_ri.shape[2]
     tile_sc = min(tile_sc, n_sc)
+    if tile_sc < n_sc:
+        # Mosaic lane-dim blocks must be 128-divisible (or span the full axis)
+        tile_sc = max(128, (tile_sc // 128) * 128)
     n_tiles = -(-n_sc // tile_sc)
     pad = n_tiles * tile_sc - n_sc
     if pad:
-        w = jnp.pad(w, ((0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad)))
+    while B % block_b:
+        block_b //= 2
+    n_blocks = B // block_b
+    n_cdm = w.shape[0]
+
+    n_lc = nL // n_cdm
+    if tuple(layer_slices) == tuple((c * n_lc, (c + 1) * n_lc) for c in range(n_cdm)):
+        # Equal-size contiguous groups: CDM group as a grid dim, every store a
+        # full block (the common nL in {1, 2, 4} case).
+        out = pl.pallas_call(
+            functools.partial(
+                _fill_rotate_serve_kernel3, block_b=block_b, n_lc=n_lc, precision=precision
+            ),
+            grid=(n_cdm, n_tiles, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (block_b, 2, nL, n_re),
+                    lambda c, t, b: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_re, tile_sc), lambda c, t, b: (c, 0, t), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (block_b, 2, n_sym), lambda c, t, b: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_b, 2, n_lc, n_sym, tile_sc),
+                lambda c, t, b: (b, 0, c, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, 2, nL, n_sym, n_tiles * tile_sc), h_ri.dtype),
+            interpret=_interpret(),
+        )(h_ri, w, rot_ri)
+        return out[..., :n_sc]
 
     out = pl.pallas_call(
-        functools.partial(_fill_rotate_serve_kernel, n_sym=n_sym, n_layers=nL),
-        grid=(B, n_tiles),
+        functools.partial(
+            _fill_rotate_serve_kernel,
+            n_sym=n_sym,
+            layer_slices=tuple((int(a), int(b)) for a, b in layer_slices),
+            block_b=block_b,
+            precision=precision,
+        ),
+        grid=(n_tiles, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, 2, nL, n_re), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_re, tile_sc), lambda b, t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, n_sym), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, 2, nL, n_re), lambda t, b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_cdm, n_re, tile_sc), lambda t, b: (0, 0, t), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((block_b, 2, n_sym), lambda t, b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2, nL, n_sym, tile_sc), lambda b, t: (b, 0, 0, 0, t), memory_space=pltpu.VMEM
+            (block_b, 2, nL, n_sym, tile_sc),
+            lambda t, b: (b, 0, 0, 0, t),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, 2, nL, n_sym, n_tiles * tile_sc), h_ri.dtype),
         interpret=_interpret(),

@@ -176,8 +176,10 @@ def test_checked_wrapper_catches_nan():
 
 @pytest.mark.parametrize("two_hops", [False, True])
 def test_serve_layout_is_transposed_ref(two_hops):
-    """out_layout="serve" returns (layer, sym, sc) — exactly the transpose of the
-    reference-layout (sc, sym, layer) grid, scalars identical."""
+    """out_layout="serve" returns (layer, sym, sc) — the transpose of the
+    reference-layout (sc, sym, layer) grid to within one ulp (the serve fill
+    runs in explicit real ri arithmetic, whose final rotate rounds once
+    differently than the complex-multiply lowering), scalars identical."""
     case = synthetic.make_case(seed=7, n_prbs=24, n_layers=2, snr_db=30.0, two_hops=two_hops)
     f_ref = estimator.build_ri(case.hop1, case.hop2, case.config, 2, out_layout="ref")
     f_srv = estimator.build_ri(case.hop1, case.hop2, case.config, 2, out_layout="serve")
@@ -188,7 +190,9 @@ def test_serve_layout_is_transposed_ref(two_hops):
     r_srv = f_srv(rg, pil, beta)
     ch_ref = np.asarray(r_ref.channel_est_rg)  # (2, sc, sym, layer)
     ch_srv = np.asarray(r_srv.channel_est_rg)  # (2, layer, sym, sc)
-    np.testing.assert_array_equal(np.moveaxis(ch_srv, (1, 2, 3), (3, 2, 1)), ch_ref)
+    np.testing.assert_allclose(
+        np.moveaxis(ch_srv, (1, 2, 3), (3, 2, 1)), ch_ref, rtol=0, atol=1e-14
+    )
     np.testing.assert_array_equal(np.asarray(r_srv.noise_est), np.asarray(r_ref.noise_est))
     np.testing.assert_array_equal(np.asarray(r_srv.cfo_hz), np.asarray(r_ref.cfo_hz))
 
