@@ -25,6 +25,29 @@ def cmd_validate(args) -> int:
         print(f"error: {header} not found (srsRAN vectors are not shipped; "
               f"run `selftest` for the hermetic synthetic suite)", file=sys.stderr)
         return 2
+    if args.debug_case is not None:
+        # Failure forensics (reference DEBUG_CASES + complex-gain alignment)
+        from ..utils import vectors as _vec
+
+        cases = {c.idx: c for c in _vec.parse_test_header(header)}
+        if args.debug_case not in cases:
+            print(f"error: case {args.debug_case} not in header", file=sys.stderr)
+            return 2
+        rep = conformance.debug_case(cases[args.debug_case], data_dir)
+        print(f"case {rep['idx']}: {rep['n_layers']} layer(s), {rep['n_rx']} RX port(s), "
+              f"{rep['n_re']} DMRS REs x {rep['n_dsym']} DMRS symbols, "
+              f"{rep['n_ref_coords']} reference coordinates")
+        for h, d in enumerate(rep["dmrs_coords"]):
+            print(f"  hop {h}: dmrs symbols {d['dmrs_symbols']} "
+                  f"band start sc {d['sc_band_start']} ({d['n_dmrs_sc']} DMRS subcarriers)")
+        for c in rep["candidates"][: args.debug_top]:
+            dm = "-" if c["dmrs_rms"] is None else f"{c['dmrs_rms']:.3e}"
+            print(f"  [{c['ordering']:>20s}] rms {c['rms']:.3e} nmse {c['nmse']:.3e} "
+                  f"dmrs-rms {dm} | best gain {c['gain_abs']:.4f} @ "
+                  f"{c['gain_deg']:+.1f} deg -> nmse {c['nmse_after_gain']:.3e}")
+        if args.report:
+            Path(args.report).write_text(json.dumps(rep, indent=2))
+        return 0
     report = conformance.run_suite(
         header, data_dir, nmse_bound_db=args.nmse_bound_db, case_filter=args.case or None
     )
@@ -266,6 +289,11 @@ def main(argv=None) -> int:
     v.add_argument("--nmse-bound-db", type=float, default=-40.0)
     v.add_argument("--case", type=int, action="append", help="restrict to case index (repeatable)")
     v.add_argument("--report", help="write JSON report to this path")
+    v.add_argument("--debug-case", type=int, default=None,
+                   help="failure forensics for ONE case: DMRS coordinates, per-"
+                        "ordering DMRS-level error, best-fit complex-gain alignment")
+    v.add_argument("--debug-top", type=int, default=6,
+                   help="show this many best candidates in --debug-case output")
     v.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("selftest", help="hermetic synthetic-vector conformance")
