@@ -160,18 +160,18 @@ def _fill_rotate_serve_kernel3(
 ):
     """3-D-grid variant: one (cdm-group, sc-tile, batch-block) program writing
     its group's FULL (block_b, 2, n_lc, n_sym, TILE_SC) block — no sliced
-    STORES (measured ~2.5x slower than full-block stores). The layer axis
-    cannot be blocked by the BlockSpec (it is h's second-minor dim, so blocks
-    must be 8-divisible or full); instead h arrives whole and the group's
-    layers are sliced on the read via program_id.
+    STORES (measured ~2.5x slower than full-block stores). The caller reshapes
+    h to (B, 2, n_cdm, n_lc, n_re) so the CDM group is a leading BlockSpec axis
+    the index map selects — the round-2 in-kernel `pl.ds(c * n_lc, n_lc)` read
+    on the sublane-adjacent layer axis failed Mosaic alignment on real TPUs
+    ("cannot statically prove that index in dimension 2 is a multiple of 4",
+    BENCH_r02.json) because a dynamic sublane offset of 2 in an nL=4 axis is
+    unprovable; blocking the group axis makes every in-kernel access static.
 
-    h_ref: (block_b, 2, n_layers, n_re); w_ref: (1, n_re, TILE_SC);
+    h_ref: (block_b, 2, 1, n_lc, n_re); w_ref: (1, n_re, TILE_SC);
     rot_ref: (block_b, 2, n_sym); out_ref: (block_b, 2, n_lc, n_sym, TILE_SC).
     """
-    c = pl.program_id(0)
-    h_c = h_ref[:, :, pl.ds(c * n_lc, n_lc)].reshape(
-        block_b * 2 * n_lc, h_ref.shape[-1]
-    )
+    h_c = h_ref[:, :, 0].reshape(block_b * 2 * n_lc, h_ref.shape[-1])
     w = w_ref[0]
     if precision == "f32x3":
         f = _dot_f32x3(h_c, w)
@@ -238,7 +238,9 @@ def fused_fill_rotate_serve(
     n_lc = nL // n_cdm
     if tuple(layer_slices) == tuple((c * n_lc, (c + 1) * n_lc) for c in range(n_cdm)):
         # Equal-size contiguous groups: CDM group as a grid dim, every store a
-        # full block (the common nL in {1, 2, 4} case).
+        # full block (the common nL in {1, 2, 4} case). h is reshaped so the
+        # group is a blockable leading axis (see _fill_rotate_serve_kernel3).
+        h_g = h_ri.reshape(B, 2, n_cdm, n_lc, n_re)
         out = pl.pallas_call(
             functools.partial(
                 _fill_rotate_serve_kernel3, block_b=block_b, n_lc=n_lc, precision=precision
@@ -246,8 +248,8 @@ def fused_fill_rotate_serve(
             grid=(n_cdm, n_tiles, n_blocks),
             in_specs=[
                 pl.BlockSpec(
-                    (block_b, 2, nL, n_re),
-                    lambda c, t, b: (b, 0, 0, 0),
+                    (block_b, 2, 1, n_lc, n_re),
+                    lambda c, t, b: (b, 0, c, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -264,7 +266,7 @@ def fused_fill_rotate_serve(
             ),
             out_shape=jax.ShapeDtypeStruct((B, 2, nL, n_sym, n_tiles * tile_sc), h_ri.dtype),
             interpret=_interpret(),
-        )(h_ri, w, rot_ri)
+        )(h_g, w, rot_ri)
         return out[..., :n_sc]
 
     out = pl.pallas_call(

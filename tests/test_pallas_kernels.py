@@ -109,6 +109,69 @@ def test_fused_fill_rotate_serve_matches_xla():
     np.testing.assert_allclose(got, want.astype(np.complex64), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("nL,n_cdm", [(4, 2), (2, 2), (4, 1)])
+def test_fused_fill_rotate_serve_multigroup(nL, n_cdm):
+    """Multi-CDM-group serve fill through the equal-contiguous-group (3-D grid)
+    dispatch — the flagship c2 shape (nL=4, 2 CDM groups, n_lc=2) is exactly the
+    geometry whose round-2 dynamic layer slice aborted Mosaic on real TPUs."""
+    rng = np.random.default_rng(7)
+    B, n_re, n_sc, n_sym = 16, 104, 1272, 14
+    n_lc = nL // n_cdm
+    h = rng.standard_normal((B, nL, n_re)) + 1j * rng.standard_normal((B, nL, n_re))
+    rot = np.exp(1j * rng.standard_normal((B, n_sym)))
+    w = rng.standard_normal((n_cdm, n_re, n_sc)).astype(np.float64) * 0.1
+    h_ri = np.stack([h.real, h.imag], axis=1).astype(np.float32)
+    rot_ri = np.stack([rot.real, rot.imag], axis=1).astype(np.float32)
+    layer_slices = tuple((c * n_lc, (c + 1) * n_lc) for c in range(n_cdm))
+    out = np.asarray(
+        kernels.fused_fill_rotate_serve(
+            jnp.asarray(h_ri),
+            jnp.asarray(w.astype(np.float32)),
+            jnp.asarray(rot_ri),
+            tile_sc=512,
+            layer_slices=layer_slices,
+        )
+    )  # (B, 2, nL, n_sym, n_sc)
+    got = out[:, 0] + 1j * out[:, 1]
+    want = np.empty((B, nL, n_sym, n_sc), np.complex128)
+    for c, (l0, l1) in enumerate(layer_slices):
+        full = np.einsum("blr,rs->bls", h[:, l0:l1], w[c])
+        want[:, l0:l1] = full[:, :, None, :] * rot[:, None, :, None]
+    np.testing.assert_allclose(got, want.astype(np.complex64), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_serve_deferred_estimator_multicdm():
+    """Full batched deferred-Pallas serve path on a 4-layer (2-CDM-group) case —
+    end-to-end through build_ri(kernels='pallas', out_layout='serve', batched)."""
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.utils import synthetic
+
+    case = synthetic.make_case(seed=77, n_prbs=26, n_layers=4, comb=2, snr_db=30.0)
+    nL = case.pilots.shape[2]
+    from srsran_ce_tpu.models.plan import make_plan
+
+    plan = make_plan(case.hop1, case.hop2, case.config, nL)
+    assert estimator._serve_pallas_deferred_ok(plan), "deferred path must be eligible"
+    assert plan.hop1.n_cdm == 2, plan.hop1.n_cdm
+    B = 3
+    rg = estimator.split_ri(case.received_rg).astype(np.float32)
+    pil = estimator.split_ri(case.pilots).astype(np.float32)
+    rg_b = np.broadcast_to(rg, (B,) + rg.shape).copy()
+    pil_b = np.broadcast_to(pil, (B,) + pil.shape).copy()
+    beta = jnp.asarray(np.ones(B, np.float32))
+    f_x = estimator.build_ri(
+        case.hop1, case.hop2, case.config, nL, batched=True, out_layout="serve"
+    )
+    f_p = estimator.build_ri(
+        case.hop1, case.hop2, case.config, nL, batched=True, out_layout="serve",
+        kernels="pallas",
+    )
+    a = np.asarray(f_x(rg_b, pil_b, beta).channel_est_rg, np.float64)
+    b = np.asarray(f_p(rg_b, pil_b, beta).channel_est_rg, np.float64)
+    nmse = np.sum((a - b) ** 2) / (np.sum(a**2) + 1e-30)
+    assert nmse < 1e-10, nmse
+
+
 def test_pallas_serve_estimator_end_to_end():
     """kernels='pallas' + out_layout='serve' must match the XLA serve tier."""
     from srsran_ce_tpu.models import estimator
