@@ -411,14 +411,23 @@ def main():
     # it wins; the row keeps the comparison honest on every run.
     try:
         kwargs, _ = BENCH_CONFIGS[HEADLINE]
+        case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
+        plan = make_plan(
+            case.hop1, case.hop2, _serving_config(case.config), case.pilots.shape[2]
+        )
+        deferred = _est._serve_pallas_deferred_ok(plan)
         r = bench_config(HEADLINE, kwargs, 128, kernels="pallas")
         xla = details.get(HEADLINE, {}).get("latency_ms_per_batch")
         r["xla_tier_ms_per_batch"] = xla
+        # which tier actually ran: the deferred batched fill kernel, or the
+        # per-problem fallback (ADVICE r02: don't let a silent fallback report
+        # XLA numbers as "pallas")
+        r["pallas_tier"] = "deferred_batched_fill" if deferred else "per_problem_fallback"
         details[HEADLINE + "_pallas"] = r
         log(
-            f"{HEADLINE}_pallas: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} "
-            f"(deferred batched fill kernel; xla tier "
-            + (f"{xla:.3f} ms)" if xla else "n/a)")
+            f"{HEADLINE}_pallas [{r['pallas_tier']}]: "
+            f"{r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} "
+            f"(xla tier " + (f"{xla:.3f} ms)" if xla else "n/a)")
         )
     except Exception as e:
         log(f"{HEADLINE}_pallas FAILED: {type(e).__name__}: {e}")

@@ -369,10 +369,13 @@ def _grid_fill_rotate_pallas_serve(
 def _serve_pallas_deferred_ok(plan: EstimatorPlan) -> bool:
     """True when the batched deferred-fill Pallas serve path applies: a rank-1-in-
     time fill (no time interp), a linear interp/inpaint OPERATOR available for every
-    CDM group, and every operator TILE small enough to stay VMEM-resident (the
-    kernel blocks the sc axis at <=512 lanes, so only the per-tile slice of the
-    n_cdm stacked operators occupies VMEM — wideband 273-PRB operators qualify)."""
-    max_w_tile_bytes = 6 * 1024 * 1024
+    CDM group, and the whole per-program VMEM working set — the operator TILE plus
+    the h / rot / output blocks the kernel's BlockSpecs stage, all double-buffered
+    by the Pallas pipeline — under a conservative budget (~16 MB/core total)."""
+    max_vmem_bytes = 12 * 1024 * 1024
+    itemsize = np.dtype(np.float32).itemsize
+    block_b = 8  # fused_fill_rotate_serve default batch block
+    nL = plan.n_layers
     for hp in (plan.hop1, plan.hop2):
         if hp is None:
             continue
@@ -382,8 +385,16 @@ def _serve_pallas_deferred_ok(plan: EstimatorPlan) -> bool:
             return False
         if plan.config.interp == "cnn" and hp.inpaint_schedules is None:
             return False
+        # mirror fused_fill_rotate_serve's tile choice (<=512, 128-rounded)
         tile = min(512, hp.n_sc_hop)
-        if hp.n_cdm * hp.n_re * tile * np.dtype(np.float32).itemsize > max_w_tile_bytes:
+        if tile < hp.n_sc_hop:
+            tile = max(128, (tile // 128) * 128)
+        n_lc = max(l1 - l0 for l0, l1 in hp.layer_slices)
+        w_bytes = hp.n_re * tile * itemsize  # one group's tile per program
+        out_bytes = block_b * 2 * n_lc * hp.n_alloc_syms * tile * itemsize
+        h_bytes = block_b * 2 * nL * hp.n_re * itemsize
+        rot_bytes = block_b * 2 * hp.n_alloc_syms * itemsize
+        if 2 * (w_bytes + out_bytes + h_bytes + rot_bytes) > max_vmem_bytes:
             return False
     return True
 
@@ -461,13 +472,14 @@ def _serve_fill_xla_ri(
 ) -> jnp.ndarray:
     """XLA-tier serve fill in EXPLICIT real (ri) arithmetic: interp einsums on the
     ri parts, rotate as real broadcast-FMAs, one stacked (2, nL, n_alloc, n_sc_hop)
-    real output that XLA fuses into a single write pass.
+    real output.
 
-    Replaces the round-1 complex path (complex block -> concat over CDM groups ->
-    dynamic_update_slice -> complex->ri conversion in result_to_ri), which cost
-    ~3 extra full passes over the dominant grid write — measured 0.32 ms vs
-    0.095 ms front-only at 106 PRB x 4 layers x batch 128 on v5e; the fill tail
-    was ~70% of the whole estimator."""
+    Used ONLY for out_dtype="bfloat16" (the cast must land before the grid write).
+    For f32 serving the COMPLEX fill path wins: interleaved A/B slope timing at c2
+    (106 PRB x 4 layers x batch 128, v5e, round 3) measured 0.19-0.30 ms for the
+    complex fill + fused _complex_to_ri vs 0.35-0.41 ms for this path — XLA
+    schedules the complex-fill fusion better; the round-2 measurement that
+    motivated routing all serve builds through here did not reproduce."""
     prec = dsp.precision_of(config.matmul_precision)
     rdtype = jnp.real(h_p).dtype
     frs, fis = [], []
@@ -1069,11 +1081,12 @@ def _build_ri_cached(
     hop1, hop2, config, n_layers = plan_key
     plan = make_plan(hop1, hop2, config, n_layers)
     prefetch_plan_constants(plan)
-    if out_layout == "serve" and out_dtype is None:
-        # Serve-layout programs always build the grid as a real ri buffer in the
-        # input's native real dtype — identical output values/shape, but the fill
-        # runs in explicit real arithmetic (see _serve_fill_xla_ri).
-        out_dtype = "ri"
+    # Serve-layout f32 programs use the COMPLEX fill (out_dtype=None) with the
+    # ri conversion fused into the final write by XLA: measured 0.19-0.30 ms vs
+    # 0.35-0.41 ms/batch128 for the explicit-ri _serve_fill_xla_ri at c2
+    # (106 PRB x 4 layers, interleaved A/B on v5e, round 3) — the round-2 claim
+    # that the ri fill was faster did not reproduce; _serve_fill_xla_ri remains
+    # only as the out_dtype="bfloat16" route (the cast must happen pre-write).
     if kernels == "pallas" and config.interp == "cnn":
         # the Pallas fill kernel always applies the exact inpainting operator
         for hp in (plan.hop1, plan.hop2):
