@@ -263,6 +263,13 @@ def main():
             case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
             r["nmse_vs_oracle"] = _nmse_vs_oracle(case, case.pilots.shape[2])
             assert r["nmse_vs_oracle"] < 1e-6, f"bench correctness gate: {r['nmse_vs_oracle']}"
+            # multi-layer configs regressed to ~6e-11 when the fused smoothing
+            # matmuls ran at 'high' (round-2 c2 outlier, fixed by pinning them
+            # to HIGHEST) — hold the tighter bound so it cannot come back
+            if name == HEADLINE:
+                assert r["nmse_vs_oracle"] < 1e-12, (
+                    f"c2 NMSE regression (fused-smooth precision?): {r['nmse_vs_oracle']}"
+                )
             bl = baseline.get(name, {}).get("res_per_s")
             r["vs_reference_cpu"] = (r["res_per_s"] / bl) if bl else None
             details[name] = r
@@ -433,14 +440,17 @@ def main():
         log(f"{HEADLINE}_pallas FAILED: {type(e).__name__}: {e}")
         details[HEADLINE + "_pallas"] = {"error": str(e)}
 
-    # NR LDPC decode (TS 38.212-structured base graphs, ops/nr_ldpc): the
-    # largest geometries whose compiles fit this relay's budget. BG1 Z=384
-    # (n=26112) is NOT benchable here: both decoder tiers' compiles run past
-    # 9 minutes in this environment's tpu_compile_helper (the 316-edge
-    # unrolled sweep at Z=384 — see ARCHITECTURE.md).
-    for bname, bg, z, iters, batch in (
-        ("nr_bg2_z208", 2, 208, 16, 128),
-        ("nr_bg1_z52", 1, 52, 16, 128),
+    # NR LDPC decode (TS 38.212-structured base graphs, ops/nr_ldpc). The
+    # flooding rows run kernels="auto" (pallas lane-z for the unroll-budget
+    # codes; BG1 Z=384 n=26112 routes to the O(1)-program GATHER tier — the
+    # unrolled tiers' compiles blow past 9 minutes at 316 edges x z=384).
+    # Layered rows run the row-serial schedule at HALF the sweeps (the classic
+    # ~2x convergence-per-sweep property), gated on decoding the same payload
+    # exactly.
+    for bname, bg, z, iters, batch, try_layered in (
+        ("nr_bg2_z208", 2, 208, 16, 128, True),
+        ("nr_bg1_z52", 1, 52, 16, 128, True),
+        ("nr_bg1_z384", 1, 384, 16, 32, False),
     ):
         try:
             import numpy as _np
@@ -471,12 +481,38 @@ def main():
                 "batch": batch,
                 "code": f"NR BG{bg} Z={z} n={code.n} k={lplan.k}",
                 "n_iters": iters,
+                "tier": "xla_gather"
+                if _ldpc._edge_z(code) > _ldpc._UNROLL_EDGE_Z_BUDGET
+                else "pallas" if _ldpc._pallas_vmem_fits(code) else "xla",
                 "info_bits_per_s": batch * lplan.k / t,
             }
+            if try_layered:
+                dec_lay = _ldpc.build_decoder(
+                    code, n_iters=iters // 2, kernels="pallas", schedule="layered"
+                )
+                res_l = dec_lay(llr)
+                lay_ok = bool(_np.asarray(res_l.ok).all()) and _np.array_equal(
+                    _np.asarray(res_l.info), u
+                )
+                t_lay = profiling.chained_throughput(
+                    lambda l: dec_lay(l).posterior, fb, (jnp.asarray(llr),),
+                    reps_lo=4, reps_hi=16,
+                )
+                r["layered_half_iters_ms_per_batch"] = t_lay * 1e3
+                r["layered_payload_exact"] = lay_ok
+                r["layered_info_bits_per_s"] = batch * lplan.k / t_lay
+                r["layered_speedup"] = t / t_lay
             details[bname] = r
             log(
-                f"{bname}: {t*1e3:.3f} ms/batch{batch} ({iters} iters) -> "
+                f"{bname} [{r['tier']}]: {t*1e3:.3f} ms/batch{batch} ({iters} iters) -> "
                 f"{r['info_bits_per_s']/1e6:.1f} info Mb/s (n={code.n})"
+                + (
+                    f"; layered-{iters//2} {r['layered_half_iters_ms_per_batch']:.3f} ms "
+                    f"({r['layered_info_bits_per_s']/1e6:.0f} Mb/s, "
+                    f"{r['layered_speedup']:.2f}x, exact={r['layered_payload_exact']})"
+                    if try_layered
+                    else ""
+                )
             )
         except Exception as e:
             log(f"{bname} FAILED: {type(e).__name__}: {e}")

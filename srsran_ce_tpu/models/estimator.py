@@ -125,8 +125,17 @@ def _use_fused_smooth(hp_plan: HopPlan, kernels: str) -> bool:
 def _smooth_fused(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -> jnp.ndarray:
     """Fused filter smoothing: pair-average + RC conv (+ alpha blend) as plan
     matrices on the MXU; only the virtual-pilot fit stays nonlinear.
-    h_p: (n_layers, n_re) RAW (pre pair-average)."""
-    prec = dsp.precision_of(config.matmul_precision)
+    h_p: (n_layers, n_re) RAW (pre pair-average).
+
+    Precision is PINNED to HIGHEST here regardless of config.matmul_precision:
+    these matmuls are skinny (M = n_layers <= 8 rows against a dense (n_re, n_re)
+    matrix of inexact entries), so they are latency-negligible next to the
+    n_sc-wide grid fill — but at "high" (TPU 3-pass bf16) their ~1e-5 relative
+    error DOMINATED the conformance NMSE on every multi-layer config (the
+    round-2 "c2 outlier": 6.3e-11 vs ~5e-15 on 1-layer configs, which smooth
+    via exact shifted-add convs instead). Bisected round 3: profiles carried
+    the whole error; pinning restores ~1e-14 at unchanged serve latency."""
+    prec = jax.lax.Precision.HIGHEST
     rdtype = jnp.real(h_p).dtype
 
     def cmm(x, m):

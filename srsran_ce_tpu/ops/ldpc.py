@@ -402,6 +402,22 @@ def _pallas_vmem_fits(code: QCLdpcCode) -> bool:
     return _pallas_layout(code) is not None
 
 
+# Compile-budget bound for the STATIC-UNROLL formulations (both the XLA tier's
+# per-edge roll/concat unroll and the Pallas kernel's in-body edge sweep):
+# program build/compile time grows with edges and with the per-edge operand
+# size, and at NR-BG1 Z=384 (316 edges x z=384) both tiers ran past 9 minutes
+# in this environment. Codes over this edge*z budget route to the GATHER
+# formulation below — one precomputed-index gather + one scatter-add per
+# sweep, program size O(1) in edges. Calibrated against the measured-good
+# rows: BG1 Z=52 (16k, fine) and BG2 Z=208 (41k, fine) stay unrolled.
+_UNROLL_EDGE_Z_BUDGET = 60_000
+
+
+def _edge_z(code: QCLdpcCode) -> int:
+    n_edges = sum(s >= 0 for row in code.base for s in row)
+    return n_edges * code.z
+
+
 def _pallas_vmem_bytes(code: QCLdpcCode) -> int:
     """Smallest-tile footprint (lane-z, 8-row batch tile) — for error text."""
     return _pallas_live_rows(code) * 8 * (-(-code.z // 128) * 128) * 4
@@ -436,20 +452,44 @@ def build_decoder(
     scoped-VMEM budget: small/medium Z uses the fast sublane-z layout
     ((z, 128) tiles); large-Z codes (NR-BG1 scale) switch to the lane-z
     layout ((8..32, z) tiles — Z on the lanes, batch tile on the sublanes)
-    so the live set shrinks with the tile (`_pallas_layout`). kernels="auto"
-    picks pallas on an accelerator when some layout fits, the XLA tier
-    otherwise (and on CPU, where interpret-mode pallas would just be slow).
+    so the live set shrinks with the tile (`_pallas_layout`).
+
+    kernels="xla_gather" replaces the per-edge static-roll unroll with ONE
+    precomputed-index gather + ONE scatter-add per sweep — program size O(1)
+    in edges. This is the only tier whose build/compile cost does not grow
+    with the code (NR BG1 at Z=384 = 316 edges x z=384 blows past a 9-minute
+    compile in both unrolled tiers); it pays index-gather traffic instead of
+    static addressing, so it loses to the unrolled tiers on codes small
+    enough to unroll. Posterior matches to float tolerance (scatter-add
+    association), hard decisions identically on anything decodable.
+
+    kernels="auto" picks: the gather tier for codes over the unroll compile
+    budget (edge*z > 60k); otherwise pallas on an accelerator when some
+    layout fits, the XLA unrolled tier elsewhere (and on CPU, where
+    interpret-mode pallas would just be slow).
     """
-    assert kernels in ("xla", "pallas", "auto"), kernels
+    assert kernels in ("xla", "xla_gather", "pallas", "auto"), kernels
     assert schedule in ("flooding", "layered"), schedule
     if kernels == "auto":
-        fits = _pallas_vmem_fits(code)
-        kernels = "pallas" if fits and jax.default_backend() != "cpu" else "xla"
+        if _edge_z(code) > _UNROLL_EDGE_Z_BUDGET:
+            # too large for any static-unroll tier's compile budget (see
+            # _UNROLL_EDGE_Z_BUDGET) — the gather tier is the only one that
+            # compiles in O(1) program size; layered needs the pallas kernel,
+            # so huge codes fall back to flooding
+            if schedule == "layered":
+                raise ValueError(
+                    "schedule='layered' is unavailable for codes over the "
+                    f"unroll compile budget (edge*z={_edge_z(code)}); use flooding"
+                )
+            kernels = "xla_gather"
+        else:
+            fits = _pallas_vmem_fits(code)
+            kernels = "pallas" if fits and jax.default_backend() != "cpu" else "xla"
     if schedule == "layered" and kernels != "pallas":
         # the row-serial schedule lives only in the VMEM-resident kernel (the
-        # XLA tier's whole-frame accum/gather formulation is flooding-shaped);
+        # XLA tiers' whole-frame accum/gather formulations are flooding-shaped);
         # mirror anchor = decode_reference(schedule="layered")
-        if kernels == "xla" and not _pallas_vmem_fits(code):
+        if not _pallas_vmem_fits(code) or _edge_z(code) > _UNROLL_EDGE_Z_BUDGET:
             raise ValueError("schedule='layered' needs the pallas tier; code too large")
         kernels = "pallas"
     elif kernels == "pallas" and not _pallas_vmem_fits(code):
@@ -465,6 +505,21 @@ def build_decoder(
     valid = jnp.asarray(plan.slot_valid[:, :, None, None])  # (mb, d, 1, 1)
     info_cols = jnp.asarray(plan.info_cols)
     slot_arange = jnp.arange(d)[:, None, None]  # (d, 1, 1) vs argmin (mb, z, b)
+
+    gidx_flat = None
+    if kernels == "xla_gather":
+        # Precomputed flat index per check lane: lane (i, t, a) reads variable
+        # bit (j, (a + s) mod z). One jnp.take builds the whole check frame and
+        # one scatter-add (same indices) is its transpose — program size O(1)
+        # in edges, the tier for codes over _UNROLL_EDGE_Z_BUDGET. Caveat vs
+        # the unrolled tier: scatter-add association for duplicate variable
+        # indices is XLA-order, so posteriors match to float tolerance, not
+        # bit-exactly (tests pin allclose + identical hard decisions).
+        gidx = np.zeros((mb, d, z), np.int64)  # invalid slots -> var 0 (adds 0)
+        a_z = np.arange(z)
+        for i, t, j, s in edges:
+            gidx[i, t] = j * z + (a_z + s) % z
+        gidx_flat = jnp.asarray(gidx.reshape(-1))
 
     def _roll_z(x, s):
         """Static cyclic shift of the z axis (axis -2; batch is minor). Two
@@ -508,20 +563,31 @@ def build_decoder(
         # batch-LAST internally: (nb, z, b) variable / (mb, d, z, b) check frame
         ch = jnp.transpose(llr.reshape((b, nb, z)), (1, 2, 0))
 
-        def accum(c2v):  # (mb, d, z, b) -> posterior (nb, z, b)
-            acc = [ch[j] for j in range(nb)]
-            for i, t, j, s in edges:
-                acc[j] = acc[j] + _roll_z(c2v[i, t], s)
-            return jnp.stack(acc)
+        if kernels == "xla_gather":
+            def accum(c2v):  # (mb, d, z, b) -> posterior (nb, z, b)
+                acc = ch.reshape(nb * z, b).at[gidx_flat].add(
+                    c2v.reshape(mb * d * z, b)
+                )
+                return acc.reshape(nb, z, b)
 
-        def gather(post):  # (nb, z, b) -> check frame (mb, d, z, b)
-            cols = [[None] * d for _ in range(mb)]
-            for i, t, j, s in edges:
-                cols[i][t] = _roll_z(post[j], -s)
-            zero = jnp.zeros((z, b), post.dtype)
-            return jnp.stack(
-                [jnp.stack([c if c is not None else zero for c in row]) for row in cols]
-            )
+            def gather(post):  # (nb, z, b) -> check frame (mb, d, z, b)
+                fr = jnp.take(post.reshape(nb * z, b), gidx_flat, axis=0)
+                return fr.reshape(mb, d, z, b)
+        else:
+            def accum(c2v):  # (mb, d, z, b) -> posterior (nb, z, b)
+                acc = [ch[j] for j in range(nb)]
+                for i, t, j, s in edges:
+                    acc[j] = acc[j] + _roll_z(c2v[i, t], s)
+                return jnp.stack(acc)
+
+            def gather(post):  # (nb, z, b) -> check frame (mb, d, z, b)
+                cols = [[None] * d for _ in range(mb)]
+                for i, t, j, s in edges:
+                    cols[i][t] = _roll_z(post[j], -s)
+                zero = jnp.zeros((z, b), post.dtype)
+                return jnp.stack(
+                    [jnp.stack([c if c is not None else zero for c in row]) for row in cols]
+                )
 
         if kernels == "pallas":
             from .pallas import kernels as pk

@@ -97,7 +97,14 @@ def select_base_graph(a_bits: int, rate: float) -> int:
 
 
 def _kb_for(bg: int, k_prime: int) -> int:
-    """§5.2.2: systematic columns actually used for the lifting-size search."""
+    """§5.2.2: systematic columns actually used for the lifting-size search.
+
+    The spec keys the BG2 thresholds on B (total payload+CRC bits); this keys
+    on K' (per-code-block bits). The results coincide everywhere reachable:
+    for C == 1, K' == B; for C > 1, segmentation only triggers at B > 3840
+    (§5.2.2), which forces K' = B/C + 24 > 640 on every branch — the same
+    K_b = 10 the B-keyed rule gives. Keep this equivalence in mind if the
+    segmentation thresholds are ever changed."""
     if bg == 1:
         return 22
     if k_prime > 640:

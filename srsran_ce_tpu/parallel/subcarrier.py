@@ -54,21 +54,31 @@ from ..ops import dsp
 
 @dataclass(eq=False)
 class ShardPlan:
-    """Static per-shard geometry derived from (EstimatorPlan, n_sp)."""
+    """Static per-shard geometry derived from (EstimatorPlan, n_sp).
+
+    When n_sp does not divide n_prbs, the global pilot/subcarrier axes are padded
+    to the next shard-divisible size (pad = n_sp*R - n_re pilot slots, all on the
+    LAST shard's tail): every shard still runs one static-shape program; the last
+    shard's real pilot count is `n_rlast` (== R when no padding) and the filter /
+    interp edge handling anchors the true band edge there. Padded input entries
+    are zeros (they contribute nothing to the linear front), padded outputs are
+    masked in smoothing and sliced off by the build_sp* wrappers."""
 
     plan: EstimatorPlan
     n_sp: int
     comb: int
     offs: Tuple[int, ...]  # per-CDM first-pilot offset within the comb
-    L: int  # local subcarriers per shard
-    R: int  # local pilot REs per shard (per CDM)
+    L: int  # local subcarriers per shard (padded geometry)
+    R: int  # local pilot REs per shard (per CDM, padded geometry)
     hw: int  # conv halo width = (K-1)//2, 0 if smoothing != filter
+    pad: int  # padded pilot slots on the last shard's tail (0 if divisible)
+    n_rlast: int  # real pilots on the last shard (== R when pad == 0)
     local_re_idx: np.ndarray  # (n_cdm, R) local sc index of local pilots
     interp_jl: np.ndarray  # (n_cdm, L) left anchor into halo-extended (R+2) array
     interp_jr: np.ndarray
     interp_alpha: np.ndarray  # (n_cdm, L)
     first_zone: np.ndarray  # (n_cdm, L) bool: q <= off_c (global constant-extrap zone)
-    last_zone: np.ndarray  # (n_cdm, L) bool: q >= off_c + (R-1)*comb
+    last_zone: np.ndarray  # (n_cdm, L) bool: q >= off_c + (n_rlast-1)*comb (last shard)
 
 
 def _comb_structure(re_mask_col: np.ndarray) -> Tuple[int, int]:
@@ -94,7 +104,6 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     assert prb_mask.all() and hop.prb_start == 0 and hop.n_prbs == prb_mask.size, (
         "subcarrier sharding requires a contiguous full-band hop"
     )
-    assert hop.n_prbs % n_sp == 0, f"n_sp={n_sp} must divide n_prbs={hop.n_prbs}"
 
     re_mask = hop.dmrs_re_mask_np
     combs_offs = [_comb_structure(re_mask[:, c]) for c in range(hp.n_cdm)]
@@ -103,11 +112,28 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     comb = combs.pop()
     offs = tuple(o for _, o in combs_offs)
 
-    L = hp.n_sc_hop // n_sp
-    R = hp.n_re // n_sp
-    assert L == R * comb
+    # Padded geometry: R = ceil(n_re / n_sp) pilot slots per shard; the last
+    # shard holds n_rlast real pilots and `pad` zero-padded tail slots.
+    R = -(-hp.n_re // n_sp)
+    L = R * comb
+    pad = n_sp * R - hp.n_re
+    n_rlast = R - pad
+    assert n_rlast >= 1, (
+        f"n_sp={n_sp} too large for n_re={hp.n_re}: last shard would hold no pilots"
+    )
     if hp.n_layers >= 2:
-        assert R % 2 == 0, "CDM pair averaging requires an even local pilot count"
+        # CDM pair averaging pairs adjacent pilots; an odd boundary would pair a
+        # real pilot with padding.
+        assert R % 2 == 0 and n_rlast % 2 == 0, (
+            "CDM pair averaging requires even per-shard pilot counts "
+            f"(R={R}, n_rlast={n_rlast}); choose a different n_sp"
+        )
+    if pad:
+        assert plan.config.smoothing not in ("learned", "learned2d"), (
+            "padded (non-divisible) sharding is not wired for learned smoothing: "
+            "the denoiser's conv stack has no band-edge re-anchoring; choose an "
+            "n_sp dividing n_prbs"
+        )
 
     if plan.config.interp == "cnn":
         # Prefetch the exact inpainting operators eagerly (outside any trace).
@@ -120,11 +146,12 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
     hw = 0
     if plan.config.smoothing == "filter":
         hw = (hp.rc_taps.size - 1) // 2
-        assert R >= max(hw, hp.n_pils), (
-            f"local pilot block ({R}) must cover halo ({hw}) and virtual pilots ({hp.n_pils})"
+        assert n_rlast >= max(hw, hp.n_pils), (
+            f"last shard's real pilot block ({n_rlast}) must cover halo ({hw}) "
+            f"and virtual pilots ({hp.n_pils})"
         )
         if plan.config.cnn_alpha > 0.0:
-            assert R >= 2, "cnn_alpha reflect padding needs >= 2 local pilots"
+            assert n_rlast >= 2, "cnn_alpha reflect padding needs >= 2 real local pilots"
     elif plan.config.smoothing == "learned":
         from ..models import denoiser as _dn
 
@@ -154,7 +181,8 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
         jr[c] = jl[c] + 1
         al[c] = np.mod(q - off, comb) / comb
         fz[c] = q <= off
-        lz[c] = q >= off + (R - 1) * comb
+        # last-shard constant-extrapolation zone anchors at the last REAL pilot
+        lz[c] = q >= off + (n_rlast - 1) * comb
     return ShardPlan(
         plan=plan,
         n_sp=n_sp,
@@ -163,6 +191,8 @@ def make_shard_plan(plan: EstimatorPlan, n_sp: int) -> ShardPlan:
         L=L,
         R=R,
         hw=hw,
+        pad=pad,
+        n_rlast=n_rlast,
         local_re_idx=local_re_idx,
         interp_jl=jl,
         interp_jr=jr,
@@ -229,6 +259,14 @@ def _sharded_problem(
     my = jax.lax.axis_index(axis)
     is_first = my == 0
     is_last = my == n_sp - 1
+
+    # Padded-tail validity (non-divisible sharding): 1.0 on real pilot slots,
+    # 0.0 on the last shard's padded tail; all-ones everywhere when pad == 0.
+    if sp.pad:
+        mvec = jnp.asarray((np.arange(sp.R) < sp.n_rlast), rdtype)
+        valid_last = jnp.where(is_last, mvec, jnp.ones_like(mvec))  # (R,)
+    else:
+        valid_last = None
 
     # --- gather + LS de-spread (local) ---
     rx = jnp.take(rg, jnp.asarray(sp.local_re_idx), axis=0)  # (n_cdm, R, n_sym)
@@ -302,11 +340,16 @@ def _sharded_problem(
 
     # --- smoothing (row-generic: applied to the time-averaged profiles and, when
     # time_interp is active, to the per-symbol rows) ---
+    def _mask_tail(h):
+        """Zero the last shard's padded tail (smoothing can spill nonzero values
+        into it: the conv's garbage outputs, the mean broadcast, wiener's pad)."""
+        return h if valid_last is None else h * valid_last[None, :]
+
     def smooth_rows(h):  # (rows, R) -> (rows, R)
         rows = h.shape[0]
         if hp.smoothing == "mean":
             mean = _psum_c(jnp.sum(h, axis=-1), axis) / hp.n_re  # (rows,)
-            return jnp.broadcast_to(mean[:, None], h.shape)
+            return _mask_tail(jnp.broadcast_to(mean[:, None], h.shape))
         if hp.smoothing == "filter":
             hw, n_pils = sp.hw, hp.n_pils
             lh, rh = _halo_exchange(h, hw, axis, n_sp)
@@ -314,13 +357,23 @@ def _sharded_problem(
             # matches the unsharded zero padding (n_pils = min(12, hw) <= hw).
             prec = dsp.precision_of(config.matmul_precision)
             vb = _est._virtual_pilots(h[:, :n_pils], hp.vp_matrix, n_pils, prec)
-            ve = _est._virtual_pilots(jnp.flip(h[:, -n_pils:], axis=-1), hp.vp_matrix, n_pils, prec)
+            ve = _est._virtual_pilots(
+                jnp.flip(h[:, sp.n_rlast - n_pils : sp.n_rlast], axis=-1),
+                hp.vp_matrix, n_pils, prec,
+            )
             zpad = jnp.zeros((rows, hw - n_pils), cdtype)
             left_edge = jnp.concatenate([zpad, vb], axis=-1)  # (rows, hw)
-            right_edge = jnp.concatenate([jnp.flip(ve, axis=-1), zpad], axis=-1)
             left = jnp.where(is_first, left_edge, lh)
-            right = jnp.where(is_last, right_edge, rh)
-            ext = jnp.concatenate([left, h, right], axis=-1)  # (rows, R + 2*hw)
+            # Last shard: the band-edge extension (virtual pilots then zeros)
+            # starts right after the last REAL pilot — with a padded tail that
+            # is inside h itself, so build the whole extended row explicitly.
+            right_edge_full = jnp.concatenate(
+                [jnp.flip(ve, axis=-1), jnp.zeros((rows, sp.pad + hw - n_pils), cdtype)],
+                axis=-1,
+            )  # (rows, pad + hw)
+            ext_last = jnp.concatenate([left, h[:, : sp.n_rlast], right_edge_full], axis=-1)
+            ext_other = jnp.concatenate([left, h, rh], axis=-1)  # (rows, R + 2*hw)
+            ext = jnp.where(is_last, ext_last, ext_other)
             h = dsp.conv_valid(ext, hp.rc_taps)  # (rows, R)
             if config.cnn_alpha > 0.0:
                 # Alpha blend with the 3-tap low-pass (ce_dl_cnn.py:712-715).
@@ -331,11 +384,23 @@ def _sharded_problem(
                 alpha = min(1.0, max(0.0, config.cnn_alpha))
                 lh2, rh2 = _halo_exchange(h, 1, axis, n_sp)
                 left2 = jnp.where(is_first, h[:, 1:2], lh2)
-                right2 = jnp.where(is_last, h[:, -2:-1], rh2)
-                ext2 = jnp.concatenate([left2, h, right2], axis=-1)  # (rows, R + 2)
+                right2 = jnp.where(
+                    is_last, h[:, sp.n_rlast - 2 : sp.n_rlast - 1], rh2
+                )
+                if sp.pad:
+                    # place the reflected edge value where the conv garbage sits
+                    # so the low-pass at the last real pilot sees the reflection
+                    hl = jnp.where(
+                        is_last & (jnp.arange(sp.R) == sp.n_rlast),
+                        h[:, sp.n_rlast - 2 : sp.n_rlast - 1],
+                        h,
+                    )
+                else:
+                    hl = h
+                ext2 = jnp.concatenate([left2, hl, right2], axis=-1)  # (rows, R + 2)
                 lp = dsp.conv_valid(ext2, np.asarray([0.25, 0.5, 0.25]))
                 h = h + alpha * (lp - h)
-            return h
+            return _mask_tail(h)
         if hp.smoothing == "learned":
             from ..models import denoiser as _dn
 
@@ -347,8 +412,10 @@ def _sharded_problem(
             # The eigenbasis projection is global and tiny: gather the raw pilot
             # estimates (same collective size as the TA gather below), run the
             # exact unsharded shrinkage replicated, keep this shard's R columns.
-            h_raw_all = jax.lax.all_gather(h, axis, axis=1, tiled=True)  # (rows, n_re)
-            h_sm_all = _est._smooth_wiener(hp, config, h_raw_all)
+            h_raw_all = jax.lax.all_gather(h, axis, axis=1, tiled=True)
+            h_sm_all = _est._smooth_wiener(hp, config, h_raw_all[:, : hp.n_re])
+            if sp.pad:
+                h_sm_all = jnp.pad(h_sm_all, ((0, 0), (0, sp.pad)))
             start_w = (my * sp.R).astype(jnp.int32)
             return jax.lax.dynamic_slice(h_sm_all, (jnp.int32(0), start_w), (rows, sp.R))
         return h  # "none"
@@ -408,14 +475,18 @@ def _sharded_problem(
             outs = []
             for c, (l0, l1) in enumerate(hp.layer_slices):
                 transient, steady = hp.inpaint_schedules[c]
-                w = dsp.inpaint_operator(
+                w = jnp.asarray(dsp.inpaint_operator(
                     hp.inpaint_known[c], len(transient) + steady, rdtype
-                )  # (n_re, n_sc_hop)
+                ))  # (n_re, n_sc_hop)
+                if sp.pad:
+                    # zero columns for the padded tail so the last shard's
+                    # dynamic_slice stays in bounds (it is masked/sliced off)
+                    w = jnp.pad(w, ((0, 0), (0, n_sp * sp.L - w.shape[1])))
                 start = (my * sp.L).astype(jnp.int32)
                 w_local = jax.lax.dynamic_slice(w, (jnp.int32(0), start), (hp.n_re, sp.L))
                 outs.append(
                     dsp.inpaint_matmul(
-                        h_all_rows[l0 * rpl : l1 * rpl],
+                        h_all_rows[l0 * rpl : l1 * rpl, : hp.n_re],
                         w_local,
                         dsp.precision_of(config.matmul_precision),
                     )
@@ -431,7 +502,9 @@ def _sharded_problem(
             fz = jnp.asarray(sp.first_zone[c])
             lz = jnp.asarray(sp.last_zone[c])
             base = jnp.where(is_first & fz, vals[:, 1:2], base)
-            base = jnp.where(is_last & lz, vals[:, sp.R : sp.R + 1], base)
+            # constant extrapolation anchored at the last REAL pilot (hh index
+            # n_rlast; == R when the shard count divides the band)
+            base = jnp.where(is_last & lz, vals[:, sp.n_rlast : sp.n_rlast + 1], base)
             outs.append(base)
         return jnp.concatenate(outs, axis=0)
 
@@ -474,6 +547,10 @@ def _sharded_problem(
             anchor = jnp.exp(1j * (2.0 * np.pi * t_bar) * cfo_hop).astype(cdtype)
             h_pre = h_pre * anchor
         d = h_pre[:, 1:] - h_pre[:, :-1]
+        if sp.pad:
+            # drop pairs touching the last shard's padded tail (real->0 jumps)
+            pair_ok = jnp.asarray(np.arange(sp.R - 1) < sp.n_rlast - 1, rdtype)
+            d = d * jnp.where(is_last, pair_ok, jnp.ones_like(pair_ok))[None, :]
         s_loc = jnp.sum(jnp.real(d) ** 2 + jnp.imag(d) ** 2) / 2.0
         if n_sp > 1:
             _lh, rh = _halo_exchange(h_pre, 1, axis, n_sp)
@@ -573,7 +650,11 @@ class HoppedShardPlan:
 def make_hopped_shard_plan(plan: EstimatorPlan, n_sp: int) -> HoppedShardPlan:
     assert plan.hop2 is not None, "use make_shard_plan for single-hop problems"
     n_sc = len(plan.hop1.hop.prb_mask) * NRE
-    assert n_sc % n_sp == 0, f"n_sp={n_sp} must divide n_sc={n_sc}"
+    # Non-divisible shard counts pad the subcarrier axis: the embedded operators
+    # get zero columns for the padded tail and the build_sp* wrappers pad/slice
+    # the grid, so every shard runs the same static-shape fill.
+    L = -(-n_sc // n_sp)
+    n_sc_pad = n_sp * L
     # the sharded fill writes every local column of a hop's symbol block (zeros
     # outside the band), so hop symbol ranges must not overlap (true for
     # frequency hopping; the reference also assumes it)
@@ -594,11 +675,11 @@ def make_hopped_shard_plan(plan: EstimatorPlan, n_sp: int) -> HoppedShardPlan:
                 )
             else:
                 w = hp.interp_matrix[c]  # (n_re, n_sc_hop)
-            w_full = np.zeros((hp.n_re, n_sc), dtype=np.float64)
+            w_full = np.zeros((hp.n_re, n_sc_pad), dtype=np.float64)
             w_full[:, hp.sc_start : hp.sc_start + hp.n_sc_hop] = w
             ws.append(w_full)
         w_all.append(tuple(ws))
-    return HoppedShardPlan(plan=plan, n_sp=n_sp, L=n_sc // n_sp, w_emb=tuple(w_all))
+    return HoppedShardPlan(plan=plan, n_sp=n_sp, L=L, w_emb=tuple(w_all))
 
 
 def _sharded_problem_hopped(
@@ -780,6 +861,47 @@ def _sharded_problem_hopped(
     ))
 
 
+def _pad_to(x: jnp.ndarray, axis: int, n: int) -> jnp.ndarray:
+    """Zero-pad `axis` of x up to length n (no-op when already there)."""
+    cur = x.shape[axis]
+    if cur == n:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, n - cur)
+    return jnp.pad(x, pads)
+
+
+def _slice_to(x: jnp.ndarray, axis: int, n: int) -> jnp.ndarray:
+    if x.shape[axis] == n:
+        return x
+    return jax.lax.slice_in_dim(x, 0, n, axis=axis)
+
+
+def _wrap_padded(fn, n_sc: int, n_re: int, n_sc_pad: int, n_re_pad: int,
+                 rg_axis: int, pil_axis: Optional[int], out_layout: str,
+                 ch_axis: int):
+    """Wrap a shard-mapped estimator fn with logical->padded input padding and
+    padded->logical output slicing (the non-divisible-n_sp route). pil_axis None
+    means the pilot input is replicated/unpadded (the hopped front)."""
+
+    def padded(rg_ri, pil_ri, *rest):
+        rg_p = _pad_to(rg_ri, rg_axis, n_sc_pad)
+        pil_p = pil_ri if pil_axis is None else _pad_to(pil_ri, pil_axis, n_re_pad)
+        res = fn(rg_p, pil_p, *rest)
+
+        import dataclasses as _dc
+
+        if out_layout == "factored":
+            return _dc.replace(
+                res, profiles=_slice_to(res.profiles, res.profiles.ndim - 1, n_sc)
+            )
+        return _dc.replace(
+            res, channel_est_rg=_slice_to(res.channel_est_rg, ch_axis, n_sc)
+        )
+
+    return padded
+
+
 def build_sp_batched(
     hop1: HopConfig,
     hop2: Optional[HopConfig],
@@ -842,6 +964,9 @@ def build_sp_batched(
         fn = shard_map(
             body_h, mesh=mesh, in_specs=in_specs_h, out_specs=out_specs_h, check_vma=False
         )
+        n_sc = len(plan.hop1.hop.prb_mask) * NRE
+        if n_sp * hsp.L != n_sc:
+            fn = _wrap_padded(fn, n_sc, 0, n_sp * hsp.L, 0, 2, None, out_layout, 2)
         return jax.jit(fn)
     sp = make_shard_plan(plan, n_sp)
 
@@ -891,6 +1016,11 @@ def build_sp_batched(
         )(rg_ri_loc, pil_ri_loc, beta_loc)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    if sp.pad:
+        fn = _wrap_padded(
+            fn, plan.hop1.n_sc_hop, plan.hop1.n_re,
+            n_sp * sp.L, n_sp * sp.R, 2, 2, out_layout, 2,
+        )
     return jax.jit(fn)
 
 
@@ -1037,6 +1167,27 @@ def build_sp_receiver(
         return jax.vmap(one)(rg_ri_loc, pil_ri_loc, beta_loc)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    n_sc_log = len(plan.hop1.hop.prb_mask) * NRE
+    n_sc_p = n_sp * (hsp.L if hopped else sp.L)
+    if n_sc_p != n_sc_log:
+        import dataclasses as _dc
+
+        inner = fn
+        n_re_p = None if hopped else n_sp * sp.R
+
+        def fn(rg_ri, pil_ri, beta):
+            rg_p = _pad_to(rg_ri, 3, n_sc_p)
+            pil_p = pil_ri if hopped else _pad_to(pil_ri, 2, n_re_p)
+            res = inner(rg_p, pil_p, beta)
+            kw = dict(sinr=_slice_to(res.sinr, res.sinr.ndim - 1, n_sc_log))
+            if modulation is None:
+                kw["x"] = _slice_to(res.x, res.x.ndim - 1, n_sc_log)
+            else:
+                kw["llr"] = tuple(
+                    _slice_to(p, p.ndim - 1, n_sc_log) for p in res.llr
+                )
+            return _dc.replace(res, **kw)
+
     return jax.jit(fn)
 
 
@@ -1095,6 +1246,9 @@ def build_sp(
             out_specs=out_specs_h,
             check_vma=False,
         )
+        n_sc = len(plan.hop1.hop.prb_mask) * NRE
+        if n_sp * hsp.L != n_sc:
+            fn = _wrap_padded(fn, n_sc, 0, n_sp * hsp.L, 0, 1, None, out_layout, 1)
         return jax.jit(fn)
     sp = make_shard_plan(plan, n_sp)
 
@@ -1137,6 +1291,11 @@ def build_sp(
         return _sharded_problem(sp, sp_axis, rg_ri_loc, pil_ri_loc, beta, None, out_layout)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    if sp.pad:
+        fn = _wrap_padded(
+            fn, plan.hop1.n_sc_hop, plan.hop1.n_re,
+            n_sp * sp.L, n_sp * sp.R, 1, 1, out_layout, 1,
+        )
     return jax.jit(fn)
 
 
@@ -1205,6 +1364,27 @@ def build_sp_tracked(
             body_h, mesh=mesh, in_specs=in_specs_h, out_specs=out_specs_h,
             check_vma=False,
         )
+        n_sc = len(plan.hop1.hop.prb_mask) * NRE
+        if n_sp * hsp.L != n_sc:
+            import dataclasses as _dc
+
+            inner_h, n_sc_p = fn, n_sp * hsp.L
+
+            def fn(rg_ri, pil_ri, beta, h_prev_ri, w):
+                res, h_new_ri, w_new = inner_h(
+                    _pad_to(rg_ri, 1, n_sc_p), pil_ri, beta, h_prev_ri, w
+                )
+                if out_layout == "factored":
+                    res = _dc.replace(
+                        res,
+                        profiles=_slice_to(res.profiles, res.profiles.ndim - 1, n_sc),
+                    )
+                else:
+                    res = _dc.replace(
+                        res, channel_est_rg=_slice_to(res.channel_est_rg, 1, n_sc)
+                    )
+                return res, h_new_ri, w_new
+
         return jax.jit(fn)
     sp = make_shard_plan(plan, n_sp)
 
@@ -1245,4 +1425,28 @@ def build_sp_tracked(
         return res, (h_new_ri,), w_new
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    if sp.pad:
+        import dataclasses as _dc
+
+        inner, n_sc, n_re = fn, plan.hop1.n_sc_hop, plan.hop1.n_re
+        n_sc_p, n_re_p = n_sp * sp.L, n_sp * sp.R
+
+        def fn(rg_ri, pil_ri, beta, h_prev_ri, w):
+            res, (h_new_ri,), w_new = inner(
+                _pad_to(rg_ri, 1, n_sc_p),
+                _pad_to(pil_ri, 1, n_re_p),
+                beta,
+                (_pad_to(h_prev_ri[0], 2, n_re_p),),
+                w,
+            )
+            if out_layout == "factored":
+                res = _dc.replace(
+                    res, profiles=_slice_to(res.profiles, res.profiles.ndim - 1, n_sc)
+                )
+            else:
+                res = _dc.replace(
+                    res, channel_est_rg=_slice_to(res.channel_est_rg, 1, n_sc)
+                )
+            return res, (_slice_to(h_new_ri, 2, n_re),), w_new
+
     return jax.jit(fn)

@@ -20,6 +20,12 @@ from ..models import estimator
 from ..utils import vectors
 from ..utils.vectors import ParsedCase
 
+# Candidate-search batching threshold: at or above this many (ordering x RX
+# port) problems a case runs the batched executable; below it the
+# single-problem executable is cheaper to compile (1-layer cases have only
+# 2 orderings).
+_BATCH_SEARCH_MIN_PROBLEMS = 8
+
 
 @dataclass
 class CaseResult:
@@ -179,15 +185,47 @@ def run_case(
     ref_vals = ch_entries["value"].astype(np.complex128)
     ref_power = float(np.mean(np.abs(ref_vals) ** 2)) + 1e-30
 
-    fn = estimator.build(hop1, hop2, config, int(n_layers))
-    for ordering, pil in vectors.pilot_candidates(pilots_flat, int(n_dsym_total), int(n_re), int(n_layers)):
+    # Candidate search over ALL (pilot ordering x RX port) problems of the case.
+    # The reference re-ran the full estimator sequentially per ordering
+    # (validate_all.py:537-566) — up to 3! axis x nL! layer permutations (144
+    # problems at 4 layers). Candidate-heavy cases here run through ONE batched
+    # executable in fixed power-of-two chunks (at most 2 batched programs per
+    # plan signature); candidate-light cases (1-layer: 2 orderings) keep the
+    # single-problem executable, whose compile is cheaper than a batched one.
+    import jax.numpy as jnp
+
+    cands = list(
+        vectors.pilot_candidates(pilots_flat, int(n_dsym_total), int(n_re), int(n_layers))
+    )
+    problems = [(ci, p) for ci in range(len(cands)) for p in range(n_rx)]
+    rg_ports = [estimator.split_ri(rg_all[:, :, p].astype(dtype)) for p in range(n_rx)]
+    pil_ris = [estimator.split_ri(pil.astype(dtype)) for _, pil in cands]
+    ch_by_problem: list = [None] * len(problems)
+    CH = 16
+    if len(problems) >= _BATCH_SEARCH_MIN_PROBLEMS:
+        fn_b = estimator.build_ri(hop1, hop2, config, int(n_layers), batched=True)
+        beta_b = jnp.asarray(np.full((CH,), case.beta_dmrs, rg_ports[0].dtype))
+        for start in range(0, len(problems), CH):
+            chunk = problems[start : start + CH]
+            n_real = len(chunk)
+            rg_b = np.stack([rg_ports[p] for _, p in chunk] + [rg_ports[0]] * (CH - n_real))
+            pil_b = np.stack([pil_ris[ci] for ci, _ in chunk] + [pil_ris[0]] * (CH - n_real))
+            res_b = fn_b(rg_b, pil_b, beta_b)
+            ch_np = np.asarray(res_b.channel_est_rg)
+            for k in range(n_real):
+                ch_by_problem[start + k] = estimator.merge_ri(ch_np[k])
+    else:
+        fn_1 = estimator.build_ri(hop1, hop2, config, int(n_layers))
+        beta_1 = jnp.asarray(np.asarray(case.beta_dmrs, rg_ports[0].dtype))
+        for k, (ci, p) in enumerate(problems):
+            res_1 = fn_1(rg_ports[p], pil_ris[ci], beta_1)
+            ch_by_problem[k] = estimator.merge_ri(np.asarray(res_1.channel_est_rg))
+
+    for ci, (ordering, pil) in enumerate(cands):
         # One estimate per RX port (the estimator is srsRAN's per-port channel
         # estimator); for n_rx == 1 the output port axis indexes TX layers, for
         # n_rx > 1 it indexes RX ports.
-        ch_ports = [
-            fn(rg_all[:, :, p].astype(dtype), pil.astype(dtype), case.beta_dmrs).channel_est_rg
-            for p in range(n_rx)
-        ]
+        ch_ports = [ch_by_problem[ci * n_rx + p] for p in range(n_rx)]
         ch = ch_ports[0] if n_rx == 1 else np.concatenate(ch_ports, axis=2)
         est_vals = ch[ch_entries["sc"], ch_entries["sym"], ch_entries["port"]].astype(
             np.complex128

@@ -219,6 +219,43 @@ def test_matmul_precision_config():
         dataclasses.replace(cfg_hi, matmul_precision="fast")
 
 
+def test_fused_smooth_precision_pinned():
+    """The fused smoothing matmuls must stay HIGHEST even under
+    matmul_precision='high' — at TPU 'high' (3-pass bf16) their ~1e-5 relative
+    error dominated every multi-layer config's conformance NMSE (round-2 'c2
+    outlier', 6.3e-11 vs 5e-15). Pin via the lowered HLO: a 'high' multi-layer
+    serve program must carry BOTH precisions — HIGHEST on the skinny profile
+    matmuls, HIGH on the wide fill."""
+    import dataclasses
+
+    import jax
+
+    case = synthetic.make_case(seed=13, n_prbs=24, n_layers=4, snr_db=30.0)
+    cfg = dataclasses.replace(case.config, matmul_precision="high")
+    from srsran_ce_tpu.models.plan import make_plan
+
+    plan = make_plan(case.hop1, case.hop2, cfg, 4)
+    assert plan.hop1.smooth_mat is not None, "case must take the fused-smooth path"
+    rg = estimator.split_ri(case.received_rg).astype(np.float32)
+    pil = estimator.split_ri(case.pilots).astype(np.float32)
+
+    def run(rg_ri, pil_ri, beta):
+        return estimator._estimate_impl(
+            plan,
+            estimator._ri_to_complex(rg_ri),
+            estimator._ri_to_complex(pil_ri),
+            beta, "xla", None, "serve",
+        ).channel_est_rg
+
+    txt = jax.jit(run).lower(rg, pil, jnp.float32(1.0)).as_text()
+    assert "precision = [HIGHEST" in txt, (
+        "fused smoothing matmuls must be pinned to HIGHEST"
+    )
+    assert "precision = [HIGH," in txt or "precision = [HIGH]" in txt, (
+        "the wide fill matmuls must still honor matmul_precision='high'"
+    )
+
+
 def test_bf16_serving_output():
     """out_dtype='bfloat16' returns a (2, layer, sym, sc) bf16 grid ~4e-3-close to
     the f32 serve output, with full-precision scalars."""

@@ -135,10 +135,103 @@ def test_shard_plan_rejects_bad_geometry():
     plan = make_plan(case.hop1, case.hop2, case.config, 1)
     with pytest.raises(AssertionError):
         make_shard_plan(plan, 4)
+    # non-divisible shard counts are PADDED (round-3 lift of the n_sp | n_prbs
+    # restriction): 25 PRBs over 4 shards -> 2 padded pilot slots on the last
     case2 = synthetic.make_case(seed=2, n_prbs=25, n_layers=1)
     plan2 = make_plan(case2.hop1, case2.hop2, case2.config, 1)
-    with pytest.raises(AssertionError):
-        make_shard_plan(plan2, 4)  # 25 PRBs not divisible by 4
+    sp2 = make_shard_plan(plan2, 4)
+    assert sp2.pad > 0 and sp2.n_rlast == sp2.R - sp2.pad
+    assert 4 * sp2.R == sp2.pad + plan2.hop1.n_re
+
+
+PADDED_SP_CASES = [
+    # the north-star wideband geometry: 273 PRB = 3*7*13 is divisible by NO
+    # power-of-two shard count — the whole reason the padding route exists
+    ("wideband_273_filter", dict(n_prbs=273, n_layers=1, smoothing="filter")),
+    ("pad_mean", dict(n_prbs=25, n_layers=1, smoothing="mean")),
+    ("pad_none", dict(n_prbs=25, n_layers=1, smoothing="none")),
+    ("pad_wiener", dict(n_prbs=25, n_layers=2, smoothing="wiener")),
+    ("pad_cnn_interp", dict(n_prbs=27, n_layers=1, interp="cnn")),
+    ("pad_2layer", dict(n_prbs=25, n_layers=2, smoothing="filter")),
+    ("pad_alpha_blend", dict(n_prbs=25, n_layers=1, cnn_alpha=0.4)),
+    ("pad_comb4", dict(n_prbs=27, n_layers=1, comb=4)),
+    ("pad_time_interp", dict(n_prbs=25, n_layers=1, time_interp="linear", doppler_hz=300.0)),
+]
+
+
+@pytest.mark.parametrize("name,kwargs", PADDED_SP_CASES, ids=[c[0] for c in PADDED_SP_CASES])
+def test_sp_padded_matches_unsharded(name, kwargs):
+    """Non-divisible shard counts (pad + mask) must still match the oracle."""
+    n_sp = 4
+    mesh = mesh_lib.make_mesh((2, n_sp), ("dp", "sp"))
+    case = synthetic.make_case(seed=zlib.crc32(name.encode()), snr_db=30.0, **kwargs)
+    nL = case.pilots.shape[2]
+    sp = make_shard_plan(make_plan(case.hop1, case.hop2, case.config, nL), n_sp)
+    assert sp.pad > 0, "case must actually exercise the padded route"
+    fn = build_sp(case.hop1, case.hop2, case.config, nL, mesh)
+    out = fn(_ri(case.received_rg), _ri(case.pilots), case.beta)
+    res_o = oracle.estimate(case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config)
+    ch = estimator.merge_ri(np.asarray(out.channel_est_rg))
+    assert ch.shape == res_o.channel_est_rg.shape
+    nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(
+        np.abs(res_o.channel_est_rg) ** 2
+    )
+    assert nmse < 1e-18, f"{name}: NMSE {nmse}"
+    np.testing.assert_allclose(float(out.noise_est), res_o.noise_est, rtol=1e-8)
+    np.testing.assert_allclose(float(out.epre), res_o.epre, rtol=1e-9)
+    np.testing.assert_allclose(float(out.rsrp), res_o.rsrp, rtol=1e-9)
+    np.testing.assert_allclose(
+        float(out.time_alignment), res_o.time_alignment, rtol=1e-9, atol=1e-15
+    )
+
+
+def test_sp_padded_batched_and_factored():
+    mesh = mesh_lib.make_mesh((2, 4), ("dp", "sp"))
+    cases = [synthetic.make_case(seed=300 + i, n_prbs=25, n_layers=1, snr_db=30.0) for i in range(4)]
+    c0 = cases[0]
+    fn = build_sp_batched(c0.hop1, c0.hop2, c0.config, 1, mesh)
+    rg, pil, beta = _stack_cases(cases)
+    out = fn(rg, pil, beta)
+    assert np.asarray(out.channel_est_rg).shape[2] == 25 * 12
+    for i, c in enumerate(cases):
+        res_o = oracle.estimate(c.received_rg, c.pilots, c.beta, c.hop1, c.hop2, c.config)
+        ch = estimator.merge_ri(np.asarray(out.channel_est_rg)[i])
+        nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(
+            np.abs(res_o.channel_est_rg) ** 2
+        )
+        assert nmse < 1e-18, (i, nmse)
+    # factored output through the padded wrapper
+    fn_f = build_sp_batched(c0.hop1, c0.hop2, c0.config, 1, mesh, out_layout="factored")
+    out_f = fn_f(rg, pil, beta)
+    prof = np.asarray(out_f.profiles)
+    assert prof.shape[-1] == 25 * 12
+    ch0 = estimator.reconstruct_factored(
+        estimator.merge_ri(np.moveaxis(prof, 1, 0))[0],
+        estimator.merge_ri(np.moveaxis(np.asarray(out_f.sym_rot), 1, 0))[0],
+        c0.hop1, c0.hop2,
+    )
+    res_o0 = oracle.estimate(
+        cases[0].received_rg, cases[0].pilots, cases[0].beta, c0.hop1, c0.hop2, c0.config
+    )
+    nmse0 = np.sum(np.abs(ch0 - res_o0.channel_est_rg) ** 2) / np.sum(
+        np.abs(res_o0.channel_est_rg) ** 2
+    )
+    assert nmse0 < 1e-14, nmse0
+
+
+def test_sp_padded_hopped():
+    """Frequency-hopped problems over a shard count not dividing the grid."""
+    mesh = mesh_lib.make_mesh((2, 4), ("dp", "sp"))
+    case = synthetic.make_case(seed=91, n_prbs=25, n_layers=1, snr_db=30.0, two_hops=True)
+    fn = build_sp(case.hop1, case.hop2, case.config, 1, mesh)
+    out = fn(_ri(case.received_rg), _ri(case.pilots), case.beta)
+    res_o = oracle.estimate(case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config)
+    ch = estimator.merge_ri(np.asarray(out.channel_est_rg))
+    assert ch.shape == res_o.channel_est_rg.shape
+    nmse = np.sum(np.abs(ch - res_o.channel_est_rg) ** 2) / np.sum(
+        np.abs(res_o.channel_est_rg) ** 2
+    )
+    assert nmse < 1e-18, nmse
 
 
 def test_sp_learned_smoothing_matches_unsharded():

@@ -106,3 +106,26 @@ def test_native_assemble_batch_ri_matches_numpy():
     out = loader.assemble_batch_ri(arrs, n_threads=3)
     want = np.stack([np.stack([a.real, a.imag]) for a in arrs]).astype(np.float32)
     assert out.dtype == np.float32 and np.array_equal(out, want)
+
+
+def test_run_case_batched_matches_sequential(tmp_path, monkeypatch):
+    """The batched candidate search (round 3: all ordering x port problems
+    through one batched executable) must select the same ordering and report
+    the same errors as the sequential single-problem path."""
+    import srsran_ce_tpu.validation.conformance as _conf
+
+    specs = [dict(n_prbs=12, n_layers=4, comb=2, scs_hz=30e3)]
+    header = synth_vectors.generate_suite(tmp_path, specs, seed0=777)
+    case = vectors.parse_test_header(header)[0]
+
+    res_batched = _conf.run_case(case, tmp_path)  # 4 layers: 144 candidates
+
+    # raise the threshold so the same case runs the sequential branch
+    monkeypatch.setattr(_conf, "_BATCH_SEARCH_MIN_PROBLEMS", 10**9)
+    res_seq = _conf.run_case(case, tmp_path)
+
+    assert res_batched.ordering == res_seq.ordering
+    assert res_batched.passed and res_seq.passed
+    np.testing.assert_allclose(res_batched.rms_err, res_seq.rms_err, rtol=1e-9)
+    np.testing.assert_allclose(res_batched.max_err, res_seq.max_err, rtol=1e-9)
+    np.testing.assert_allclose(res_batched.nmse, res_seq.nmse, rtol=1e-9)
