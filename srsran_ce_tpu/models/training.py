@@ -77,28 +77,41 @@ def build_train_step(tx, mesh: Optional[Mesh] = None, dp_axis: str = "dp"):
 def train(
     n_steps: int = 200,
     batch: int = 256,
-    n_re: int = 128,
+    n_re=128,
     seed: int = 0,
     lr: float = 1e-3,
     mesh: Optional[Mesh] = None,
     log_every: int = 50,
     state: Optional[TrainState] = None,
 ) -> Tuple[TrainState, float]:
-    """Train the denoiser on streamed synthetic batches; returns (state, last_loss)."""
+    """Train the denoiser on streamed synthetic batches; returns (state, last_loss).
+
+    `n_re` may be a single pilot-lattice length or a TUPLE of lengths: the
+    model is fully convolutional (geometry-independent parameters), so
+    multi-geometry training just cycles batch shapes per step (one jitted
+    executable per distinct length) and produces ONE checkpoint covering every
+    serving geometry — narrowband 4-PRB (24 REs) through wideband 273-PRB
+    (1638 REs). The per-step batch is scaled down for long lattices so the
+    step cost stays roughly constant across the cycle.
+    """
     rng = np.random.default_rng(seed)
+    res = (n_re,) if isinstance(n_re, int) else tuple(n_re)
     if state is None:
-        state, tx = init_state(seed, n_re, lr, decay_steps=n_steps)
+        state, tx = init_state(seed, res[0], lr, decay_steps=n_steps)
     else:
         tx = make_optimizer(lr)  # resume: constant lr (cosine phase already spent)
     step_fn = build_train_step(tx, mesh)
     params, opt_state = state.params, state.opt_state
     loss = float("nan")
     for i in range(n_steps):
-        noisy, truth = denoiser.make_training_batch(rng, batch, n_re)
+        nr_i = res[i % len(res)]
+        # constant total RE count per step: batch * n_re ~ batch0 * min(res)
+        b_i = max(8, (batch * min(res)) // nr_i)
+        noisy, truth = denoiser.make_training_batch(rng, b_i, nr_i)
         params, opt_state, loss_j = step_fn(params, opt_state, noisy, truth)
         if log_every and (i % log_every == 0 or i == n_steps - 1):
             loss = float(loss_j)
-            print(f"step {state.step + i:5d}  nmse {loss:.4e}", flush=True)
+            print(f"step {state.step + i:5d}  n_re {nr_i:4d}  nmse {loss:.4e}", flush=True)
     return TrainState(params, opt_state, state.step + n_steps), float(loss_j)
 
 

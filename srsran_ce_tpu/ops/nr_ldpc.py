@@ -48,11 +48,19 @@ __all__ = [
     "select_base_graph",
     "base_graph_params",
     "nr_base_graph",
+    "load_official_base_graph",
+    "export_base_graph_entries",
+    "validate_nr_base_graph",
     "segment_payload",
     "desegment_payload",
     "RateMatch",
     "make_rate_match",
 ]
+
+# Official edge counts of Tables 5.3.2-2 / 5.3.2-3 (number of (i, j) pairs with
+# an entry, i.e. ones in the base matrix) — the widely published figures used
+# to sanity-check a transcribed table.
+OFFICIAL_EDGE_COUNT = {1: 316, 2: 197}
 
 # Table 5.3.2-1: Z = a * 2^j, grouped into 8 sets by a (iLS = row index).
 LIFTING_SETS: Tuple[Tuple[int, ...], ...] = (
@@ -125,6 +133,95 @@ def select_lifting_size(bg: int, k_prime: int) -> int:
     raise ValueError(f"K'={k_prime} exceeds the largest NR code block (Z=384)")
 
 
+def validate_nr_base_graph(code: QCLdpcCode, bg: int, strict: bool = True) -> None:
+    """Structural conformance gate for a (possibly externally sourced) NR base
+    graph: exact spec dimensions, the §5.3.2 encodable shape (double-diagonal
+    core + identity extension, checked by ldpc._detect_nr_structure), and —
+    strict mode — the official Table 5.3.2-2/-3 edge counts (316 / 197).
+    Raises ValueError with a specific message on any violation, so a corrupted
+    or mis-transcribed table drop fails loudly instead of decoding garbage."""
+    from .ldpc import _detect_nr_structure
+
+    mb, nbv, kb = base_graph_params(bg)
+    if (code.n_check_blocks, code.n_var_blocks) != (mb, nbv):
+        raise ValueError(
+            f"BG{bg} must be {mb}x{nbv} blocks: got "
+            f"{code.n_check_blocks}x{code.n_var_blocks}"
+        )
+    if _detect_nr_structure(code) is None:
+        raise ValueError(
+            f"BG{bg} table lacks the §5.3.2 encoding structure (double-diagonal "
+            "core parity + identity extension) — transcription error?"
+        )
+    n_edges = sum(s >= 0 for row in code.base for s in row)
+    if strict and n_edges != OFFICIAL_EDGE_COUNT[bg]:
+        raise ValueError(
+            f"BG{bg} has {n_edges} edges, official tables have "
+            f"{OFFICIAL_EDGE_COUNT[bg]}; pass strict=False if this is a "
+            "deliberately modified graph"
+        )
+
+
+def export_base_graph_entries(bg: int, seed: int = 0) -> dict:
+    """Export a base graph family in the OFFICIAL table layout: one entry per
+    edge position (i, j) with the shift value V for each of the 8 lifting sets
+    (exactly how TS 38.212 Tables 5.3.2-2/-3 are printed). Used to produce the
+    JSON golden for the loader test; running it over the official data instead
+    of the stand-in shifts is the 3GPP-bit-exactness data drop."""
+    mb, nbv, _ = base_graph_params(bg)
+    # export at each set's LARGEST Z: every smaller Z in a set divides it
+    # (a*2^j series), so (V mod z_max) mod z == V mod z and the reload is
+    # exact at every lifting size of the set
+    codes = [nr_base_graph(bg, LIFTING_SETS[ils][-1], seed=seed) for ils in range(8)]
+    support = [
+        (i, j)
+        for i in range(mb)
+        for j in range(nbv)
+        if any(c.base[i][j] >= 0 for c in codes)
+    ]
+    entries = []
+    for i, j in support:
+        vs = [int(c.base[i][j]) for c in codes]
+        if any(v < 0 for v in vs):
+            raise ValueError(f"edge ({i},{j}) missing from some lifting sets")
+        entries.append([i, j, vs])
+    return {"bg": bg, "entries": entries}
+
+
+def load_official_base_graph(path, z: int, strict: bool = True) -> QCLdpcCode:
+    """Load an NR base graph from the official-table JSON layout and lift at Z.
+
+    Schema (the printed layout of Tables 5.3.2-2/-3):
+        {"bg": 1 | 2,
+         "entries": [[i, j, [V_iLS0, ..., V_iLS7]], ...]}
+    where (i, j) is the (check row, variable column) block position and the
+    8-vector gives the shift value V for each lifting set index iLS; the
+    applied shift is V mod Z (§5.3.2). Missing (i, j) pairs are no-edge.
+    A bare {"bg":..., "shifts": [[...]]} dense (m_b, n_b) single-set table is
+    also accepted. The result passes `validate_nr_base_graph` before use, so
+    bit-exact 3GPP conformance is exactly one data drop away: serialize the
+    official tables into this schema and every tier (XLA unrolled, xla_gather,
+    both pallas layouts), the structured encoder, segmentation and §5.4.2 rate
+    matching work unchanged."""
+    import json
+    import pathlib
+
+    raw = json.loads(pathlib.Path(path).read_text())
+    bg = int(raw["bg"])
+    mb, nbv, _ = base_graph_params(bg)
+    if "shifts" in raw:
+        shifts = raw["shifts"]
+    else:
+        ils = lifting_set_index(z)
+        table = np.full((mb, nbv), -1, np.int64)
+        for i, j, vs in raw["entries"]:
+            table[int(i), int(j)] = int(vs[ils])
+        shifts = table.tolist()
+    code = nr_base_graph(bg, z, shifts=shifts)
+    validate_nr_base_graph(code, bg, strict=strict)
+    return code
+
+
 def segment_payload(b_bits: int, bg: int) -> Tuple[int, int]:
     """§5.2.2 code-block segmentation: (C blocks, K' bits per block incl. the
     per-block CRC24B when C > 1). b_bits = transport block + its CRC."""
@@ -156,9 +253,11 @@ def nr_base_graph(
     With `shifts` (an (m_b, n_b) table, -1 for no edge — e.g. the official
     Table 5.3.2-2/-3 data loaded from JSON) this is the exact §5.3.2 lifting
     (applied shift = V mod Z). Without it, the SUPPORT and STRUCTURE follow the
-    spec exactly (see module docstring) and the shift values are deterministic
-    pseudorandom per (bg, iLS(z), seed) — same shifts for every Z in a lifting
-    set, mirroring how the official tables specialize by set.
+    spec exactly (see module docstring): ONE support per base graph (the
+    official tables share the edge pattern across all 8 lifting sets; only the
+    V values differ), with deterministic pseudorandom shifts per
+    (bg, iLS(z), seed) — same shifts for every Z in a lifting set, mirroring
+    how the official tables specialize by set.
     """
     mb, nbv, kb = base_graph_params(bg)
     if z not in set(lifting_sizes()):
@@ -172,7 +271,9 @@ def nr_base_graph(
         return QCLdpcCode(base=base, z=z)
 
     ils = lifting_set_index(z)
-    rng = np.random.default_rng((bg, ils, seed))
+    # support is drawn per (bg, seed) ONLY — shared across lifting sets like
+    # the official tables; the shift draw below reseeds per (bg, ils, seed)
+    rng = np.random.default_rng((bg, seed))
     support = np.zeros((mb, nbv), dtype=bool)
 
     # Core: 4 rows over the systematic columns + the 4-column double-diagonal
@@ -208,7 +309,8 @@ def nr_base_graph(
         support[i, extra] = True
 
     base = np.full((mb, nbv), -1, dtype=np.int64)
-    shifts_rand = rng.integers(0, 384, size=(mb, nbv))
+    shift_rng = np.random.default_rng((bg, ils, seed))
+    shifts_rand = shift_rng.integers(0, 384, size=(mb, nbv))
     base[support] = shifts_rand[support]
     # Identity extension columns use shift 0 (the spec's I(0) extension), and the
     # double-diagonal col kb+1..kb+3 staircase uses shift 0 like the spec core.

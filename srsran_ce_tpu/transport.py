@@ -159,6 +159,16 @@ def layout(
         z = coding.code.z
         if coding.tx_bits is not None:
             tx_bits = coding.tx_bits
+            # validate here (not just in make_rate_match's assert, which
+            # vanishes under python -O): tx_bits <= 0 would reach the
+            # `total // tx_bits` division below, and a non-Qm-multiple E is
+            # not a valid §5.4.2 rate-match output length
+            if tx_bits < 1:
+                raise ValueError(f"tx_bits must be >= 1: {tx_bits}")
+            if tx_bits % nbits != 0:
+                raise ValueError(
+                    f"rate_match='nr' needs tx_bits to be a multiple of Qm={nbits}: {tx_bits}"
+                )
         else:
             # default E: one full circular-buffer pass, rounded down to Qm
             tx_bits = ((n - 2 * z - coding.n_filler) // nbits) * nbits

@@ -197,6 +197,15 @@ def cmd_quality(args) -> int:
     gain = {s: table["filter"][s] - table["learned"][s] for s in snrs}
     print("learned-vs-filter gain (dB): " + ", ".join(f"{s:.0f}dB SNR: {g:+.2f}" for s, g in gain.items()))
 
+    gtable = quality.geometry_sweep(state.params, snr_db=0.0, n_cases=min(4, args.cases))
+    print("\nGeometry generalization (one conv checkpoint, 0 dB SNR, NMSE dB):")
+    print("n_prbs   n_re   learned   filter    gain")
+    for p, row in gtable.items():
+        print(
+            f"{p:6d} {row['n_re']:6d} {row['learned_db']:9.2f} {row['filter_db']:8.2f} "
+            f"{row['gain_db']:+7.2f}" + ("" if row["learned_wins"] else "  (filter wins)")
+        )
+
     params2d = None
     shipped2d = Path(__file__).resolve().parents[1] / "artifacts" / "denoiser2d_ckpt"
     if shipped2d.exists():
@@ -259,8 +268,9 @@ def cmd_quality(args) -> int:
     if args.report:
         Path(args.report).write_text(
             json.dumps(
-                {"snr": table, "doppler": dtable, "cfo": ctable, "tracking": ttable,
-                 "delay_adapt": atable, "link_ber": btable, "coded_link": ktable},
+                {"snr": table, "geometry": gtable, "doppler": dtable, "cfo": ctable,
+                 "tracking": ttable, "delay_adapt": atable, "link_ber": btable,
+                 "coded_link": ktable},
                 indent=2,
             )
         )

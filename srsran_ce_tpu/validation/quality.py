@@ -63,6 +63,40 @@ def channel_nmse_vs_truth(
     return float(np.mean(errs))
 
 
+def geometry_sweep(
+    params,
+    snr_db: float = 0.0,
+    n_prbs_list=(4, 52, 273),
+    n_cases: int = 4,
+    **case_kwargs,
+) -> dict:
+    """Learned-vs-filter channel NMSE (dB) across pilot-lattice geometries.
+
+    The denoiser is fully convolutional, so ONE checkpoint must cover every
+    serving geometry — narrowband 4 PRB (24 pilot REs at comb 2) through
+    wideband 273 PRB (1638 REs). Returns
+    {n_prbs: {"n_re", "learned_db", "filter_db", "gain_db", "learned_wins"}}.
+    """
+    import math
+
+    out = {}
+    for p in n_prbs_list:
+        l_lin = channel_nmse_vs_truth(
+            "learned", snr_db, params=params, n_cases=n_cases, n_prbs=int(p), **case_kwargs
+        )
+        f_lin = channel_nmse_vs_truth(
+            "filter", snr_db, n_cases=n_cases, n_prbs=int(p), **case_kwargs
+        )
+        out[int(p)] = {
+            "n_re": int(p) * 6,
+            "learned_db": 10.0 * math.log10(l_lin + 1e-300),
+            "filter_db": 10.0 * math.log10(f_lin + 1e-300),
+            "gain_db": 10.0 * (math.log10(f_lin + 1e-300) - math.log10(l_lin + 1e-300)),
+            "learned_wins": bool(l_lin <= f_lin),
+        }
+    return out
+
+
 def doppler_sweep(
     dopplers_hz: Sequence[float] = (0.0, 100.0, 300.0, 600.0),
     snr_db: float = 30.0,

@@ -134,3 +134,37 @@ def test_quality_wiener_beats_filter_at_low_snr():
     f2 = quality.channel_nmse_vs_truth("filter", 5.0, **kw2)
     w2 = quality.channel_nmse_vs_truth("wiener", 5.0, **kw2)
     assert np.isfinite(w2) and w2 < f2, (w2, f2)
+
+
+def test_shipped_checkpoint_wins_across_geometries():
+    """One conv checkpoint must beat the reference RC-filter chain at 0 dB SNR
+    on narrowband (24-RE), mid (312-RE) and wideband (1638-RE) pilot lattices
+    (round-2 VERDICT item 8: geometry generalization)."""
+    from pathlib import Path
+
+    from srsran_ce_tpu.models import training
+    from srsran_ce_tpu.validation import quality
+
+    ckpt = Path(__file__).resolve().parents[1] / "srsran_ce_tpu" / "artifacts" / "denoiser_ckpt"
+    if not ckpt.exists():
+        pytest.skip("shipped checkpoint missing")
+    state = training.load_checkpoint(str(ckpt))
+    table = quality.geometry_sweep(state.params, snr_db=0.0, n_cases=3)
+    assert set(table) == {4, 52, 273}
+    for p, row in table.items():
+        assert row["learned_wins"], (p, row)
+        assert row["gain_db"] > 0.2, (p, row)  # comfortably ahead, not a tie
+
+
+def test_multi_geometry_training_api():
+    """train(n_re=(a, b)) cycles geometries (conv params are shared) and the
+    resulting params apply at any length."""
+    import jax.numpy as jnp
+
+    from srsran_ce_tpu.models import denoiser, training
+
+    state, loss = training.train(n_steps=4, batch=16, n_re=(24, 48), log_every=0)
+    assert np.isfinite(loss)
+    h = jnp.ones((2, 96), jnp.complex64)
+    out = denoiser.apply_complex(state.params, h)
+    assert out.shape == (2, 96) and bool(np.isfinite(np.asarray(out)).all())

@@ -192,3 +192,71 @@ def test_payload_bits_accounts_fillers():
     bad = transport.TransportCoding(code=code, rate_match="nr", n_filler=plan.k, crc=None)
     with pytest.raises(ValueError):
         transport.payload_bits(bad, plan.k)
+
+
+def test_nr_layout_rejects_bad_tx_bits():
+    """User-supplied tx_bits in rate_match='nr' must be validated in layout()
+    (a bare assert downstream vanishes under python -O; tx_bits<=0 would hit a
+    ZeroDivisionError)."""
+    from srsran_ce_tpu import transport
+    from srsran_ce_tpu.utils import synthetic
+
+    code = nr.nr_base_graph(2, 16)
+    case = synthetic.make_mimo_case(seed=3, n_rx=1, modulation="qpsk", n_prbs=12)
+    n_sc, n_sym = case.data_mask.shape
+    for bad in (0, -4, 33):  # 33 is not a multiple of Qm=2
+        coding = transport.TransportCoding(code=code, rate_match="nr", tx_bits=bad)
+        with pytest.raises(ValueError):
+            transport.layout(coding, case.hop1, case.hop2, n_sc, n_sym, 1, 2)
+
+
+def test_official_table_loader_roundtrip(tmp_path):
+    """The official-table data-drop hook: export a base-graph family in the
+    printed Table 5.3.2-2/-3 layout (one entry per edge, V per lifting set),
+    reload at several Z, and encode/decode through the loaded code. Running
+    the same loader over the real 3GPP JSON is bit-exact conformance with zero
+    code changes."""
+    import json
+
+    import numpy as np
+
+    path = tmp_path / "bg2_table.json"
+    path.write_text(json.dumps(nr.export_base_graph_entries(2)))
+    for z in (16, 48, 208):
+        got = nr.load_official_base_graph(path, z, strict=False)
+        want = nr.nr_base_graph(2, z)
+        assert got == want, z
+    code = nr.load_official_base_graph(path, 32, strict=False)
+    plan = ldpc.make_ldpc_plan(code)
+    rng = np.random.default_rng(9)
+    u = rng.integers(0, 2, (4, plan.k), dtype=np.uint8)
+    cw = ldpc.encode(code, u)
+    llr = 8.0 * (1.0 - 2.0 * cw) + rng.normal(0, 0.5, cw.shape)
+    res = ldpc.build_decoder(code, n_iters=12)(llr)
+    assert bool(np.asarray(res.ok).all())
+    assert np.array_equal(np.asarray(res.info), u)
+
+
+def test_official_table_validation_gate(tmp_path):
+    """Strict mode must reject tables whose edge counts differ from the
+    published 316/197 (the stand-in's do — by design it is NOT passed off as
+    official data), and structural corruption must fail loudly."""
+    import json
+
+    path = tmp_path / "bg1_table.json"
+    path.write_text(json.dumps(nr.export_base_graph_entries(1)))
+    with pytest.raises(ValueError, match="official tables have 316"):
+        nr.load_official_base_graph(path, 384, strict=True)
+    # structural corruption: break the double-diagonal staircase
+    raw = json.loads(path.read_text())
+    kb = 22
+    raw["entries"] = [
+        e for e in raw["entries"] if not (e[0] == 1 and e[1] == kb + 1)
+    ]
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps(raw))
+    with pytest.raises(ValueError, match="encoding structure"):
+        nr.load_official_base_graph(bad, 384, strict=False)
+    # wrong dimensions
+    with pytest.raises(ValueError, match="blocks"):
+        nr.validate_nr_base_graph(nr.nr_base_graph(2, 16), 1, strict=False)
