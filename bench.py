@@ -132,7 +132,8 @@ def _chained_receiver_runner(plan, reps, modulation=None):
 
 def _nmse_vs_oracle(case, nL) -> float:
     """Correctness self-check: one f32 evaluation of the EXACT configuration being
-    benchmarked (matmul_precision="high") against the float64 oracle."""
+    benchmarked (matmul_precision="high") against the float64 oracle — through the
+    reference-layout CONFORMANCE path (exact fill; ~5e-15)."""
     from srsran_ce_tpu.models import estimator
     from srsran_ce_tpu.utils import oracle
 
@@ -148,6 +149,33 @@ def _nmse_vs_oracle(case, nL) -> float:
         case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
     )
     ch = np.asarray(res.channel_est_rg).astype(np.complex128)
+    return float(
+        np.sum(np.abs(ch - res_o.channel_est_rg) ** 2)
+        / (np.sum(np.abs(res_o.channel_est_rg) ** 2) + 1e-30)
+    )
+
+
+def _nmse_vs_oracle_serve(case, nL) -> float:
+    """Same check through the SERVE-layout executable actually being timed.
+    Serving keeps the fill matmul at "high" (3-pass bf16 on multi-layer
+    geometries -> ~2e-11 NMSE, a measured +15%-latency trade the conformance
+    path does not make — see ARCHITECTURE.md)."""
+    import jax.numpy as jnp
+
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.utils import oracle
+
+    fn = estimator.build_ri(
+        case.hop1, case.hop2, _serving_config(case.config), nL, out_layout="serve"
+    )
+    rg = estimator.split_ri(case.received_rg.astype(np.complex64))
+    pil = estimator.split_ri(case.pilots.astype(np.complex64))
+    res = fn(rg, pil, jnp.asarray(np.float32(case.beta)))
+    ch_ri = np.asarray(res.channel_est_rg, np.float64)  # (2, nL, n_sym, n_sc)
+    ch = np.transpose(ch_ri[0] + 1j * ch_ri[1], (2, 1, 0))  # (n_sc, n_sym, nL)
+    res_o = oracle.estimate(
+        case.received_rg, case.pilots, case.beta, case.hop1, case.hop2, case.config
+    )
     return float(
         np.sum(np.abs(ch - res_o.channel_est_rg) ** 2)
         / (np.sum(np.abs(res_o.channel_est_rg) ** 2) + 1e-30)
@@ -263,12 +291,22 @@ def main():
             case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
             r["nmse_vs_oracle"] = _nmse_vs_oracle(case, case.pilots.shape[2])
             assert r["nmse_vs_oracle"] < 1e-6, f"bench correctness gate: {r['nmse_vs_oracle']}"
-            # multi-layer configs regressed to ~6e-11 when the fused smoothing
-            # matmuls ran at 'high' (round-2 c2 outlier, fixed by pinning them
-            # to HIGHEST) — hold the tighter bound so it cannot come back
+            r["nmse_vs_oracle_serve"] = _nmse_vs_oracle_serve(case, case.pilots.shape[2])
+            assert r["nmse_vs_oracle_serve"] < 1e-6, (
+                f"serve correctness gate: {r['nmse_vs_oracle_serve']}"
+            )
             if name == HEADLINE:
+                # conformance (ref-layout) path: exact fill, ~5e-15 — the
+                # round-2 "c2 outlier" (6.3e-11) came from HIGH-precision
+                # matmuls on multi-layer profiles (fused smoothing, now pinned
+                # to HIGHEST everywhere) and the fill (pinned on the ref path)
                 assert r["nmse_vs_oracle"] < 1e-12, (
-                    f"c2 NMSE regression (fused-smooth precision?): {r['nmse_vs_oracle']}"
+                    f"c2 conformance NMSE regression: {r['nmse_vs_oracle']}"
+                )
+                # serving path: fill stays at 'high' (3-pass bf16; exactness
+                # costs a measured +15% latency) — hold its documented bound
+                assert r["nmse_vs_oracle_serve"] < 4e-11, (
+                    f"c2 serve NMSE regression: {r['nmse_vs_oracle_serve']}"
                 )
             bl = baseline.get(name, {}).get("res_per_s")
             r["vs_reference_cpu"] = (r["res_per_s"] / bl) if bl else None

@@ -134,7 +134,9 @@ def _smooth_fused(hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray) -
     error DOMINATED the conformance NMSE on every multi-layer config (the
     round-2 "c2 outlier": 6.3e-11 vs ~5e-15 on 1-layer configs, which smooth
     via exact shifted-add convs instead). Bisected round 3: profiles carried
-    the whole error; pinning restores ~1e-14 at unchanged serve latency."""
+    the whole error; this pin takes c2 to 2.0e-11 at unchanged latency, and
+    the remainder is the fill matmul (see _grid_fill — pinned on the ref
+    conformance path, kept fast-at-"high" for serving)."""
     prec = jax.lax.Precision.HIGHEST
     rdtype = jnp.real(h_p).dtype
 
@@ -253,7 +255,11 @@ def _smooth(
 
 
 def _grid_fill(
-    hp_plan: HopPlan, config: EstimatorConfig, h_p: jnp.ndarray, rows_per_layer: int = 1
+    hp_plan: HopPlan,
+    config: EstimatorConfig,
+    h_p: jnp.ndarray,
+    rows_per_layer: int = 1,
+    prec=None,
 ) -> jnp.ndarray:
     """Interpolate pilot-position estimates to every subcarrier of the hop band.
 
@@ -262,8 +268,19 @@ def _grid_fill(
     partial-conv inpainting with a precomputed mask schedule (ce_dl_cnn.py:473-508).
     rows_per_layer > 1: h_p carries that many consecutive rows per layer (the
     time-interp path packs (layer, dmrs_sym) layer-major) — CDM slices scale.
+
+    `prec` overrides the fill-matmul precision (None = config.matmul_precision).
+    The multi-layer fill matmul is the c2-NMSE-critical op: at "high" an M >= 2
+    matmul lowers to the MXU's 3-pass bf16 and floors the channel at ~4e-6
+    relative EVEN with bf16-exact interp weights (M = 1 vector-matrix products
+    lower to exact VPU f32, which is why 1-layer configs never showed it).
+    Measured on v5e at c2: HIGHEST fill = NMSE 4.7e-15 but +15% serve latency
+    (0.33 vs 0.285 ms/batch128 — the fill is not fully write-bound), so the
+    CONFORMANCE (ref-layout) path passes HIGHEST here while serving keeps the
+    config precision with its documented ~2e-11 NMSE bound (ARCHITECTURE.md).
     """
-    prec = dsp.precision_of(config.matmul_precision)
+    if prec is None:
+        prec = dsp.precision_of(config.matmul_precision)
     outs = []
     for c, (l0, l1) in enumerate(hp_plan.layer_slices):
         vals = h_p[l0 * rows_per_layer : l1 * rows_per_layer]  # (n_l_c * rpl, n_re)
@@ -913,8 +930,13 @@ def _estimate_impl(
             # the static (n_alloc, n_dsym) weight matrix, then CFO-rotated. This
             # path stays on the XLA tier (the Pallas fill kernels assume one
             # broadcast profile).
-            prec = dsp.precision_of(config.matmul_precision)
-            full_t = _grid_fill(hp, config, h_t, rows_per_layer=hp.n_dsym)
+            # ref layout = conformance: exact fill + combine (see _grid_fill)
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if out_layout == "ref"
+                else dsp.precision_of(config.matmul_precision)
+            )
+            full_t = _grid_fill(hp, config, h_t, rows_per_layer=hp.n_dsym, prec=prec)
             ft = full_t.reshape(nL, hp.n_dsym, hp.n_sc_hop)
             tm = jnp.asarray(hp.time_interp_mat.T, dtype=rdtype)  # (n_dsym, n_alloc)
             mm = lambda a: jnp.einsum("lds,dt->lts", a, tm, precision=prec)
@@ -965,7 +987,8 @@ def _estimate_impl(
         if kernels == "pallas":
             block = _grid_fill_rotate_pallas(hp, config, h_p, rot_slice)
         else:
-            full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
+            # reference layout = the CONFORMANCE path: exact fill (see _grid_fill)
+            full = _grid_fill(hp, config, h_p, prec=jax.lax.Precision.HIGHEST)
             block = full.T[:, None, :] * rot_slice[None, :, None]  # (n_sc_hop, n_alloc, nL)
         channel = jax.lax.dynamic_update_slice(channel, block, (hp.sc_start, hp.sym_start, 0))
 

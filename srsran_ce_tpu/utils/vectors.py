@@ -177,40 +177,88 @@ def _tokens(block: str):
     return out
 
 
+class _TokenStream:
+    """Cursor over the flattened token list with named matchers — the grammar
+    below consumes it production by production."""
+
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def eof(self) -> bool:
+        return self.i >= len(self.toks)
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take_arr(self, want_len=None, multiple_of=None):
+        """Consume and return the next token iff it is an array matching the
+        length constraint; None (no consumption) otherwise."""
+        kind, val = self._peek()
+        if kind != "arr":
+            return None
+        if want_len is not None and len(val) not in want_len:
+            return None
+        if multiple_of is not None and (not val or len(val) % multiple_of):
+            return None
+        self.i += 1
+        return val
+
+    def take_int(self):
+        kind, val = self._peek()
+        if kind != "int":
+            return None
+        self.i += 1
+        return val
+
+    def advance(self):
+        self.i += 1
+
+
 def _extract_hops(tokens, n_alloc_syms: int) -> List[ParsedHop]:
-    """Reassemble hop structures: a DMRS-symbol mask (len 14 or n_alloc), one or more
-    52-length PRB masks, an optional hop-boundary int, then a 12xN RE mask."""
+    """Parse hop structures out of the flattened token stream.
+
+    The header's hop grammar (established against the format itself and pinned
+    by the full-fidelity fuzzer, validation/synth_vectors.generate_fuzz_header):
+
+        hop     := dmrs_mask  prb_mask*  hop_symbol?  junk*  re_mask
+        dmrs_mask  = array of length n_alloc_syms or 14 (per-symbol DM-RS flags)
+        prb_mask   = array of length 52 (one per layer run; absent for
+                     full-default cases -> a single all-zero mask stands in)
+        hop_symbol = bare integer (first-hop symbol boundary; optional)
+        re_mask    = first following array whose length is a positive multiple
+                     of 12 (the 12 x n_cdm per-PRB RE flags); intervening
+                     scalar config fields are junk at this level
+
+    Tokens that open no production are skipped; a dmrs_mask with no re_mask
+    before EOF is an incomplete trailing fragment and is dropped. One ParsedHop
+    is emitted per (dmrs_mask, prb_mask) pair — repeated PRB masks are how the
+    header encodes per-layer repetitions of the same hop.
+    """
+    ts = _TokenStream(tokens)
     hops: List[ParsedHop] = []
-    i = 0
-    n = len(tokens)
-    while i < n:
-        kind, val = tokens[i]
-        if kind != "arr" or len(val) not in (n_alloc_syms, 14):
-            i += 1
+    dmrs_lens = {n_alloc_syms, 14}
+    while not ts.eof():
+        dmrs_symbols = ts.take_arr(want_len=dmrs_lens)
+        if dmrs_symbols is None:
+            ts.advance()
             continue
-        dmrs_symbols = val
-        i += 1
         prb_masks = []
-        while i < n and tokens[i][0] == "arr" and len(tokens[i][1]) == 52:
-            prb_masks.append(tokens[i][1])
-            i += 1
-        hop_symbol = None
-        if i < n and tokens[i][0] == "int":
-            hop_symbol = tokens[i][1]
-            i += 1
-        re_mask = None
-        while i < n:
-            k2, v2 = tokens[i]
-            if k2 == "arr" and v2 and len(v2) % NRE == 0:
-                re_mask = v2
-                i += 1
+        while True:
+            pm = ts.take_arr(want_len={52})
+            if pm is None:
                 break
-            i += 1
+            prb_masks.append(pm)
+        hop_symbol = ts.take_int()
+        re_mask = None
+        while not ts.eof():
+            re_mask = ts.take_arr(multiple_of=NRE)
+            if re_mask is not None:
+                break
+            ts.advance()
         if re_mask is None:
             break
-        if not prb_masks:
-            prb_masks = [[0] * 52]
-        for pm in prb_masks:
+        for pm in prb_masks or [[0] * 52]:
             hops.append(ParsedHop(dmrs_symbols, pm, re_mask, hop_symbol))
     return hops
 
