@@ -349,3 +349,49 @@ def test_payload_bits_rejects_crc_wider_than_k():
         transport.payload_bits(ok, 24)  # k == degree
     with pytest.raises(ValueError):
         transport.payload_bits(ok, 20)  # k < degree
+
+
+def test_decoded_serving_nr_rate_match():
+    """serving.process(out='decoded') with rate_match='nr' end to end: the TS
+    38.212 §5.4.2 chain (punctured 2Z head, filler priors, Qm interleaving,
+    CRC11 gate) through the real served receiver — not just the transport-layer
+    roundtrip. Payload must come back exact with CRC and parity both passing."""
+    from srsran_ce_tpu.ops import nr_ldpc as nr
+
+    code = nr.nr_base_graph(2, 32)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("qpsk")
+    rnti, seed = 0x3344, 4242
+    c_init = sequences.pusch_scrambling_c_init(rnti, seed % 1024)
+    coding = transport.TransportCoding(
+        code=code, rate_match="nr", n_filler=16, crc="crc11", n_iters=20,
+        scramble_c_init=c_init,
+    )
+    geo = synthetic.make_case(seed=seed, snr_db=22.0, n_prbs=24, n_layers=1)
+    n_sc, n_sym = geo.received_rg.shape
+    lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, 1, nbits)
+    assert lay.filler_pos is not None and lay.c_words >= 1
+    rng = np.random.default_rng(seed)
+    k_pay = transport.payload_bits(coding, plan.k)
+    u = rng.integers(0, 2, (lay.c_words, k_pay), dtype=np.uint8)
+    words = transport.crc_attach(u, "crc11")
+    words_full = np.concatenate(
+        [words, np.zeros((lay.c_words, coding.n_filler), np.uint8)], axis=1
+    )
+    bits = transport.place_codewords(
+        lay, ldpc.encode(code, words_full), 1, nbits, fill_rng=rng
+    )
+    case = synthetic.make_mimo_case(
+        seed=seed, n_rx=2, modulation="qpsk", scramble=True, rnti=rnti,
+        bits=bits, n_prbs=24, n_layers=1, snr_db=22.0,
+    )
+    res = serving.process(
+        [serving.Problem(
+            case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+            case.beta, case.hop1, case.hop2, case.config,
+        )],
+        batch_size=4, out="decoded", modulation="qpsk", coding=coding,
+        matmul_precision=None,
+    )
+    assert bool(np.asarray(res[0].ok).all())
+    assert np.array_equal(res[0].info, u)
