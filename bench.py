@@ -425,27 +425,33 @@ def main():
         lay_ok = bool(_np.asarray(res_l.ok).all()) and _np.array_equal(
             _np.asarray(res_l.info), u
         )
-        t_lay = profiling.chained_throughput(
-            lambda l: dec_lay(l).posterior, fb, (jnp.asarray(llr),), reps_lo=16, reps_hi=64
-        )
         r = {
             "latency_ms_per_batch": t * 1e3,
             "xla_tier_ms_per_batch": t_xla * 1e3,
-            "layered13_ms_per_batch": t_lay * 1e3,
             "layered13_payload_exact": lay_ok,
             "batch": 512,
             "code": "array(6,16,61) n=976 k=%d rate=%.2f" % (lplan.k, lplan.k / code.n),
             "n_iters": 25,
             "info_bits_per_s": 512 * lplan.k / t,
-            "layered13_info_bits_per_s": 512 * lplan.k / t_lay,
             "edge_msgs_per_s": 512 * len(lplan.edges) * code.z * 25 / t,
         }
+        lay_msg = "exact=False (speedup withheld)"
+        if lay_ok:
+            # a layered speedup is only publishable from a payload-exact decode
+            # (ADVICE r03: a wrong decode must not advertise its throughput)
+            t_lay = profiling.chained_throughput(
+                lambda l: dec_lay(l).posterior, fb, (jnp.asarray(llr),), reps_lo=16, reps_hi=64
+            )
+            r["layered13_ms_per_batch"] = t_lay * 1e3
+            r["layered13_info_bits_per_s"] = 512 * lplan.k / t_lay
+            lay_msg = (
+                f"{t_lay*1e3:.3f} ms ({r['layered13_info_bits_per_s']/1e6:.0f} Mb/s, exact=True)"
+            )
         details["ldpc_decode_n976_b512"] = r
         log(
             f"ldpc_decode_n976_b512: {t*1e3:.3f} ms/batch512 (pallas, VMEM-resident) -> "
             f"{r['info_bits_per_s']/1e6:.1f} info Mb/s; xla tier {t_xla*1e3:.3f} ms; "
-            f"layered-13 {t_lay*1e3:.3f} ms ({r['layered13_info_bits_per_s']/1e6:.0f} Mb/s, "
-            f"exact={lay_ok})"
+            f"layered-13 {lay_msg}"
         )
     except Exception as e:
         log(f"ldpc_decode FAILED: {type(e).__name__}: {e}")
@@ -514,16 +520,24 @@ def main():
             t = profiling.chained_throughput(
                 lambda l: dec(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=16
             )
+            # mirror build_decoder's FULL kernels="auto" selection (incl. the
+            # backend condition — ADVICE r03: a CPU run must not label an
+            # XLA-tier decode "pallas")
+            if _ldpc._edge_z(code) > _ldpc._UNROLL_EDGE_Z_BUDGET:
+                tier = "xla_gather"
+            elif _ldpc._pallas_vmem_fits(code) and jax.default_backend() != "cpu":
+                tier = "pallas"
+            else:
+                tier = "xla"
             r = {
                 "latency_ms_per_batch": t * 1e3,
                 "batch": batch,
                 "code": f"NR BG{bg} Z={z} n={code.n} k={lplan.k}",
                 "n_iters": iters,
-                "tier": "xla_gather"
-                if _ldpc._edge_z(code) > _ldpc._UNROLL_EDGE_Z_BUDGET
-                else "pallas" if _ldpc._pallas_vmem_fits(code) else "xla",
+                "tier": tier,
                 "info_bits_per_s": batch * lplan.k / t,
             }
+            lay_msg = ""
             if try_layered:
                 dec_lay = _ldpc.build_decoder(
                     code, n_iters=iters // 2, kernels="pallas", schedule="layered"
@@ -532,25 +546,25 @@ def main():
                 lay_ok = bool(_np.asarray(res_l.ok).all()) and _np.array_equal(
                     _np.asarray(res_l.info), u
                 )
-                t_lay = profiling.chained_throughput(
-                    lambda l: dec_lay(l).posterior, fb, (jnp.asarray(llr),),
-                    reps_lo=4, reps_hi=16,
-                )
-                r["layered_half_iters_ms_per_batch"] = t_lay * 1e3
                 r["layered_payload_exact"] = lay_ok
-                r["layered_info_bits_per_s"] = batch * lplan.k / t_lay
-                r["layered_speedup"] = t / t_lay
+                lay_msg = f"; layered-{iters//2} exact=False (speedup withheld)"
+                if lay_ok:
+                    t_lay = profiling.chained_throughput(
+                        lambda l: dec_lay(l).posterior, fb, (jnp.asarray(llr),),
+                        reps_lo=4, reps_hi=16,
+                    )
+                    r["layered_half_iters_ms_per_batch"] = t_lay * 1e3
+                    r["layered_info_bits_per_s"] = batch * lplan.k / t_lay
+                    r["layered_speedup"] = t / t_lay
+                    lay_msg = (
+                        f"; layered-{iters//2} {t_lay*1e3:.3f} ms "
+                        f"({r['layered_info_bits_per_s']/1e6:.0f} Mb/s, "
+                        f"{r['layered_speedup']:.2f}x, exact=True)"
+                    )
             details[bname] = r
             log(
                 f"{bname} [{r['tier']}]: {t*1e3:.3f} ms/batch{batch} ({iters} iters) -> "
-                f"{r['info_bits_per_s']/1e6:.1f} info Mb/s (n={code.n})"
-                + (
-                    f"; layered-{iters//2} {r['layered_half_iters_ms_per_batch']:.3f} ms "
-                    f"({r['layered_info_bits_per_s']/1e6:.0f} Mb/s, "
-                    f"{r['layered_speedup']:.2f}x, exact={r['layered_payload_exact']})"
-                    if try_layered
-                    else ""
-                )
+                f"{r['info_bits_per_s']/1e6:.1f} info Mb/s (n={code.n})" + lay_msg
             )
         except Exception as e:
             log(f"{bname} FAILED: {type(e).__name__}: {e}")

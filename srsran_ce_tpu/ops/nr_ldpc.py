@@ -215,7 +215,23 @@ def load_official_base_graph(path, z: int, strict: bool = True) -> QCLdpcCode:
         ils = lifting_set_index(z)
         table = np.full((mb, nbv), -1, np.int64)
         for i, j, vs in raw["entries"]:
-            table[int(i), int(j)] = int(vs[ils])
+            i, j = int(i), int(j)
+            # Fail loudly on corrupted indices: numpy negative indexing would
+            # silently wrap an (i, j) like (-3, 70) into a *different* valid
+            # edge and (with strict=False) build a wrong but working-looking
+            # code (ADVICE r03).
+            if not (0 <= i < mb and 0 <= j < nbv):
+                raise ValueError(
+                    f"entry ({i},{j}) outside the BG{bg} {mb}x{nbv} block grid"
+                )
+            if len(vs) != 8:
+                raise ValueError(
+                    f"entry ({i},{j}) has {len(vs)} shift values, need 8 "
+                    "(one per lifting set iLS 0..7)"
+                )
+            if table[i, j] >= 0:
+                raise ValueError(f"duplicate entry for edge ({i},{j})")
+            table[i, j] = int(vs[ils])
         shifts = table.tolist()
     code = nr_base_graph(bg, z, shifts=shifts)
     validate_nr_base_graph(code, bg, strict=strict)
