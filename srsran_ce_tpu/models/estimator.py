@@ -395,13 +395,13 @@ def _grid_fill_rotate_pallas_serve(
 def _serve_pallas_deferred_ok(plan: EstimatorPlan) -> bool:
     """True when the batched deferred-fill Pallas serve path applies: a rank-1-in-
     time fill (no time interp), a linear interp/inpaint OPERATOR available for every
-    CDM group, and the whole per-program VMEM working set — the operator TILE plus
-    the h / rot / output blocks the kernel's BlockSpecs stage, all double-buffered
-    by the Pallas pipeline — under a conservative budget (~16 MB/core total)."""
+    CDM group, and the whole per-program VMEM working set under a conservative
+    budget (~16 MB/core total). The tile/VMEM math itself lives in ONE place —
+    `ops.pallas.kernels.serve_fill_geometry`, the same function the kernel uses to
+    pick its tile — so a kernel-side tiling change updates this gate with it."""
+    from ..ops.pallas import kernels as _plk
+
     max_vmem_bytes = 12 * 1024 * 1024
-    itemsize = np.dtype(np.float32).itemsize
-    block_b = 8  # fused_fill_rotate_serve default batch block
-    nL = plan.n_layers
     for hp in (plan.hop1, plan.hop2):
         if hp is None:
             continue
@@ -411,16 +411,11 @@ def _serve_pallas_deferred_ok(plan: EstimatorPlan) -> bool:
             return False
         if plan.config.interp == "cnn" and hp.inpaint_schedules is None:
             return False
-        # mirror fused_fill_rotate_serve's tile choice (<=512, 128-rounded)
-        tile = min(512, hp.n_sc_hop)
-        if tile < hp.n_sc_hop:
-            tile = max(128, (tile // 128) * 128)
         n_lc = max(l1 - l0 for l0, l1 in hp.layer_slices)
-        w_bytes = hp.n_re * tile * itemsize  # one group's tile per program
-        out_bytes = block_b * 2 * n_lc * hp.n_alloc_syms * tile * itemsize
-        h_bytes = block_b * 2 * nL * hp.n_re * itemsize
-        rot_bytes = block_b * 2 * hp.n_alloc_syms * itemsize
-        if 2 * (w_bytes + out_bytes + h_bytes + rot_bytes) > max_vmem_bytes:
+        _, _, vmem_bytes = _plk.serve_fill_geometry(
+            hp.n_re, hp.n_sc_hop, hp.n_alloc_syms, plan.n_layers, n_lc
+        )
+        if vmem_bytes > max_vmem_bytes:
             return False
     return True
 

@@ -102,6 +102,48 @@ def fused_fill_rotate(
     return out[:, :, :n_sc]
 
 
+def serve_fill_geometry(
+    n_re: int,
+    n_sc: int,
+    n_alloc_syms: int,
+    n_layers: int,
+    n_lc: int,
+    tile_sc: int = 512,
+    block_b: int = 8,
+    itemsize: int = 4,
+) -> Tuple[int, int, int]:
+    """Single source of truth for `fused_fill_rotate_serve`'s tiling and VMEM
+    working set. Both the kernel (tile choice) and the estimator's eligibility
+    predicate (`models/estimator._serve_pallas_deferred_ok`) call THIS function,
+    so a kernel-side tile change can never silently desynchronize the gate
+    (round-3 verdict item: the predicate used to mirror the math by hand).
+
+    Returns (tile_sc, block_b, vmem_bytes):
+      tile_sc     — the subcarrier tile the kernel will use: the full axis when
+                    it fits, else capped and rounded down to a 128 multiple
+                    (Mosaic lane-dim blocks must be 128-divisible or span the
+                    full axis);
+      block_b     — the batch-block UPPER BOUND (the kernel only ever shrinks
+                    it, halving until it divides the runtime batch, which
+                    shrinks the working set too — budgeting at this bound is
+                    conservative for every batch);
+      vmem_bytes  — the double-buffered per-program working set: the operator
+                    tile (1, n_re, tile_sc) + the staged h
+                    (block_b, 2, n_layers, n_re), rot (block_b, 2, n_alloc) and
+                    output (block_b, 2, n_lc, n_alloc, tile_sc) blocks, all x2
+                    for the Pallas pipeline's double buffering.
+    """
+    tile = min(tile_sc, n_sc)
+    if tile < n_sc:
+        tile = max(128, (tile // 128) * 128)
+    w_bytes = n_re * tile * itemsize
+    out_bytes = block_b * 2 * n_lc * n_alloc_syms * tile * itemsize
+    h_bytes = block_b * 2 * n_layers * n_re * itemsize
+    rot_bytes = block_b * 2 * n_alloc_syms * itemsize
+    vmem = 2 * (w_bytes + out_bytes + h_bytes + rot_bytes)
+    return tile, block_b, vmem
+
+
 def _dot_f32x3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """3-pass bf16 emulation of f32 matmul at XLA's Precision.HIGH (Mosaic only
     lowers DEFAULT/HIGHEST dots; HIGHEST costs 6 passes): split both operands
@@ -222,10 +264,11 @@ def fused_fill_rotate_serve(
     assert len(layer_slices) == w.shape[0] and layer_slices[-1][1] == nL
     n_sc = w.shape[-1]
     n_sym = rot_ri.shape[2]
-    tile_sc = min(tile_sc, n_sc)
-    if tile_sc < n_sc:
-        # Mosaic lane-dim blocks must be 128-divisible (or span the full axis)
-        tile_sc = max(128, (tile_sc // 128) * 128)
+    # tile choice lives in serve_fill_geometry (shared with the eligibility
+    # predicate — see its docstring)
+    tile_sc, _, _ = serve_fill_geometry(
+        n_re, n_sc, n_sym, nL, nL, tile_sc=tile_sc, block_b=block_b
+    )
     n_tiles = -(-n_sc // tile_sc)
     pad = n_tiles * tile_sc - n_sc
     if pad:

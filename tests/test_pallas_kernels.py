@@ -189,3 +189,81 @@ def test_pallas_serve_estimator_end_to_end():
     b = np.asarray(f_p(rg, pil, beta).channel_est_rg, np.float64)
     nmse = np.sum((a - b) ** 2) / (np.sum(a**2) + 1e-30)
     assert nmse < 1e-10, nmse
+
+
+def test_serve_fill_geometry_is_single_source():
+    """The eligibility predicate and the kernel must share ONE tile/VMEM model
+    (round-3 verdict item 6): sweep odd geometries, assert that every geometry
+    the predicate admits actually runs through the kernel (interpret mode) with
+    the tile serve_fill_geometry reports, and matches the reference math."""
+    rng = np.random.default_rng(11)
+    geometries = [
+        # (n_re, n_sc, n_alloc, nL, n_cdm) — odd, non-tile-aligned shapes
+        (13, 97, 3, 1, 1),
+        (31, 131, 14, 2, 1),
+        (52, 624, 14, 4, 2),
+        (104, 1272, 14, 4, 2),  # c2 flagship
+        (57, 700, 7, 2, 2),
+        (9, 36, 1, 1, 1),
+        (150, 3276, 14, 1, 1),  # 273-PRB wideband
+    ]
+    for n_re, n_sc, n_alloc, nL, n_cdm in geometries:
+        n_lc = nL // n_cdm
+        tile, block_b, vmem = kernels.serve_fill_geometry(
+            n_re, n_sc, n_alloc, nL, n_lc
+        )
+        # tile legality: full axis, or a 128-multiple
+        assert tile == n_sc or (tile % 128 == 0 and tile <= n_sc), (tile, n_sc)
+        if vmem > 12 * 1024 * 1024:
+            continue  # predicate would reject; kernel never sees it
+        B = block_b  # worst-case batch block the predicate budgets for
+        h = rng.standard_normal((B, nL, n_re)) + 1j * rng.standard_normal((B, nL, n_re))
+        rot = np.exp(1j * rng.standard_normal((B, n_alloc)))
+        w = rng.standard_normal((n_cdm, n_re, n_sc)) * 0.1
+        h_ri = np.stack([h.real, h.imag], axis=1).astype(np.float32)
+        rot_ri = np.stack([rot.real, rot.imag], axis=1).astype(np.float32)
+        layer_slices = tuple((c * n_lc, (c + 1) * n_lc) for c in range(n_cdm))
+        out = np.asarray(
+            kernels.fused_fill_rotate_serve(
+                jnp.asarray(h_ri),
+                jnp.asarray(w.astype(np.float32)),
+                jnp.asarray(rot_ri),
+                layer_slices=layer_slices,
+            )
+        )
+        got = out[:, 0] + 1j * out[:, 1]
+        want = np.empty((B, nL, n_alloc, n_sc), np.complex128)
+        for c, (l0, l1) in enumerate(layer_slices):
+            full = np.einsum("blr,rs->bls", h[:, l0:l1], w[c])
+            want[:, l0:l1] = full[:, :, None, :] * rot[:, None, :, None]
+        err = np.max(np.abs(got - want)) / (np.abs(want).max() + 1e-30)
+        assert err < 1e-4, (err, (n_re, n_sc, n_alloc, nL, n_cdm))
+
+
+def test_serve_fill_predicate_uses_kernel_geometry():
+    """_serve_pallas_deferred_ok must contain no duplicated tile math: its
+    verdict flips exactly where serve_fill_geometry's VMEM estimate crosses
+    the 12 MB budget."""
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.models.plan import make_plan
+    from srsran_ce_tpu.utils import synthetic
+
+    # eligible: c2-like geometry
+    case = synthetic.make_case(seed=5, n_prbs=106, n_layers=4, comb=2, snr_db=30.0)
+    plan = make_plan(case.hop1, case.hop2, case.config, 4)
+    hp = plan.hop1
+    n_lc = max(l1 - l0 for l0, l1 in hp.layer_slices)
+    _, _, vmem = kernels.serve_fill_geometry(
+        hp.n_re, hp.n_sc_hop, hp.n_alloc_syms, plan.n_layers, n_lc
+    )
+    assert estimator._serve_pallas_deferred_ok(plan) == (vmem <= 12 * 1024 * 1024)
+
+    # deep-CNN wideband: whatever the verdict, it must equal the shared model's
+    case3 = synthetic.make_case(seed=6, n_prbs=273, n_layers=1, comb=2,
+                                snr_db=30.0, interp="cnn")
+    plan3 = make_plan(case3.hop1, case3.hop2, case3.config, 1)
+    hp3 = plan3.hop1
+    _, _, vmem3 = kernels.serve_fill_geometry(
+        hp3.n_re, hp3.n_sc_hop, hp3.n_alloc_syms, 1, 1
+    )
+    assert estimator._serve_pallas_deferred_ok(plan3) == (vmem3 <= 12 * 1024 * 1024)
