@@ -66,8 +66,13 @@ def cmd_validate(args) -> int:
 
 def cmd_selftest(args) -> int:
     """Hermetic conformance: synthesize an srsRAN-format suite from the float64
-    oracle, then replay it through the full vector pipeline."""
+    oracle, then replay it through the full vector pipeline. With --deep, run
+    the three fuzzers (geometry-vs-oracle, coded chain, header parser) at depth
+    and write the auditable JSON report (DEEPFUZZ_REPORT.json by default)."""
     import tempfile
+
+    if getattr(args, "deep", False):
+        return _selftest_deep(args)
 
     from . import conformance, synth_vectors
 
@@ -97,6 +102,49 @@ def cmd_selftest(args) -> int:
     ok = report["n_pass"] == report["n_cases"]
     print(f"selftest: {report['n_pass']}/{report['n_cases']} within {args.nmse_bound_db} dB")
     return 0 if ok else 1
+
+
+def _selftest_deep(args) -> int:
+    """`selftest --deep`: the recorded deep-fuzz sweep (validation/deepfuzz.py).
+
+    Runs on the CPU platform in float64 (the geometry fuzzer's 1e-18 oracle
+    bound is an x64 property) — both flags are flipped BEFORE first backend
+    use, the one window where jax_platforms can still be changed in this
+    environment (see .claude/skills/verify/SKILL.md)."""
+    import time
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized; trust the caller's platform
+    jax.config.update("jax_enable_x64", True)
+
+    from . import deepfuzz
+
+    t0 = time.time()
+    progress = lambda msg: print(f"  [{time.time()-t0:6.1f}s] {msg}", flush=True)
+    print(
+        f"deep fuzz: geometry n={args.geometry_n}, coded n={args.coded_n}, "
+        f"header n={args.header_n} (backend={jax.default_backend()}, x64)",
+        flush=True,
+    )
+    report = deepfuzz.run_all(
+        n_geometry=args.geometry_n, n_coded=args.coded_n, n_header=args.header_n,
+        progress=progress,
+    )
+    for k in ("geometry", "coded", "header"):
+        r = report[k]
+        print(f"{k}: {r['n_pass']}/{r['n_cases']} pass ({r['elapsed_s']:.1f}s)")
+    g = report["geometry"]
+    print(f"geometry NMSE: max {g['nmse_max']:.2e}, median {g['nmse_median']:.2e}, "
+          f"histogram(log10) {g['nmse_log10_histogram']}")
+    out = Path(args.report or "DEEPFUZZ_REPORT.json")
+    out.write_text(json.dumps(report, indent=2, default=str))
+    print(f"report written to {out}")
+    print("deep selftest:", "ALL PASS" if report["all_pass"] else "FAILURES (see report)")
+    return 0 if report["all_pass"] else 1
 
 
 def cmd_diagnose(args) -> int:
@@ -308,6 +356,15 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("selftest", help="hermetic synthetic-vector conformance")
     s.add_argument("--nmse-bound-db", type=float, default=-40.0)
+    s.add_argument("--deep", action="store_true",
+                   help="run the three fuzzers at depth (geometry-vs-oracle, "
+                        "coded chain, header parser) and write an auditable "
+                        "JSON report; forces the CPU x64 platform")
+    s.add_argument("--geometry-n", type=int, default=100)
+    s.add_argument("--coded-n", type=int, default=30)
+    s.add_argument("--header-n", type=int, default=120)
+    s.add_argument("--report", default=None,
+                   help="deep-report path (default DEEPFUZZ_REPORT.json)")
     s.set_defaults(fn=cmd_selftest)
 
     d = sub.add_parser("diagnose", help="graph-capture / offload diagnostic")

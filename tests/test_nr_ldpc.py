@@ -260,3 +260,54 @@ def test_official_table_validation_gate(tmp_path):
     # wrong dimensions
     with pytest.raises(ValueError, match="blocks"):
         nr.validate_nr_base_graph(nr.nr_base_graph(2, 16), 1, strict=False)
+
+
+def test_official_table_cross_format(tmp_path):
+    """The two accepted drop formats — the printed `entries` layout (one row
+    per edge with the 8-vector of per-lifting-set shifts) and a dense `shifts`
+    (m_b, n_b) single-set table — must produce IDENTICAL codes and identical
+    encodes for the same graph, so whoever transcribes the official tables can
+    use either and cross-check one against the other."""
+    import json
+
+    import numpy as np
+
+    raw = nr.export_base_graph_entries(2)
+    p_entries = tmp_path / "entries.json"
+    p_entries.write_text(json.dumps(raw))
+    for z in (16, 104, 208):
+        ils = nr.lifting_set_index(z)
+        mb, nbv, _ = nr.base_graph_params(2)
+        dense = np.full((mb, nbv), -1, np.int64)
+        for i, j, vs in raw["entries"]:
+            dense[i, j] = vs[ils]
+        p_dense = tmp_path / f"dense_{z}.json"
+        p_dense.write_text(json.dumps({"bg": 2, "shifts": dense.tolist()}))
+        c_e = nr.load_official_base_graph(p_entries, z, strict=False)
+        c_d = nr.load_official_base_graph(p_dense, z, strict=False)
+        assert c_e == c_d, z
+        plan = ldpc.make_ldpc_plan(c_e)
+        rng = np.random.default_rng(z)
+        u = rng.integers(0, 2, (2, plan.k), dtype=np.uint8)
+        assert np.array_equal(ldpc.encode(c_e, u), ldpc.encode(c_d, u)), z
+
+
+def test_official_table_corrupted_indices(tmp_path):
+    """Corrupted (i, j) indices or malformed shift vectors must fail loudly
+    BEFORE table assembly — negative indices would otherwise wrap via numpy
+    into a different (valid-looking) edge."""
+    import json
+
+    base = nr.export_base_graph_entries(2)
+    for mutate, match in (
+        (lambda e: e[5].__setitem__(0, -3), "outside"),
+        (lambda e: e[5].__setitem__(1, 99), "outside"),
+        (lambda e: e[5].__setitem__(2, e[5][2][:5]), "shift values"),
+        (lambda e: e.append(list(e[5])), "duplicate"),
+    ):
+        raw = json.loads(json.dumps(base))
+        mutate(raw["entries"])
+        p = tmp_path / "bad.json"
+        p.write_text(json.dumps(raw))
+        with pytest.raises(ValueError, match=match):
+            nr.load_official_base_graph(p, 52, strict=False)
