@@ -11,13 +11,12 @@ ce_dl_cnn, torch CPU eager) measured on this machine — see BASELINE_MEASURED.j
 Methodology: this environment's TPU is reached through a relay whose async completion
 acks are unreliable for microtiming (block_until_ready can return before execution).
 We therefore time a strictly serial chain — a lax.scan whose next input depends on
-the previous iteration's channel output — at two different repetition counts and
-take the slope (t_hi - t_lo) / (reps_hi - reps_lo). The constant per-call relay
-overhead (~30 ms) and fetch latency cancel out; the slope is pure device time per
-batch. A warmup call with a scalar fetch precedes every measurement (fetching is
-what forces the relay to materialize results).
+the previous iteration's channel output — at several repetition counts and take the
+slope. The constant per-call relay overhead (~30 ms) and fetch latency cancel out;
+the slope is pure device time per batch. A warmup call with a scalar fetch precedes
+every measurement (fetching is what forces the relay to materialize results).
 
-Two honesty rules, both load-bearing:
+Three honesty rules, all load-bearing:
   * `lax.optimization_barrier` on each iteration's channel grid. Without it XLA
     fuses the chain's feedback reduction into the producer and NEVER MATERIALIZES
     the output — the "measured" number silently excludes the grid write (~40% of
@@ -27,6 +26,15 @@ Two honesty rules, both load-bearing:
     bf16, ~1e-7 relative error; the f32-exact "highest" conformance path is gated
     separately by the NMSE check below, which must pass < 1e-6 for the numbers to
     be reported at all).
+  * MIN-OF-K slopes, rows interleaved. The relay's run-to-run slope variance is
+    ~20% (occasionally 2-5x; ARCHITECTURE.md): one slope estimate recorded as THE
+    number scores machine luck, not the framework (round 3: 28.2e9 vs 34.9e9 for
+    identical code). Every row therefore takes K=3 INDEPENDENT slope estimates in
+    interleaved passes over all rows (drift hits every row equally), reports
+    min + spread in BENCH_DETAILS, and headlines the min — pollution only ever
+    ADDS time, so the minimum is the least-polluted device-time estimate. Rows
+    whose spread exceeds 10% are flagged `spread_warn` (believe the min, not the
+    mean, and rerun before trusting cross-run deltas).
 
 Per-config details (all five BASELINE.json configs) go to stderr and
 BENCH_DETAILS.json.
@@ -67,9 +75,88 @@ BENCH_CONFIGS = {
 }
 
 HEADLINE = "c2_mmse_4port_106prb"
-REPS_LO = 8
-REPS_HI = 72
-TRIALS = 4
+REPS = (8, 40, 72)
+REPS_LONGER = ((8, 144, 288), (8, 576, 1152))  # escalation tiers for fast rows
+TRIALS = 3
+K_SLOPES = 3
+SPREAD_WARN = 0.10
+
+
+class SlopeRow:
+    """One bench row: pre-compiled chained-scan executables at several rep
+    counts, measured as one slope per pass. See the module docstring's
+    min-of-K rule; `measure_once()` is called once per interleaved pass."""
+
+    def __init__(self, name, make_fn, args):
+        self.name = name
+        self.make_fn = make_fn  # reps -> jitted fn(*args) -> scalar
+        self.args = args
+        self.fns = {}
+        self.rep_points = REPS
+        self.slopes = []
+        self.setup_s = 0.0
+        self.last_times = {}
+
+    def _fn(self, reps):
+        if reps not in self.fns:
+            fn = self.make_fn(reps)
+            float(fn(*self.args))  # compile + warmup fetch (forces materialization)
+            self.fns[reps] = fn
+        return self.fns[reps]
+
+    def measure_once(self) -> float:
+        times = {}
+        for reps in self.rep_points:
+            fn = self._fn(reps)
+            best = float("inf")
+            for _ in range(TRIALS):
+                t0 = time.time()
+                r = fn(*self.args)
+                jax.block_until_ready(r)
+                best = min(best, time.time() - t0)
+            times[reps] = best
+        self.last_times = times
+        xs = np.array(self.rep_points, float)
+        ys = np.array([times[r] for r in self.rep_points])
+        return max(float(np.polyfit(xs, ys, 1)[0]), 1e-9)
+
+    def prepare(self) -> float:
+        """Compile all rep points and take a pilot estimate (used for batch
+        selection and the long-chain fallback; NOT counted toward the K
+        interleaved estimates)."""
+        t0 = time.time()
+        s = self.measure_once()
+        # Fast rows bury the slope in relay-latency noise (slope contributes
+        # <15% of the longest chain's wall time -> the fit is mostly intercept
+        # jitter, occasionally NEGATIVE — r4 first run: a 0.09 ms factored row
+        # "measured" 0.000 ms). Escalate the chain length until the slope
+        # dominates, up to 16x.
+        for longer in REPS_LONGER:
+            hi = self.rep_points[-1]
+            if s > 0.15 * self.last_times[hi] / hi:
+                break
+            self.rep_points = longer
+            s = self.measure_once()
+        self.setup_s = time.time() - t0
+        return s
+
+    def stats(self) -> dict:
+        # Robust aggregation: a clamped/negative fit (<=10 ns) or an estimate
+        # implausibly far BELOW the median (pollution only ever ADDS time, so
+        # "too fast" means a broken fit, not a fast device) is discarded
+        # before taking the min. Everything is recorded for the audit trail.
+        sl = [s for s in self.slopes if s > 1e-8]
+        med = float(np.median(sl)) if sl else 1e-9
+        good = [s for s in sl if s >= 0.3 * med] or sl or [1e-9]
+        s_min = min(good)
+        spread = (max(good) - s_min) / max(s_min, 1e-12)
+        return {
+            "s_per_batch": s_min,
+            "slope_estimates_ms": [s * 1e3 for s in self.slopes],
+            "n_slopes_discarded": len(self.slopes) - len(good),
+            "slope_spread": spread,
+            "spread_warn": spread > SPREAD_WARN,
+        }
 
 
 def _chained_runner(case, config, n_layers, reps, out_layout="serve", kernels="xla"):
@@ -186,12 +273,7 @@ def _serving_config(config):
     return dataclasses.replace(config, matmul_precision="high")
 
 
-def bench_config(name, kwargs, batch, out_layout="serve", n_rx=None, modulation=None, kernels="xla"):
-    case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
-    nL = case.pilots.shape[2]
-    plan = make_plan(case.hop1, case.hop2, _serving_config(case.config), nL)
-    _est.prefetch_plan_constants(plan)
-
+def _row_inputs(case, batch, n_rx=None):
     rg = _est.split_ri(case.received_rg.astype(np.complex64))
     if n_rx is not None:
         # joint receiver: n_rx port grids per problem (2, n_rx, n_sc, n_sym)
@@ -200,41 +282,27 @@ def bench_config(name, kwargs, batch, out_layout="serve", n_rx=None, modulation=
     rg_b = jax.device_put(np.broadcast_to(rg, (batch,) + rg.shape).copy())
     pil_b = jax.device_put(np.broadcast_to(pil, (batch,) + pil.shape).copy())
     beta = jax.device_put(np.ones(batch, np.float32))
+    return (rg_b, pil_b, beta), rg, pil
 
-    t_compile = time.time()
 
-    def measure(rep_points):
-        times = {}
-        for reps in rep_points:
-            if n_rx is not None:
-                fn = _chained_receiver_runner(plan, reps, modulation)
-            else:
-                fn = _chained_runner(
-                    case, _serving_config(case.config), nL, reps, out_layout, kernels
-                )
-            r = fn(rg_b, pil_b, beta)
-            float(r)  # warmup fetch: forces materialization through the relay
-            best = float("inf")
-            for _ in range(TRIALS):
-                t0 = time.time()
-                r = fn(rg_b, pil_b, beta)
-                jax.block_until_ready(r)
-                best = min(best, time.time() - t0)
-            times[reps] = best
-        xs = np.array(rep_points, float)
-        ys = np.array([times[r] for r in rep_points])
-        slope = float(np.polyfit(xs, ys, 1)[0])
-        return slope, times
+def make_row(name, kwargs, batch, out_layout="serve", n_rx=None, modulation=None, kernels="xla"):
+    """Build one SlopeRow plus its static metadata (grid REs, HBM floor)."""
+    case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
+    nL = case.pilots.shape[2]
+    plan = make_plan(case.hop1, case.hop2, _serving_config(case.config), nL)
+    _est.prefetch_plan_constants(plan)
+    args, rg, pil = _row_inputs(case, batch, n_rx)
 
-    per_batch, times = measure((REPS_LO, (REPS_LO + REPS_HI) // 2, REPS_HI))
-    if per_batch <= 0.15 * times[REPS_HI] / REPS_HI:
-        # slope buried in relay-latency noise: re-measure with a 4x longer chain
-        per_batch, times = measure((REPS_LO, 2 * REPS_HI, 4 * REPS_HI))
-    compile_s = time.time() - t_compile
-    per_batch = max(per_batch, 1e-9)
+    if n_rx is not None:
+        make_fn = lambda reps: _chained_receiver_runner(plan, reps, modulation)
+    else:
+        make_fn = lambda reps: _chained_runner(
+            case, _serving_config(case.config), nL, reps, out_layout, kernels
+        )
+    row = SlopeRow(name, make_fn, args)
+
     # channel REs produced per problem; the receiver performs n_rx estimations
     grid_res = case.received_rg.size * nL * (n_rx or 1)
-
     # HBM roofline floor: unavoidable traffic per chained iteration = read the
     # carried grid + pilots, write the serve-layout channel grid (f32 ri pairs).
     # v5e HBM bandwidth ~819 GB/s. The front's intermediates add real traffic on
@@ -256,17 +324,51 @@ def bench_config(name, kwargs, batch, out_layout="serve", n_rx=None, modulation=
     else:
         out_bytes = 2 * nL * case.received_rg.size * 4
     floor_s = batch * (in_bytes + out_bytes) / hbm_bw
+    meta = {"batch": batch, "grid_res": grid_res, "floor_s": floor_s, "case": case, "nL": nL}
+    return row, meta
+
+
+def row_details(row: SlopeRow, meta) -> dict:
+    st = row.stats()
+    per_batch = st["s_per_batch"]
+    batch, grid_res, floor_s = meta["batch"], meta["grid_res"], meta["floor_s"]
     return {
         "latency_ms_per_batch": per_batch * 1e3,
         "batch": batch,
         "problems_per_s": batch / per_batch,
         "res_per_s": batch * grid_res / per_batch,
         "grid_res_per_problem": grid_res,
-        "times_s": {str(k): v for k, v in times.items()},
-        "setup_s": compile_s,
+        "slope_estimates_ms": st["slope_estimates_ms"],
+        "slope_spread": st["slope_spread"],
+        "spread_warn": st["spread_warn"],
+        "times_s": {str(k): v for k, v in row.last_times.items()},
+        "setup_s": row.setup_s,
         "hbm_floor_ms": floor_s * 1e3,
         "x_over_hbm_floor": per_batch / floor_s,
     }
+
+
+def select_batch_rows(specs):
+    """specs: list of (name, row_kwargs_per_batch). For each spec, prepare a row
+    per candidate batch, keep the best pilot-estimate res_per_s. Returns
+    {name: (row, meta)} of winners, all prepared (compiled)."""
+    winners = {}
+    for name, candidates in specs:
+        best = None
+        for make_kwargs in candidates:
+            try:
+                row, meta = make_row(name, **make_kwargs)
+                s = row.prepare()
+                r = meta["batch"] * meta["grid_res"] / s
+                if best is None or r > best[2]:
+                    best = (row, meta, r)
+                else:
+                    row.fns.clear()  # drop loser executables
+            except Exception as e:
+                log(f"{name} (batch candidate) FAILED: {type(e).__name__}: {e}")
+        if best is not None:
+            winners[name] = (best[0], best[1])
+    return winners
 
 
 def main():
@@ -280,109 +382,118 @@ def main():
             baseline = json.load(f).get("results", {})
 
     details = {}
+
+    # ---- Phase 1: build + compile every slope row (batch selection included) ----
+    specs = []
     for name, (kwargs, batches) in BENCH_CONFIGS.items():
+        specs.append((name, [dict(kwargs=kwargs, batch=b) for b in batches]))
+    # Factored serving output (out_layout="factored": profile + per-symbol
+    # rotation instead of the dense grid — lossless rank-1 factorization,
+    # ~n_sym x less output; see FactoredResult). Same batch sweep as the dense
+    # rows so the ratios are like-for-like; detail rows, not the headline.
+    for fname in (HEADLINE, "c3_cnn_273prb"):
+        kwargs, batches = BENCH_CONFIGS[fname]
+        specs.append((
+            fname + "_factored",
+            [dict(kwargs=kwargs, batch=b, out_layout="factored") for b in batches],
+        ))
+    # Joint multi-RX receiver (models/receiver): 4 RX ports x 4 layers at the
+    # headline geometry — 4 estimations + cross-port MMSE equalization fused in
+    # one program; output = equalized-symbol grid (nL, n_sym, n_sc). And the
+    # same receiver with the exact max-log 256QAM demap fused in (int8 LLR
+    # grid: the complete PHY front-end in ONE program).
+    kwargs, _ = BENCH_CONFIGS[HEADLINE]
+    specs.append((
+        "c2_receiver_4rx4l", [dict(kwargs=kwargs, batch=b, n_rx=4) for b in (64, 128)]
+    ))
+    specs.append((
+        "c2_receiver_4rx4l_llr256",
+        [dict(kwargs=kwargs, batch=b, n_rx=4, modulation="256qam") for b in (64, 128)],
+    ))
+    # Pallas serve tier on the headline config: the deferred batched-fill kernel
+    # as a first-class row (round-1 verdict item). XLA stays the default while
+    # it wins; the row keeps the comparison honest on every run.
+    specs.append((
+        HEADLINE + "_pallas", [dict(kwargs=kwargs, batch=128, kernels="pallas")]
+    ))
+    # Fused Pallas FRONT tier (round-3 verdict item 2): the whole per-hop front
+    # (LS -> atan2 CFO -> time-avg -> fused smoothing w/ unwrap virtual pilots
+    # -> DFT TA w/ emulated argmax -> noise/RSRP/EPRE) as ONE kernel + the
+    # batched serve fill. Replaces the former "blocked outright: Mosaic lacks
+    # atan2/argmax/cumsum" claim with a recurring on-chip measurement.
+    specs.append((
+        HEADLINE + "_pallas_front",
+        [dict(kwargs=kwargs, batch=128, kernels="pallas_front")],
+    ))
+
+    rows = select_batch_rows(specs)
+
+    # ---- Phase 2: K interleaved measurement passes over ALL rows ----
+    for k in range(K_SLOPES):
+        for name, (row, meta) in rows.items():
+            try:
+                row.slopes.append(row.measure_once())
+            except Exception as e:
+                log(f"{name} pass {k} FAILED: {type(e).__name__}: {e}")
+        log(f"slope pass {k + 1}/{K_SLOPES} done")
+
+    # ---- Phase 3: details + correctness gates ----
+    for name, (row, meta) in rows.items():
         try:
-            best = None
-            for batch in batches:
-                r = bench_config(name, kwargs, batch)
-                if best is None or r["res_per_s"] > best["res_per_s"]:
-                    best = r
-            r = best
-            case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
-            r["nmse_vs_oracle"] = _nmse_vs_oracle(case, case.pilots.shape[2])
-            assert r["nmse_vs_oracle"] < 1e-6, f"bench correctness gate: {r['nmse_vs_oracle']}"
-            r["nmse_vs_oracle_serve"] = _nmse_vs_oracle_serve(case, case.pilots.shape[2])
-            assert r["nmse_vs_oracle_serve"] < 1e-6, (
-                f"serve correctness gate: {r['nmse_vs_oracle_serve']}"
-            )
-            if name == HEADLINE:
-                # conformance (ref-layout) path: exact fill, ~5e-15 — the
-                # round-2 "c2 outlier" (6.3e-11) came from HIGH-precision
-                # matmuls on multi-layer profiles (fused smoothing, now pinned
-                # to HIGHEST everywhere) and the fill (pinned on the ref path)
-                assert r["nmse_vs_oracle"] < 1e-12, (
-                    f"c2 conformance NMSE regression: {r['nmse_vs_oracle']}"
+            if not row.slopes:
+                raise RuntimeError("no successful slope estimate")
+            r = row_details(row, meta)
+            case, nL = meta["case"], meta["nL"]
+            if name in BENCH_CONFIGS:
+                r["nmse_vs_oracle"] = _nmse_vs_oracle(case, nL)
+                assert r["nmse_vs_oracle"] < 1e-6, f"bench correctness gate: {r['nmse_vs_oracle']}"
+                r["nmse_vs_oracle_serve"] = _nmse_vs_oracle_serve(case, nL)
+                assert r["nmse_vs_oracle_serve"] < 1e-6, (
+                    f"serve correctness gate: {r['nmse_vs_oracle_serve']}"
                 )
-                # serving path: fill stays at 'high' (3-pass bf16; exactness
-                # costs a measured +15% latency) — hold its documented bound
-                assert r["nmse_vs_oracle_serve"] < 4e-11, (
-                    f"c2 serve NMSE regression: {r['nmse_vs_oracle_serve']}"
+                if name == HEADLINE:
+                    # conformance (ref-layout) path: exact fill, ~5e-15 — the
+                    # round-2 "c2 outlier" (6.3e-11) came from HIGH-precision
+                    # matmuls on multi-layer profiles (fused smoothing, now pinned
+                    # to HIGHEST everywhere) and the fill (pinned on the ref path)
+                    assert r["nmse_vs_oracle"] < 1e-12, (
+                        f"c2 conformance NMSE regression: {r['nmse_vs_oracle']}"
+                    )
+                    # serving path: fill stays at 'high' (3-pass bf16; exactness
+                    # costs a measured +15% latency) — hold its documented bound
+                    assert r["nmse_vs_oracle_serve"] < 4e-11, (
+                        f"c2 serve NMSE regression: {r['nmse_vs_oracle_serve']}"
+                    )
+                bl = baseline.get(name, {}).get("res_per_s")
+                r["vs_reference_cpu"] = (r["res_per_s"] / bl) if bl else None
+            if name == HEADLINE + "_pallas":
+                from srsran_ce_tpu.models.plan import make_plan as _mk
+
+                plan = _mk(case.hop1, case.hop2, _serving_config(case.config), nL)
+                deferred = _est._serve_pallas_deferred_ok(plan)
+                # which tier actually ran: the deferred batched fill kernel, or
+                # the per-problem fallback (ADVICE r02: don't let a silent
+                # fallback report XLA numbers as "pallas")
+                r["pallas_tier"] = (
+                    "deferred_batched_fill" if deferred else "per_problem_fallback"
                 )
-            bl = baseline.get(name, {}).get("res_per_s")
-            r["vs_reference_cpu"] = (r["res_per_s"] / bl) if bl else None
+                xla = details.get(HEADLINE, {}).get("latency_ms_per_batch")
+                r["xla_tier_ms_per_batch"] = xla
             details[name] = r
+            warn = " [SPREAD>10%]" if r["spread_warn"] else ""
             log(
-                f"{name}: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "
-                f"{r['res_per_s']:.3e} REs/s, nmse {r['nmse_vs_oracle']:.1e}"
-                + (f" ({r['vs_reference_cpu']:.0f}x reference)" if bl else "")
+                f"{name}: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} "
+                f"(min of {len(row.slopes)}, spread {r['slope_spread']:.1%}{warn}) -> "
+                f"{r['res_per_s']:.3e} REs/s"
+                + (f", nmse {r['nmse_vs_oracle']:.1e}" if "nmse_vs_oracle" in r else "")
             )
         except Exception as e:  # keep the bench robust; report what ran
             log(f"{name} FAILED: {type(e).__name__}: {e}")
             details[name] = {"error": str(e)}
-
-    # Factored serving output (out_layout="factored": profile + per-symbol
-    # rotation instead of the dense grid — lossless rank-1 factorization,
-    # ~n_sym x less output; see FactoredResult). Same batch sweep as the dense
-    # rows so the ratios are like-for-like. Reported as detail rows; the
-    # headline stays the dense-grid number.
-    for fname in (HEADLINE, "c3_cnn_273prb"):
-        try:
-            kwargs, batches = BENCH_CONFIGS[fname]
-            best = None
-            for batch in batches:
-                r = bench_config(fname, kwargs, batch, out_layout="factored")
-                if best is None or r["res_per_s"] > best["res_per_s"]:
-                    best = r
-            r = best
-            details[fname + "_factored"] = r
-            log(
-                f"{fname}_factored: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "
-                f"{r['res_per_s']:.3e} effective REs/s"
-            )
-        except Exception as e:
-            log(f"{fname} factored FAILED: {type(e).__name__}: {e}")
-            details[fname + "_factored"] = {"error": str(e)}
-
-    # Joint multi-RX receiver (models/receiver): 4 RX ports x 4 layers at the
-    # headline geometry — 4 estimations + cross-port MMSE equalization fused in
-    # one program; the output is the equalized-symbol grid (nL, n_sym, n_sc),
-    # 4x smaller than the four channel grids it replaces.
-    try:
-        kwargs, _ = BENCH_CONFIGS[HEADLINE]
-        best = None
-        for batch in (64, 128):
-            r = bench_config(HEADLINE, kwargs, batch, n_rx=4)
-            if best is None or r["res_per_s"] > best["res_per_s"]:
-                best = r
-        r = best
-        details["c2_receiver_4rx4l"] = r
-        log(
-            f"c2_receiver_4rx4l: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "
-            f"{r['res_per_s']:.3e} est REs/s (4 ports estimated + equalized)"
-        )
-    except Exception as e:
-        log(f"c2_receiver_4rx4l FAILED: {type(e).__name__}: {e}")
-        details["c2_receiver_4rx4l"] = {"error": str(e)}
-
-    # Same receiver with the exact max-log soft demapper fused in (256QAM,
-    # the worst-case 8-bit demap): the output is the int8 LLR grid — the
-    # complete PHY front-end (estimate + equalize + demap) in ONE program.
-    try:
-        kwargs, _ = BENCH_CONFIGS[HEADLINE]
-        best = None
-        for batch in (64, 128):
-            r = bench_config(HEADLINE, kwargs, batch, n_rx=4, modulation="256qam")
-            if best is None or r["res_per_s"] > best["res_per_s"]:
-                best = r
-        r = best
-        details["c2_receiver_4rx4l_llr256"] = r
-        log(
-            f"c2_receiver_4rx4l_llr256: {r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} -> "
-            f"{r['res_per_s']:.3e} est REs/s (+256QAM demap to int8 LLRs)"
-        )
-    except Exception as e:
-        log(f"c2_receiver_4rx4l_llr256 FAILED: {type(e).__name__}: {e}")
-        details["c2_receiver_4rx4l_llr256"] = {"error": str(e)}
+    # free row executables before the decoder benches
+    for name, (row, meta) in rows.items():
+        row.fns.clear()
+    rows = None
 
     # QC-LDPC decode throughput (ops/ldpc): 25-iteration normalized min-sum on
     # the rate-0.63 n=976 code the coded link-level eval uses, batch 512 words.
@@ -412,12 +523,16 @@ def main():
             _np.asarray(res.bits), _np.asarray(dec_xla(llr).bits)
         ), "pallas decode tier diverged from the XLA tier on device"
         fb = lambda carry, out: jax.lax.optimization_barrier(jnp.clip(out, -20.0, 20.0))
-        t = profiling.chained_throughput(
-            lambda l: dec(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=20
+        st = profiling.chained_slope_stats(
+            lambda l: dec(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=20,
+            k=K_SLOPES,
         )
-        t_xla = profiling.chained_throughput(
-            lambda l: dec_xla(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=20
+        t = st["s_per_step"]
+        st_xla = profiling.chained_slope_stats(
+            lambda l: dec_xla(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=20,
+            k=K_SLOPES,
         )
+        t_xla = st_xla["s_per_step"]
         # layered schedule at the matched-quality sweep count (~half of
         # flooding's; gate it on decoding this batch payload-exactly)
         dec_lay = _ldpc.build_decoder(code, n_iters=13, kernels="pallas", schedule="layered")
@@ -427,6 +542,7 @@ def main():
         )
         r = {
             "latency_ms_per_batch": t * 1e3,
+            "slope_spread": st["spread"],
             "xla_tier_ms_per_batch": t_xla * 1e3,
             "layered13_payload_exact": lay_ok,
             "batch": 512,
@@ -439,9 +555,11 @@ def main():
         if lay_ok:
             # a layered speedup is only publishable from a payload-exact decode
             # (ADVICE r03: a wrong decode must not advertise its throughput)
-            t_lay = profiling.chained_throughput(
-                lambda l: dec_lay(l).posterior, fb, (jnp.asarray(llr),), reps_lo=16, reps_hi=64
+            st_lay = profiling.chained_slope_stats(
+                lambda l: dec_lay(l).posterior, fb, (jnp.asarray(llr),),
+                reps_lo=16, reps_hi=64, k=K_SLOPES,
             )
+            t_lay = st_lay["s_per_step"]
             r["layered13_ms_per_batch"] = t_lay * 1e3
             r["layered13_info_bits_per_s"] = 512 * lplan.k / t_lay
             lay_msg = (
@@ -449,40 +567,14 @@ def main():
             )
         details["ldpc_decode_n976_b512"] = r
         log(
-            f"ldpc_decode_n976_b512: {t*1e3:.3f} ms/batch512 (pallas, VMEM-resident) -> "
+            f"ldpc_decode_n976_b512: {t*1e3:.3f} ms/batch512 (pallas, VMEM-resident, "
+            f"spread {st['spread']:.1%}) -> "
             f"{r['info_bits_per_s']/1e6:.1f} info Mb/s; xla tier {t_xla*1e3:.3f} ms; "
             f"layered-13 {lay_msg}"
         )
     except Exception as e:
         log(f"ldpc_decode FAILED: {type(e).__name__}: {e}")
         details["ldpc_decode_n976_b512"] = {"error": str(e)}
-
-    # Pallas serve tier on the headline config: the deferred batched-fill kernel
-    # as a first-class row (round-1 verdict item). XLA stays the default while
-    # it wins; the row keeps the comparison honest on every run.
-    try:
-        kwargs, _ = BENCH_CONFIGS[HEADLINE]
-        case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
-        plan = make_plan(
-            case.hop1, case.hop2, _serving_config(case.config), case.pilots.shape[2]
-        )
-        deferred = _est._serve_pallas_deferred_ok(plan)
-        r = bench_config(HEADLINE, kwargs, 128, kernels="pallas")
-        xla = details.get(HEADLINE, {}).get("latency_ms_per_batch")
-        r["xla_tier_ms_per_batch"] = xla
-        # which tier actually ran: the deferred batched fill kernel, or the
-        # per-problem fallback (ADVICE r02: don't let a silent fallback report
-        # XLA numbers as "pallas")
-        r["pallas_tier"] = "deferred_batched_fill" if deferred else "per_problem_fallback"
-        details[HEADLINE + "_pallas"] = r
-        log(
-            f"{HEADLINE}_pallas [{r['pallas_tier']}]: "
-            f"{r['latency_ms_per_batch']:.3f} ms/batch{r['batch']} "
-            f"(xla tier " + (f"{xla:.3f} ms)" if xla else "n/a)")
-        )
-    except Exception as e:
-        log(f"{HEADLINE}_pallas FAILED: {type(e).__name__}: {e}")
-        details[HEADLINE + "_pallas"] = {"error": str(e)}
 
     # NR LDPC decode (TS 38.212-structured base graphs, ops/nr_ldpc). The
     # flooding rows run kernels="auto" (pallas lane-z for the unroll-budget
@@ -517,9 +609,11 @@ def main():
                 _np.asarray(res.info), u
             ), f"{bname} decode correctness gate failed"
             fb = lambda carry, out: jax.lax.optimization_barrier(jnp.clip(out, -20.0, 20.0))
-            t = profiling.chained_throughput(
-                lambda l: dec(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=16
+            st = profiling.chained_slope_stats(
+                lambda l: dec(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=16,
+                k=K_SLOPES,
             )
+            t = st["s_per_step"]
             # mirror build_decoder's FULL kernels="auto" selection (incl. the
             # backend condition — ADVICE r03: a CPU run must not label an
             # XLA-tier decode "pallas")
@@ -531,6 +625,7 @@ def main():
                 tier = "xla"
             r = {
                 "latency_ms_per_batch": t * 1e3,
+                "slope_spread": st["spread"],
                 "batch": batch,
                 "code": f"NR BG{bg} Z={z} n={code.n} k={lplan.k}",
                 "n_iters": iters,
@@ -549,10 +644,11 @@ def main():
                 r["layered_payload_exact"] = lay_ok
                 lay_msg = f"; layered-{iters//2} exact=False (speedup withheld)"
                 if lay_ok:
-                    t_lay = profiling.chained_throughput(
+                    st_lay = profiling.chained_slope_stats(
                         lambda l: dec_lay(l).posterior, fb, (jnp.asarray(llr),),
-                        reps_lo=4, reps_hi=16,
+                        reps_lo=4, reps_hi=16, k=K_SLOPES,
                     )
+                    t_lay = st_lay["s_per_step"]
                     r["layered_half_iters_ms_per_batch"] = t_lay * 1e3
                     r["layered_info_bits_per_s"] = batch * lplan.k / t_lay
                     r["layered_speedup"] = t / t_lay
@@ -563,7 +659,8 @@ def main():
                     )
             details[bname] = r
             log(
-                f"{bname} [{r['tier']}]: {t*1e3:.3f} ms/batch{batch} ({iters} iters) -> "
+                f"{bname} [{r['tier']}]: {t*1e3:.3f} ms/batch{batch} ({iters} iters, "
+                f"spread {st['spread']:.1%}) -> "
                 f"{r['info_bits_per_s']/1e6:.1f} info Mb/s (n={code.n})" + lay_msg
             )
         except Exception as e:
@@ -584,6 +681,8 @@ def main():
                 "value": value,
                 "unit": "REs/s",
                 "vs_baseline": vs,
+                "slope_spread": head.get("slope_spread"),
+                "n_slope_estimates": len(head.get("slope_estimates_ms", [])),
             }
         )
     )

@@ -420,6 +420,168 @@ def _serve_pallas_deferred_ok(plan: EstimatorPlan) -> bool:
     return True
 
 
+def _front_pallas_ok(plan: EstimatorPlan) -> bool:
+    """True when the fused Pallas FRONT kernel (ops/pallas/kernels.fused_front)
+    covers this plan: fused-matrix 'filter' smoothing (no alpha blend), the
+    reference first-pair CFO estimator, no time interpolation, the default
+    paired CDM layer layout, the direct-DFT TA path, and the whole working set
+    under the VMEM budget."""
+    from ..ops.pallas import kernels as _plk
+
+    config = plan.config
+    if config.time_interp != "none" or config.cnn_alpha > 0.0:
+        return False
+    if config.smoothing != "filter":
+        return False
+    nL = plan.n_layers
+    for hp in (plan.hop1, plan.hop2):
+        if hp is None:
+            continue
+        if hp.smooth_mat is None or hp.cfo_pair_dt is not None:
+            return False
+        if hp.vp_matrix is None and hp.n_pils != 1:
+            return False
+        if hp.ta_dft_cos is None:
+            return False
+        if hp.layer_slices != tuple(
+            (2 * c, min(2 * c + 2, nL)) for c in range(hp.n_cdm)
+        ):
+            return False
+        if (
+            _plk.front_vmem_bytes(
+                hp.n_re, hp.n_pils, hp.half_cp_len, hp.ta_scatter_idx.size,
+                hp.n_cdm, nL, hp.n_dsym,
+            )
+            > 8 * 1024 * 1024
+        ):
+            return False
+    return True
+
+
+def _front_mats(hp: HopPlan) -> dict:
+    """Static matrices for the fused front kernel, with the two flips of the
+    right-edge virtual-pilot path FOLDED INTO the matrices (reversal is a
+    permutation: flip(x) @ M == x @ M[::-1]; Mosaic has no lane reversal)."""
+    return dict(
+        pair_l=hp.pair_l_mat,
+        pair_r_flipped=hp.pair_r_mat[:, ::-1],
+        vp=(hp.vp_matrix.T if hp.vp_matrix is not None else None),
+        smooth=hp.smooth_mat,
+        smooth_vb=hp.smooth_vb_mat,
+        smooth_ve_flipped=hp.smooth_ve_mat[::-1, :],
+        ta_c=hp.ta_dft_cos,
+        ta_s=hp.ta_dft_sin,
+    )
+
+
+def _front_pallas_batched(plan: EstimatorPlan, rg_ri, pil_ri, beta, out_layout, out_dtype):
+    """Front-fused Pallas estimator (kernels='pallas_front'): the per-hop front
+    (LS de-spread -> CFO -> time-avg -> fused smoothing -> TA -> noise/RSRP/
+    EPRE) runs as ONE batched Pallas kernel per hop; the pilot-RE gather stays
+    a vmapped XLA slice prelude, the cross-hop combine/normalization is exact
+    reference bookkeeping, and the grid assembly reuses the deferred batched
+    serve-fill kernel (serve) or one interp matmul per CDM group (factored).
+
+    rg_ri: (B, 2, n_sc, n_sym); pil_ri: (B, 2, n_re, n_dsym_total, nL);
+    beta: (B,). Returns EstimateResult (serve) / FactoredResult (factored)
+    in ri layout."""
+    from ..ops.pallas import kernels as _plk
+
+    config = plan.config
+    nL = plan.n_layers
+    B = rg_ri.shape[0]
+    n_sc, n_sym = rg_ri.shape[2], rg_ri.shape[3]
+    rdtype = rg_ri.dtype
+    sst = plan.symbol_start_time
+    hops = [plan.hop1] + ([plan.hop2] if plan.has_hop2 else [])
+    splits = [(0, plan.n_dsym1)] + (
+        [(plan.n_dsym1, plan.hop2.n_dsym + plan.n_dsym1)] if plan.has_hop2 else []
+    )
+
+    def gather_one(rg_ri1, pil_ri1):
+        rg = _ri_to_complex(rg_ri1)
+        outs = []
+        for hp, (d0, d1) in zip(hops, splits):
+            rx = _gather_rx(hp, rg)  # (n_cdm, n_dsym, n_re) complex
+            outs.append(_complex_to_ri(rx))
+        return tuple(outs)
+
+    rx_hops = jax.vmap(gather_one)(rg_ri, pil_ri)  # tuple of (B, 2, n_cdm, nd, n_re)
+
+    epre = jnp.zeros((B,), rdtype)
+    noise = jnp.zeros((B,), rdtype)
+    rsrp = jnp.zeros((B,), rdtype)
+    ta = jnp.zeros((B,), rdtype)
+    cfo = None
+    h_ps = []
+    for hp, (d0, d1), rx_ri in zip(hops, splits, rx_hops):
+        # pilots (B, 2, n_re, n_dsym, nL) -> (B, 2, nL, n_dsym, n_re)
+        pil_h = jnp.transpose(
+            jax.lax.slice_in_dim(pil_ri, d0, d1, axis=3), (0, 1, 4, 3, 2)
+        )
+        h_s, sc = _plk.fused_front(
+            rx_ri,
+            pil_h,
+            beta.astype(rdtype),
+            _front_mats(hp),
+            sst_d=(sst[hp.dmrs_sym_idx] if sst is not None else None),
+            n_samples=hp.n_samples,
+            half_cp_len=hp.half_cp_len,
+            fft_size=hp.fft_size,
+            scs_hz=config.scs_hz,
+            cfo_possible=hp.cfo_possible,
+            cfo_compensate=config.cfo_compensate,
+            precision=dsp.precision_of(config.matmul_precision),
+        )
+        h_ps.append(h_s)
+        ta = ta + sc[:, 1]
+        noise = noise + sc[:, 2]
+        rsrp = rsrp + sc[:, 3]
+        epre = epre + sc[:, 4]
+        if hp.cfo_possible:
+            cfo = sc[:, 0] if cfo is None else (cfo + sc[:, 0]) / 2.0
+
+    rsrp = rsrp / plan.n_pilots / nL
+    epre = epre / plan.n_pilots
+    noise = noise / plan.noise_den
+    if plan.has_hop2:
+        ta = ta / 2.0
+    cfo_hz = (
+        (cfo * config.scs_hz).astype(rdtype)
+        if cfo is not None
+        else jnp.full((B,), jnp.nan, dtype=rdtype)
+    )
+
+    if config.cfo_compensate and cfo is not None:
+        sst_j = jnp.asarray(sst, rdtype)  # (14,)
+        phase = (2.0 * np.pi) * cfo[:, None] * sst_j[None, :]
+        rot_ri = jnp.stack([jnp.cos(phase), jnp.sin(phase)], axis=1)  # (B, 2, 14)
+    else:
+        rot_ri = jnp.stack(
+            [jnp.ones((B, n_sym), rdtype), jnp.zeros((B, n_sym), rdtype)], axis=1
+        )
+
+    if out_layout == "factored":
+        n_hops = len(hops)
+        profiles = jnp.zeros((B, 2, n_hops, nL, n_sc), rdtype)
+        prec = dsp.precision_of(config.matmul_precision)
+        for h, (hp, h_s) in enumerate(zip(hops, h_ps)):
+            parts = []
+            for c, (l0, l1) in enumerate(hp.layer_slices):
+                w = jnp.asarray(hp.interp_matrix[c], rdtype)
+                rows = h_s[:, :, l0:l1].reshape(B * 2 * (l1 - l0), hp.n_re)
+                full = jnp.matmul(rows, w, precision=prec)
+                parts.append(full.reshape(B, 2, l1 - l0, hp.n_sc_hop))
+            blk = jnp.concatenate(parts, axis=2)  # (B, 2, nL, n_sc_hop)
+            profiles = jax.lax.dynamic_update_slice(
+                profiles, blk[:, :, None], (0, 0, h, 0, hp.sc_start)
+            )
+        return FactoredResult(profiles, rot_ri, noise, rsrp, epre, ta, cfo_hz)
+
+    channel = _serve_fill_pallas_batched(plan, tuple(h_ps), rot_ri, n_sc, n_sym, out_dtype)
+    return EstimateResult(channel, noise, rsrp, epre, ta, cfo_hz)
+
+
 def _serve_fill_pallas_batched(
     plan: EstimatorPlan,
     h_ps_ri,  # tuple per hop of (B, 2, n_layers, n_re) real
@@ -527,6 +689,29 @@ def _serve_fill_xla_ri(
     return jnp.stack([fr_b * rr - fi_b * ri, fr_b * ri + fi_b * rr])
 
 
+def _gather_rx(hp: HopPlan, received_rg: jnp.ndarray) -> jnp.ndarray:
+    """Gather the hop's received pilot REs: (n_cdm, n_dsym, n_re), *time-major*:
+    the long frequency axis stays minor-most so batched tensors tile the full
+    128-lane width. (With the n_dsym axis minor, every elementwise pass pads a
+    length-2 lane to 128 — ~64x wasted VPU/VMEM traffic.) For contiguous comb
+    allocations (the common case) the gather is pure static slices + reshape —
+    TPU has no gather hardware, so avoiding jnp.take here is a large win."""
+    if hp.fast_sel is not None:
+        sc0, offsets = hp.fast_sel
+        n_prbs_sel = hp.n_re // len(offsets[0])
+        blk = received_rg[sc0 : sc0 + n_prbs_sel * 12]  # (12*n_prbs, n_sym)
+        sym_sl = jnp.stack([blk[:, int(i)] for i in hp.dmrs_sym_idx], axis=0)
+        b3 = sym_sl.reshape(hp.n_dsym, n_prbs_sel, 12)
+        return jnp.stack(
+            [
+                jnp.stack([b3[:, :, o] for o in offs], axis=2).reshape(hp.n_dsym, hp.n_re)
+                for offs in offsets
+            ]
+        )  # (n_cdm, n_dsym, n_re)
+    rx_f = jnp.take(received_rg, jnp.asarray(hp.re_idx), axis=0)  # (n_cdm, n_re, n_sym)
+    return jnp.stack([rx_f[:, :, int(i)] for i in hp.dmrs_sym_idx], axis=1)
+
+
 def _process_hop(
     hp: HopPlan,
     config: EstimatorConfig,
@@ -550,27 +735,7 @@ def _process_hop(
     beta_r = beta.astype(rdtype)
 
     # --- Pilot RE gather + LS de-spread (ce_rule_baseline.py:583-605) ---
-    # rx: (n_cdm, n_dsym, n_re) received pilot REs, *time-major*: the long frequency
-    # axis stays minor-most so batched tensors tile the full 128-lane width. (With
-    # the n_dsym axis minor, every elementwise pass pads a length-2 lane to 128 —
-    # ~64x wasted VPU/VMEM traffic.) For contiguous comb allocations (the common
-    # case) the gather is pure static slices + reshape — TPU has no gather hardware,
-    # so avoiding jnp.take here is a large win.
-    if hp.fast_sel is not None:
-        sc0, offsets = hp.fast_sel
-        n_prbs_sel = hp.n_re // len(offsets[0])
-        blk = received_rg[sc0 : sc0 + n_prbs_sel * 12]  # (12*n_prbs, n_sym)
-        sym_sl = jnp.stack([blk[:, int(i)] for i in hp.dmrs_sym_idx], axis=0)
-        b3 = sym_sl.reshape(hp.n_dsym, n_prbs_sel, 12)
-        rx = jnp.stack(
-            [
-                jnp.stack([b3[:, :, o] for o in offs], axis=2).reshape(hp.n_dsym, hp.n_re)
-                for offs in offsets
-            ]
-        )  # (n_cdm, n_dsym, n_re)
-    else:
-        rx_f = jnp.take(received_rg, jnp.asarray(hp.re_idx), axis=0)  # (n_cdm, n_re, n_sym)
-        rx = jnp.stack([rx_f[:, :, int(i)] for i in hp.dmrs_sym_idx], axis=1)
+    rx = _gather_rx(hp, received_rg)  # (n_cdm, n_dsym, n_re)
     epre_inc = dsp.fro_norm_sq(rx)
 
     # Static row replication (NOT jnp.take: with a traced gather, vmap lowers this
@@ -1126,6 +1291,31 @@ def _build_ri_cached(
     def to_ri(res):
         return result_to_ri(res, out_dtype)
 
+    if kernels == "pallas_front":
+        # Front-fused Pallas tier: the whole per-hop front in one kernel
+        # (see _front_pallas_batched). Explicitly requested -> fail loudly
+        # when the plan is outside the kernel's coverage.
+        if out_layout not in ("serve", "factored"):
+            raise ValueError("kernels='pallas_front' supports serve/factored layouts")
+        if not _front_pallas_ok(plan):
+            raise ValueError(
+                "plan not eligible for the fused Pallas front (needs fused-matrix "
+                "'filter' smoothing, first-pair CFO, no time interp, paired CDM "
+                "layers, direct-DFT TA, VMEM budget)"
+            )
+        if out_layout == "serve" and not _serve_pallas_deferred_ok(plan):
+            raise ValueError("serve fill not eligible for the batched Pallas kernel")
+
+        def run_front(rg_ri, pil_ri, beta):
+            if batched:
+                return _front_pallas_batched(plan, rg_ri, pil_ri, beta, out_layout, out_dtype)
+            res = _front_pallas_batched(
+                plan, rg_ri[None], pil_ri[None], beta[None], out_layout, out_dtype
+            )
+            return jax.tree_util.tree_map(lambda x: x[0], res)
+
+        return jax.jit(run_front)
+
     if kernels == "pallas" and out_layout == "serve" and _serve_pallas_deferred_ok(plan):
         # Deferred-fill Pallas serve path: the per-problem front (gather, LS, CFO,
         # smoothing, metrics — all small ops, best left to XLA's fused matrices)
@@ -1252,7 +1442,7 @@ def build_ri(
     """
     if hop2 is not None and hop2.is_empty:
         hop2 = None
-    assert kernels in ("xla", "pallas")
+    assert kernels in ("xla", "pallas", "pallas_front")
     assert out_layout in ("ref", "serve", "factored")
     assert out_dtype in (None, "bfloat16"), "out_dtype: None or 'bfloat16'"
     assert out_dtype is None or out_layout == "serve", "out_dtype requires serve layout"

@@ -342,6 +342,353 @@ def fused_fill_rotate_serve(
 
 
 # ---------------------------------------------------------------------------
+# fused estimator FRONT: LS de-spread -> CFO -> time-avg -> fused smoothing
+# (pair-average + virtual pilots + RC matrices) -> TA -> noise/RSRP/EPRE,
+# one VMEM-resident pass per problem block
+# ---------------------------------------------------------------------------
+#
+# Round 3 declared this fusion "blocked outright: Mosaic lacks atan2, argmax,
+# cumsum" (ARCHITECTURE.md). All three have standard in-kernel emulations
+# (ops/pallas/mathx): polynomial atan2 with quadrant fix-up, max + iota-select
+# argmax, log-doubling unwrap cumsum. This kernel is the measurement that
+# replaces the assertion: the whole per-hop front (everything between the
+# pilot-RE gather and the grid fill — in XLA ~60 small fused VPU kernels) runs
+# as ONE Pallas program per batch block, with the smoothing/TA matmuls on the
+# MXU and every intermediate VMEM-resident.
+
+
+# default batch block of the fused front: the measured v5e sweep was
+# block_b 2 / 4 / 8 / 16 -> 0.352 / 0.231 / 0.201 / 0.150 ms per batch-128 at
+# the c2 geometry (per-program constant refetch amortizes with block size);
+# 16 fits VMEM because the constants are small (n_pils is the RC half-span,
+# single digits — not n_re/2)
+FRONT_BLOCK_B = 16
+
+
+def _front_kernel(
+    rx_ref,      # (block_b, 2, n_cdm, n_dsym, n_re)
+    pil_ref,     # (block_b, 2, nL, n_dsym, n_re)
+    beta_ref,    # (1, block_b, 1) — batch pre-tiled to a leading grid axis so
+                 # the block's LAST TWO dims equal the array dims, and the
+                 # per-problem scalar stays SUBLANE-resident ((block_b, 1)):
+                 # Mosaic cannot shape-cast a lane vector onto sublanes, so
+                 # every per-problem scalar in this kernel lives as a
+                 # (block_b, 1) column and broadcasts via the same
+                 # slice+unit-insert pattern the serve-fill kernel uses
+    pair_l_ref,  # (n_re, n_pils)
+    pair_rf_ref, # (n_re, n_pils)  pair_r with flipped output columns
+    vp_ref,      # (n_pils, n_pils) transposed fit matrix (or (1,1) dummy)
+    sm_ref,      # (n_re, n_re)
+    svb_ref,     # (n_pils, n_re)
+    svef_ref,    # (n_pils, n_re)  smooth_ve with flipped input rows
+    ta_c_ref,    # (k_ta, 2*half_cp)
+    ta_s_ref,    # (k_ta, 2*half_cp)
+    h_out_ref,   # (block_b, 2, nL, n_re) smoothed profiles
+    sc_out_ref,  # (1, block_b, 8) scalar columns [cfo, ta, noise, rsrp, epre, 0, 0, 0]
+    *,
+    block_b: int,
+    n_cdm: int,
+    nL: int,
+    n_dsym: int,
+    n_pils: int,
+    sst_d,        # tuple of n_dsym floats (symbol start times) or None
+    n_samples: float,
+    half_cp_len: int,
+    fft_size: int,
+    scs_hz: float,
+    cfo_possible: bool,
+    cfo_compensate: bool,
+    k_ta: int,
+    precision: str,
+):
+    from . import mathx
+
+    n_re = rx_ref.shape[-1]
+    dt = rx_ref.dtype
+    if precision == "f32x3":
+        dot = _dot_f32x3
+    else:
+        dot = lambda a, b: jnp.dot(
+            a, b, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST
+        )
+
+    rx_r = rx_ref[:, 0]
+    rx_i = rx_ref[:, 1]
+    pil_r = pil_ref[:, 0]
+    pil_i = pil_ref[:, 1]
+    beta2 = beta_ref[0]  # (block_b, 1), sublane-resident
+    b3 = beta2[:, :, None]  # (block_b, 1, 1)
+    b4 = beta2[:, None, :, None]  # (block_b, 1, 1, 1)
+
+    def lane_sum(x):  # (..., n) -> (..., 1)
+        return jnp.sum(x, axis=-1, keepdims=True)
+
+    epre = lane_sum(jnp.sum(rx_r * rx_r + rx_i * rx_i, axis=(1, 2)))  # (block_b, 1)
+
+    # layer-expanded received REs (cdm_of_layer = l // 2, static concat)
+    cdm_of_layer = [min(l // 2, n_cdm - 1) for l in range(nL)]
+    rxl_r = jnp.concatenate([rx_r[:, c : c + 1] for c in cdm_of_layer], axis=1)
+    rxl_i = jnp.concatenate([rx_i[:, c : c + 1] for c in cdm_of_layer], axis=1)
+    # LS de-spread: rec = rx * conj(pil)
+    rec_r = rxl_r * pil_r + rxl_i * pil_i  # (block_b, nL, n_dsym, n_re)
+    rec_i = rxl_i * pil_r - rxl_r * pil_i
+
+    cfo = jnp.zeros((block_b, 1), dt)
+    if cfo_possible:
+        a_r, a_i = rec_r[:, :, 0], rec_i[:, :, 0]  # (block_b, nL, n_re)
+        e_r, e_i = rec_r[:, :, 1], rec_i[:, :, 1]
+        in_r = jnp.sum(a_r * e_r + a_i * e_i, axis=-1)  # conj(rec0) * rec1
+        in_i = jnp.sum(a_r * e_i - a_i * e_r, axis=-1)  # (block_b, nL)
+        acc = jnp.zeros((block_b, 1), dt)
+        for c in range(n_cdm):
+            pr = in_r[:, 2 * c : 2 * c + 1]  # (block_b, 1)
+            pi = in_i[:, 2 * c : 2 * c + 1]
+            if 2 * c + 1 < nL:
+                pr = pr + in_r[:, 2 * c + 1 : 2 * c + 2]
+                pi = pi + in_i[:, 2 * c + 1 : 2 * c + 2]
+            acc = acc + mathx.atan2(pi, pr)
+        cfo = acc / (2.0 * np.pi * n_samples) / n_cdm
+        if cfo_compensate:
+            # per-DM-RS-symbol phases from STATIC scalars (kernels cannot
+            # capture array constants; n_dsym is tiny so the concat is cheap)
+            phase = jnp.concatenate(
+                [(-2.0 * np.pi * float(s)) * cfo for s in sst_d], axis=1
+            )  # (block_b, n_dsym)
+            cr = jnp.cos(phase)[:, None, :, None]
+            ci = jnp.sin(phase)[:, None, :, None]
+            rec_r, rec_i = rec_r * cr - rec_i * ci, rec_r * ci + rec_i * cr
+
+    # time average (ce_rule_baseline.py:625)
+    hp_r = jnp.sum(rec_r, axis=2) / b3 / n_dsym  # (block_b, nL, n_re)
+    hp_i = jnp.sum(rec_i, axis=2) / b3 / n_dsym
+
+    # fused smoothing: pair-average + virtual pilots + RC conv as matrices.
+    # Rows packed (block_b, [re rows | im rows]) -> (block_b*2*nL, n_re): the
+    # matrices are real, so re/im ride the same MXU pass.
+    H = jnp.concatenate([hp_r, hp_i], axis=1).reshape(block_b * 2 * nL, n_re)
+    e_l = dot(H, pair_l_ref[...])    # (rows, n_pils) == h_avg[:, :n_pils]
+    e_rf = dot(H, pair_rf_ref[...])  # right-edge tail, already flipped
+
+    def virtual(e):
+        if n_pils == 1:
+            return e  # n==1 fit degenerates to constant extrapolation
+        er = e.reshape(block_b, 2, nL, n_pils)
+        vr, vi = er[:, 0], er[:, 1]  # (block_b, nL, n_pils)
+        amp = jnp.sqrt(vr * vr + vi * vi)
+        ph = mathx.unwrap_last(mathx.atan2(vi, vr))
+        M = vp_ref[...]
+        v_amp = dot(amp.reshape(block_b * nL, n_pils), M)
+        v_ph = dot(ph.reshape(block_b * nL, n_pils), M)
+        vb_r = v_amp * jnp.cos(v_ph)
+        vb_i = v_amp * jnp.sin(v_ph)
+        return jnp.concatenate(
+            [
+                vb_r.reshape(block_b, 1, nL, n_pils),
+                vb_i.reshape(block_b, 1, nL, n_pils),
+            ],
+            axis=1,
+        ).reshape(block_b * 2 * nL, n_pils)
+
+    vb = virtual(e_l)
+    vef = virtual(e_rf)
+    Hs = dot(H, sm_ref[...]) + dot(vb, svb_ref[...]) + dot(vef, svef_ref[...])
+    hs4 = Hs.reshape(block_b, 2, nL, n_re)
+    h_out_ref[...] = hs4
+    hs_r = hs4[:, 0]  # (block_b, nL, n_re)
+    hs_i = hs4[:, 1]
+
+    # time alignment: direct DFT of the LAST CDM group's RE lattice -> PDP ->
+    # first-max argmax over the +-half-CP window (ce_rule_baseline.py:684-710)
+    Hk = jnp.concatenate(
+        [hs_r[:, :, :k_ta], hs_i[:, :, :k_ta]], axis=1
+    ).reshape(block_b * 2 * nL, k_ta)
+    C = ta_c_ref[...]
+    S = ta_s_ref[...]
+    tc = dot(Hk, C).reshape(block_b, 2, nL, 2 * half_cp_len)
+    ts = dot(Hk, S).reshape(block_b, 2, nL, 2 * half_cp_len)
+    re = tc[:, 0] - ts[:, 1]  # hr@C - hi@S
+    im = ts[:, 0] + tc[:, 1]  # hr@S + hi@C
+    pdp = jnp.sum(re * re + im * im, axis=1)  # (block_b, 2*half_cp)
+    head = pdp[:, :half_cp_len]
+    tail = pdp[:, half_cp_len:]
+    i_d = mathx.argmax_last(head, keepdims=True)  # (block_b, 1)
+    i_a = mathx.argmax_last(tail, keepdims=True)
+    hm = jnp.max(head, axis=-1, keepdims=True)
+    tm = jnp.max(tail, axis=-1, keepdims=True)
+    i_max = jnp.where(
+        hm >= tm, i_d.astype(dt), -(half_cp_len - i_a).astype(dt)
+    )
+    ta = i_max / float(fft_size) / float(scs_hz)  # (block_b, 1)
+
+    # reconstruct expected RX pilots; noise / RSRP (ce_rule_baseline.py:713-746)
+    if cfo_possible and cfo_compensate:
+        ph2 = jnp.concatenate(
+            [(2.0 * np.pi * float(s)) * cfo for s in sst_d], axis=1
+        )  # (block_b, n_dsym)
+        c2 = jnp.cos(ph2)[:, None, :, None]  # (block_b, 1, n_dsym, 1)
+        s2 = jnp.sin(ph2)[:, None, :, None]
+    else:
+        c2 = jnp.ones((block_b, 1, 1, 1), dt)
+        s2 = jnp.zeros((block_b, 1, 1, 1), dt)
+    hr_b = hs_r[:, :, None, :]  # (block_b, nL, 1, n_re)
+    hi_b = hs_i[:, :, None, :]
+    hph_r = hr_b * c2 - hi_b * s2  # (block_b, nL, n_dsym, n_re)
+    hph_i = hr_b * s2 + hi_b * c2
+    con_r = b4 * (pil_r * hph_r - pil_i * hph_i)
+    con_i = b4 * (pil_r * hph_i + pil_i * hph_r)
+    noise_l = jnp.zeros((block_b, n_re), dt)
+    for c in range(n_cdm):
+        l0, l1 = 2 * c, min(2 * c + 2, nL)
+        est_r = jnp.sum(con_r[:, l0:l1], axis=1)  # (block_b, n_dsym, n_re)
+        est_i = jnp.sum(con_i[:, l0:l1], axis=1)
+        d_r = rx_r[:, c] - est_r
+        d_i = rx_i[:, c] - est_i
+        noise_l = noise_l + jnp.sum(d_r * d_r + d_i * d_i, axis=1)
+    noise = lane_sum(noise_l)  # (block_b, 1)
+    rsrp = (
+        (beta2 * beta2)
+        * lane_sum(jnp.sum(hs_r * hs_r + hs_i * hs_i, axis=1))
+        * n_dsym
+    )
+
+    zero3 = jnp.zeros((block_b, 3), dt)
+    sc_out_ref[0] = jnp.concatenate(
+        [cfo, ta, noise, rsrp, epre, zero3], axis=1
+    )
+
+
+def front_vmem_bytes(
+    n_re: int, n_pils: int, half_cp_len: int, k_ta: int, n_cdm: int, nL: int,
+    n_dsym: int, block_b: int = 4, itemsize: int = 4,
+) -> int:
+    """Rough per-program working set of `fused_front` (constants + streamed
+    blocks + the dominant intermediates; Mosaic's actual stack allocation runs
+    ~2x naive models — see the LDPC layout model — so callers budget half the
+    16 MB VMEM)."""
+    consts = (
+        2 * n_re * n_pils          # pair mats
+        + n_pils * n_pils          # vp fit
+        + n_re * n_re              # smooth
+        + 2 * n_pils * n_re        # smooth_vb / _ve
+        + 2 * k_ta * 2 * half_cp_len  # TA DFT
+    )
+    per_block = block_b * (
+        2 * n_cdm * n_dsym * n_re      # rx
+        + 2 * nL * n_dsym * n_re       # pil
+        + 6 * nL * n_dsym * n_re       # rec / rotated / contrib intermediates
+        + 4 * nL * n_re                # h_p, h_s
+        + 2 * nL * n_re                # smoothing row blocks
+    )
+    return (consts + 2 * per_block) * itemsize
+
+
+def fused_front(
+    rx_ri: jnp.ndarray,   # (B, 2, n_cdm, n_dsym, n_re)
+    pil_ri: jnp.ndarray,  # (B, 2, nL, n_dsym, n_re)
+    beta: jnp.ndarray,    # (B,)
+    mats: dict,           # plan matrices, see _front_kernel's refs
+    *,
+    sst_d,
+    n_samples: float,
+    half_cp_len: int,
+    fft_size: int,
+    scs_hz: float,
+    cfo_possible: bool,
+    cfo_compensate: bool,
+    block_b: int = None,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """One fused Pallas pass over the estimator front for a batch of problems.
+
+    Returns (h_s_ri (B, 2, nL, n_re), scalars (B, 8)) where scalars columns are
+    [cfo_hop, ta_inc, noise_inc, rsrp_inc, epre_inc, 0, 0, 0] — the same
+    per-hop increments `models/estimator._process_hop` produces; the caller
+    does the cross-hop combine/normalization (exact reference bookkeeping).
+    """
+    if block_b is None:
+        block_b = FRONT_BLOCK_B
+    B, _, n_cdm, n_dsym, n_re = rx_ri.shape
+    nL = pil_ri.shape[2]
+    n_pils = mats["pair_l"].shape[1]
+    k_ta = mats["ta_c"].shape[0]
+    half_cp = mats["ta_c"].shape[1] // 2
+    assert half_cp == half_cp_len
+    while B % block_b:
+        block_b //= 2
+    n_blocks = B // block_b
+    dt = rx_ri.dtype
+    # Mosaic lowers only DEFAULT/HIGHEST dots; HIGH runs as the 3-pass bf16
+    # split on TPU f32 (interpret/f64 fall back to exact HIGHEST), mirroring
+    # fused_fill_rotate_serve's precision handling.
+    if precision == jax.lax.Precision.HIGH or precision == "high":
+        prec_k = "f32x3" if (not _interpret() and dt == jnp.float32) else "highest"
+    else:
+        prec_k = "highest"
+    vp = mats["vp"] if mats["vp"] is not None else np.zeros((1, 1))
+    const_in = [
+        jnp.asarray(mats["pair_l"], dt),
+        jnp.asarray(mats["pair_r_flipped"], dt),
+        jnp.asarray(vp, dt),
+        jnp.asarray(mats["smooth"], dt),
+        jnp.asarray(mats["smooth_vb"], dt),
+        jnp.asarray(mats["smooth_ve_flipped"], dt),
+        jnp.asarray(mats["ta_c"], dt),
+        jnp.asarray(mats["ta_s"], dt),
+    ]
+    cshapes = [c.shape for c in const_in]
+    grid = (n_blocks,)
+    h_out, sc_out = pl.pallas_call(
+        functools.partial(
+            _front_kernel,
+            block_b=block_b,
+            n_cdm=n_cdm,
+            nL=nL,
+            n_dsym=n_dsym,
+            n_pils=n_pils,
+            sst_d=tuple(float(s) for s in sst_d) if sst_d is not None else None,
+            n_samples=float(n_samples),
+            half_cp_len=half_cp_len,
+            fft_size=fft_size,
+            scs_hz=scs_hz,
+            cfo_possible=cfo_possible,
+            cfo_compensate=cfo_compensate,
+            k_ta=k_ta,
+            precision=prec_k,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_b, 2, n_cdm, n_dsym, n_re),
+                lambda b: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_b, 2, nL, n_dsym, n_re),
+                lambda b: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, block_b, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec(s, (lambda b, _n=len(s): (0,) * _n), memory_space=pltpu.VMEM)
+            for s in cshapes
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_b, 2, nL, n_re), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, block_b, 8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 2, nL, n_re), dt),
+            jax.ShapeDtypeStruct((n_blocks, block_b, 8), dt),
+        ),
+        interpret=_interpret(),
+    )(rx_ri, pil_ri, beta.reshape(n_blocks, block_b, 1), *const_in)
+    return h_out, sc_out.reshape(B, 8)
+
+
+# ---------------------------------------------------------------------------
 # batched RC smoothing FIR
 # ---------------------------------------------------------------------------
 

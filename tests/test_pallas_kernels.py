@@ -267,3 +267,85 @@ def test_serve_fill_predicate_uses_kernel_geometry():
         hp3.n_re, hp3.n_sc_hop, hp3.n_alloc_syms, 1, 1
     )
     assert estimator._serve_pallas_deferred_ok(plan3) == (vmem3 <= 12 * 1024 * 1024)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(n_prbs=26, n_layers=4, comb=2, snr_db=30.0),          # 2 CDM groups
+        dict(n_prbs=24, n_layers=1, comb=2, snr_db=25.0, cfo_compensate=False),
+        dict(n_prbs=12, n_layers=2, comb=2, snr_db=30.0, two_hops=True),
+        dict(n_prbs=52, n_layers=2, comb=2, snr_db=20.0, cfo_hz=200.0),
+    ],
+)
+def test_pallas_front_matches_xla(kw):
+    """Fused Pallas FRONT tier (kernels='pallas_front'): the whole per-hop front
+    — LS de-spread, atan2-based CFO estimate + sin/cos compensation, time
+    average, fused-matrix smoothing with unwrap-based virtual pilots, DFT TA
+    with emulated argmax, noise/RSRP/EPRE — in ONE kernel, vs the XLA tier.
+    Round 3 called this fusion 'blocked outright' on missing Mosaic ops; the
+    mathx emulations close it (measured on-chip in ARCHITECTURE.md)."""
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.utils import synthetic
+
+    case = synthetic.make_case(seed=31, **kw)
+    nL = case.pilots.shape[2]
+    rg = estimator.split_ri(case.received_rg).astype(np.float32)
+    pil = estimator.split_ri(case.pilots).astype(np.float32)
+    B = 4
+    rg_b = np.broadcast_to(rg, (B,) + rg.shape).copy()
+    pil_b = np.broadcast_to(pil, (B,) + pil.shape).copy()
+    beta = jnp.asarray(np.full(B, case.beta, np.float32))
+    for layout in ("serve", "factored"):
+        f_x = estimator.build_ri(
+            case.hop1, case.hop2, case.config, nL, batched=True, out_layout=layout
+        )
+        f_p = estimator.build_ri(
+            case.hop1, case.hop2, case.config, nL, batched=True, out_layout=layout,
+            kernels="pallas_front",
+        )
+        ox = f_x(rg_b, pil_b, beta)
+        op = f_p(rg_b, pil_b, beta)
+        if layout == "serve":
+            a = np.asarray(ox.channel_est_rg, np.float64)
+            b = np.asarray(op.channel_est_rg, np.float64)
+        else:
+            a = np.asarray(ox.profiles, np.float64)
+            b = np.asarray(op.profiles, np.float64)
+            np.testing.assert_allclose(
+                np.asarray(op.sym_rot), np.asarray(ox.sym_rot), rtol=2e-5, atol=2e-6
+            )
+        nmse = np.sum((a - b) ** 2) / (np.sum(a**2) + 1e-30)
+        assert nmse < 1e-9, (layout, nmse)
+        np.testing.assert_allclose(
+            np.asarray(op.noise_est), np.asarray(ox.noise_est), rtol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(op.rsrp), np.asarray(ox.rsrp), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(op.epre), np.asarray(ox.epre), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(op.time_alignment), np.asarray(ox.time_alignment),
+            rtol=1e-6, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.cfo_hz), np.asarray(ox.cfo_hz), rtol=1e-4, atol=1e-3
+        )
+
+
+def test_pallas_front_rejects_ineligible_plans():
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.utils import synthetic
+
+    # wiener smoothing has no fused filter matrices
+    case = synthetic.make_case(seed=8, n_prbs=16, n_layers=1, smoothing="wiener")
+    with pytest.raises(ValueError, match="not eligible"):
+        estimator.build_ri(
+            case.hop1, case.hop2, case.config, 1, batched=True,
+            out_layout="serve", kernels="pallas_front",
+        )
+    # time interpolation is outside the kernel's rank-1 model
+    case = synthetic.make_case(seed=8, n_prbs=16, n_layers=1, time_interp="linear")
+    with pytest.raises(ValueError, match="not eligible"):
+        estimator.build_ri(
+            case.hop1, case.hop2, case.config, 1, batched=True,
+            out_layout="serve", kernels="pallas_front",
+        )
