@@ -402,6 +402,16 @@ def _pallas_vmem_fits(code: QCLdpcCode) -> bool:
     return _pallas_layout(code) is not None
 
 
+def _stream_supported(code: QCLdpcCode) -> bool:
+    """The streamed tier's dynamic lane rotation (`pltpu.roll` with a traced
+    shift) compiles only when Z is a whole number of 128-lane registers —
+    z=384 works, z=208/52 crash this environment's Mosaic compile helper.
+    (Interpret mode has no such constraint, but the gate is kept
+    backend-independent so eligibility never silently differs.) The lane-z
+    live set must also fit VMEM at the 8-row batch tile."""
+    return code.z % 128 == 0 and _pallas_vmem_fits(code)
+
+
 # Compile-budget bound for the STATIC-UNROLL formulations (both the XLA tier's
 # per-edge roll/concat unroll and the Pallas kernel's in-body edge sweep):
 # program build/compile time grows with edges and with the per-edge operand
@@ -463,35 +473,67 @@ def build_decoder(
     enough to unroll. Posterior matches to float tolerance (scatter-add
     association), hard decisions identically on anything decodable.
 
-    kernels="auto" picks: the gather tier for codes over the unroll compile
-    budget (edge*z > 60k); otherwise pallas on an accelerator when some
-    layout fits, the XLA unrolled tier elsewhere (and on CPU, where
-    interpret-mode pallas would just be slow).
+    kernels="pallas_stream" is the VMEM-resident tier for codes the unrolled
+    tiers cannot COMPILE (edge*z over the 60k budget): a row-STREAMED layered
+    kernel whose program is O(max_degree) in size — check rows walked by a
+    fori_loop over scalar-prefetched SMEM wiring tables, quasi-cyclic shifts
+    applied with `pltpu.roll`'s dynamic shift — while the full c2v live set
+    stays VMEM-resident across all sweeps like the unrolled Pallas tier
+    (kernels.py _ldpc_stream_kernel). Layered schedule only (the natural
+    schedule for a streamed row walk, and ~2x convergence per sweep);
+    requires the lane-z live set to fit the VMEM budget (_pallas_layout).
+
+    kernels="auto" picks: for codes over the unroll compile budget
+    (edge*z > 60k), the streamed tier when it fits VMEM on an accelerator and
+    the schedule is layered, else the gather tier (flooding); otherwise
+    pallas on an accelerator when some layout fits, the XLA unrolled tier
+    elsewhere (and on CPU, where interpret-mode pallas would just be slow).
     """
-    assert kernels in ("xla", "xla_gather", "pallas", "auto"), kernels
+    assert kernels in ("xla", "xla_gather", "pallas", "pallas_stream", "auto"), kernels
     assert schedule in ("flooding", "layered"), schedule
     if kernels == "auto":
         if _edge_z(code) > _UNROLL_EDGE_Z_BUDGET:
             # too large for any static-unroll tier's compile budget (see
-            # _UNROLL_EDGE_Z_BUDGET) — the gather tier is the only one that
-            # compiles in O(1) program size; layered needs the pallas kernel,
-            # so huge codes fall back to flooding
+            # _UNROLL_EDGE_Z_BUDGET): layered -> the streamed VMEM tier
+            # (O(degree) program size); flooding -> the O(1)-program gather tier
             if schedule == "layered":
-                raise ValueError(
-                    "schedule='layered' is unavailable for codes over the "
-                    f"unroll compile budget (edge*z={_edge_z(code)}); use flooding"
-                )
-            kernels = "xla_gather"
+                if not _stream_supported(code) or jax.default_backend() == "cpu":
+                    raise ValueError(
+                        "schedule='layered' needs the streamed pallas tier "
+                        f"(edge*z={_edge_z(code)} over the unroll budget), which "
+                        "requires an accelerator, z % 128 == 0 and a lane-z "
+                        "VMEM fit"
+                    )
+                kernels = "pallas_stream"
+            else:
+                kernels = "xla_gather"
         else:
             fits = _pallas_vmem_fits(code)
             kernels = "pallas" if fits and jax.default_backend() != "cpu" else "xla"
-    if schedule == "layered" and kernels != "pallas":
-        # the row-serial schedule lives only in the VMEM-resident kernel (the
+    if kernels == "pallas_stream":
+        if schedule != "layered":
+            raise ValueError("kernels='pallas_stream' implements the layered schedule only")
+        if not _stream_supported(code):
+            raise ValueError(
+                "streamed pallas tier needs z % 128 == 0 (dynamic lane rotation) "
+                f"and a lane-z VMEM fit: z={code.z}, live set "
+                f"~{_pallas_vmem_bytes(code)/2**20:.1f} MB"
+            )
+    elif schedule == "layered" and kernels != "pallas":
+        # the row-serial schedule lives only in the VMEM-resident kernels (the
         # XLA tiers' whole-frame accum/gather formulations are flooding-shaped);
         # mirror anchor = decode_reference(schedule="layered")
-        if not _pallas_vmem_fits(code) or _edge_z(code) > _UNROLL_EDGE_Z_BUDGET:
-            raise ValueError("schedule='layered' needs the pallas tier; code too large")
-        kernels = "pallas"
+        if _edge_z(code) <= _UNROLL_EDGE_Z_BUDGET:
+            if not _pallas_vmem_fits(code):
+                raise ValueError("schedule='layered' needs a pallas tier; code too large")
+            kernels = "pallas"
+        else:
+            if not _stream_supported(code):
+                raise ValueError(
+                    "schedule='layered' on a code over the unroll budget needs "
+                    "the streamed tier (z % 128 == 0 + lane-z VMEM fit)"
+                )
+            kernels = "pallas_stream"
     elif kernels == "pallas" and not _pallas_vmem_fits(code):
         raise ValueError(
             "code too large for the VMEM-resident pallas tier: smallest tile "
@@ -507,7 +549,7 @@ def build_decoder(
     slot_arange = jnp.arange(d)[:, None, None]  # (d, 1, 1) vs argmin (mb, z, b)
 
     gidx_flat = None
-    if kernels == "xla_gather":
+    if kernels in ("xla_gather", "pallas_stream"):
         # Precomputed flat index per check lane: lane (i, t, a) reads variable
         # bit (j, (a + s) mod z). One jnp.take builds the whole check frame and
         # one scatter-add (same indices) is its transpose — program size O(1)
@@ -563,7 +605,10 @@ def build_decoder(
         # batch-LAST internally: (nb, z, b) variable / (mb, d, z, b) check frame
         ch = jnp.transpose(llr.reshape((b, nb, z)), (1, 2, 0))
 
-        if kernels == "xla_gather":
+        if kernels in ("xla_gather", "pallas_stream"):
+            # pallas_stream exists precisely because the unrolled form does
+            # not compile at this code size — its (cheap, once-per-decode)
+            # parity check must use the O(1)-program gather form too
             def accum(c2v):  # (mb, d, z, b) -> posterior (nb, z, b)
                 acc = ch.reshape(nb * z, b).at[gidx_flat].add(
                     c2v.reshape(mb * d * z, b)
@@ -589,7 +634,18 @@ def build_decoder(
                     [jnp.stack([c if c is not None else zero for c in row]) for row in cols]
                 )
 
-        if kernels == "pallas":
+        if kernels == "pallas_stream":
+            from .pallas import kernels as pk
+
+            block_b = 8
+            pad = (-b) % block_b
+            chp = jnp.pad(ch, ((0, 0), (0, 0), (0, pad))) if pad else ch
+            posterior = pk.ldpc_stream_posterior(
+                chp, plan.slot_var, plan.slot_shift, plan.slot_valid,
+                len(edges), z, n_iters, norm, block_b=block_b,
+            )
+            posterior = posterior[..., :b] if pad else posterior
+        elif kernels == "pallas":
             from .pallas import kernels as pk
 
             z_axis, block_b = _pallas_layout(code)

@@ -915,6 +915,148 @@ def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm, z_axis,
             out_ref[0, j] = acc[j]
 
 
+def _ldpc_stream_kernel(
+    tbl_ref,  # SMEM int32 (5, mb*d): [var_j | shift_plus | shift_minus | edge_id | valid]
+    ch_ref,   # (1, nb, block_b, z) channel LLR tile (lane-z layout)
+    out_ref,  # (1, nb, block_b, z) posterior — doubles as the live L workspace
+    c2v_ref,  # VMEM scratch (n_edges + 1, block_b, z); row n_edges = dummy for pads
+    *,
+    mb: int,
+    nb: int,
+    d: int,
+    z: int,
+    n_iters: int,
+    norm: float,
+    block_b: int,
+):
+    """Row-STREAMED layered min-sum: program size O(d), not O(edges).
+
+    The static-unroll tiers (XLA rolls, the in-body Pallas edge sweep) blow
+    past this environment's compile budget at NR-BG1 scale (316 edges x
+    Z=384 -> >9 min); this kernel instead walks the check rows with a
+    `fori_loop`, reading each slot's (variable block, shift, edge id) from a
+    scalar-prefetched SMEM table and rotating with `pltpu.roll`'s DYNAMIC
+    shift — so the program contains one d-slot row body regardless of code
+    size, while the full c2v live set and the posterior stay VMEM-resident
+    across all sweeps (the HBM-traffic property that makes the unrolled
+    Pallas tier 3.7-7.7x over XLA on small codes).
+
+    Schedule is row-layered (posterior updates after every check row): the
+    natural schedule for a streamed walk, and ~2x convergence per sweep.
+    Mirrors ops/ldpc.decode_reference(schedule="layered") exactly: same row
+    order, same two-min/first-min tie semantics, same update association.
+    NR rows never contain two edges to one variable block, so the
+    read-modify-write of L per slot has no intra-row aliasing hazard."""
+    dt = ch_ref.dtype
+    big = jnp.asarray(_LDPC_BIG, dt)
+    out_ref[...] = ch_ref[...]
+    c2v_ref[...] = jnp.zeros(c2v_ref.shape, dt)
+
+    def row_body(i, _):
+        # pass 1: per-slot v2c, two-min fold with first-min index
+        v2c = []
+        c2v_old = []
+        valid_f = []
+        m1 = jnp.full((block_b, z), big, dt)
+        m2 = jnp.full((block_b, z), big, dt)
+        i1 = jnp.zeros((block_b, z), jnp.int32)
+        par = jnp.zeros((block_b, z), jnp.bool_)
+        for t in range(d):
+            j = tbl_ref[0, i * d + t]
+            s_m = tbl_ref[2, i * d + t]
+            e = tbl_ref[3, i * d + t]
+            vld = tbl_ref[4, i * d + t]
+            vf = (vld > 0).astype(dt)
+            L_j = out_ref[0, j]
+            cv = c2v_ref[e]
+            v = pltpu.roll(L_j, s_m, 1) - cv  # roll by (z - s) == roll by -s
+            v2c.append(v)
+            c2v_old.append(cv)
+            valid_f.append(vf)
+            mag = jnp.where(vld > 0, jnp.abs(v), big)
+            neg = (v < 0) & (vld > 0)
+            less = mag < m1
+            m2 = jnp.where(less, m1, jnp.minimum(m2, mag))
+            i1 = jnp.where(less, t, i1)
+            m1 = jnp.where(less, mag, m1)
+            par = par ^ neg
+        # pass 2: extrinsic update, write c2v, fold the delta back into L
+        for t in range(d):
+            j = tbl_ref[0, i * d + t]
+            s_p = tbl_ref[1, i * d + t]
+            e = tbl_ref[3, i * d + t]
+            ext_mag = jnp.where(i1 == t, m2, m1)
+            neg_ext = par ^ (v2c[t] < 0)
+            sgn = 1.0 - 2.0 * neg_ext.astype(dt)
+            upd = norm * sgn * ext_mag
+            c2v_ref[e] = upd
+            delta = valid_f[t] * (upd - c2v_old[t])
+            out_ref[0, j] = out_ref[0, j] + pltpu.roll(delta, s_p, 1)
+        return 0
+
+    def iter_body(_, carry):
+        return jax.lax.fori_loop(0, mb, row_body, carry, unroll=False)
+
+    jax.lax.fori_loop(0, n_iters, iter_body, 0, unroll=False)
+
+
+def ldpc_stream_posterior(
+    llr_vzb: jnp.ndarray,  # (nb, z, B) batch-last variable frame
+    slot_var: np.ndarray,  # (mb, d) int32
+    slot_shift: np.ndarray,
+    slot_valid: np.ndarray,
+    n_edges: int,
+    z: int,
+    n_iters: int,
+    norm: float,
+    block_b: int = 8,
+) -> jnp.ndarray:
+    """Streamed layered posterior (see _ldpc_stream_kernel). Same frame
+    contract as `ldpc_posterior`: B must be a multiple of block_b."""
+    nb, zz, B = llr_vzb.shape
+    mb, d = slot_var.shape
+    assert zz == z and B % block_b == 0, (llr_vzb.shape, block_b)
+    # slot -> packed edge id (row-major over valid slots); pads -> dummy row
+    eid = np.full((mb, d), n_edges, np.int32)
+    eid[slot_valid] = np.arange(n_edges, dtype=np.int32)
+    tbl = np.stack(
+        [
+            np.asarray(slot_var, np.int32).reshape(-1),
+            np.asarray(slot_shift, np.int32).reshape(-1) % z,
+            (z - np.asarray(slot_shift, np.int32).reshape(-1)) % z,
+            eid.reshape(-1),
+            slot_valid.reshape(-1).astype(np.int32),
+        ]
+    )
+    n_tiles = B // block_b
+    # lane-z tiling: (nb, z, B) -> (n_tiles, nb, block_b, z)
+    tiled = jnp.transpose(llr_vzb.reshape(nb, z, n_tiles, block_b), (2, 0, 3, 1))
+    out = pl.pallas_call(
+        functools.partial(
+            _ldpc_stream_kernel,
+            mb=mb,
+            nb=nb,
+            d=d,
+            z=z,
+            n_iters=int(n_iters),
+            norm=float(norm),
+            block_b=block_b,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, nb, block_b, z), lambda b, tbl: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nb, block_b, z), lambda b, tbl: (b, 0, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((n_edges + 1, block_b, z), llr_vzb.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, nb, block_b, z), llr_vzb.dtype),
+        interpret=_interpret(),
+    )(jnp.asarray(tbl), tiled)
+    return jnp.transpose(out, (1, 3, 0, 2)).reshape(nb, z, B)
+
+
 _LDPC_BIG = 1e30
 
 
