@@ -634,14 +634,19 @@ def main():
             }
             lay_msg = ""
             if try_layered:
+                # layered_group=4: the round-4 row-group remedy for the lane-z
+                # layout's serial-row underutilization — measured 2.3-2.8x vs
+                # flooding-16 at matched quality (group=1 was 1.5-1.8x)
                 dec_lay = _ldpc.build_decoder(
-                    code, n_iters=iters // 2, kernels="pallas", schedule="layered"
+                    code, n_iters=iters // 2, kernels="pallas", schedule="layered",
+                    layered_group=4,
                 )
                 res_l = dec_lay(llr)
                 lay_ok = bool(_np.asarray(res_l.ok).all()) and _np.array_equal(
                     _np.asarray(res_l.info), u
                 )
                 r["layered_payload_exact"] = lay_ok
+                r["layered_group"] = 4
                 lay_msg = f"; layered-{iters//2} exact=False (speedup withheld)"
                 if lay_ok:
                     st_lay = profiling.chained_slope_stats(

@@ -440,6 +440,7 @@ def build_decoder(
     norm: float = 0.75,
     kernels: str = "xla",
     schedule: str = "flooding",
+    layered_group: int = 1,
 ):
     """Build the jitted flooding normalized-min-sum decoder for `code`
     (lru-cached: repeated builds — e.g. one per serving.process call — reuse
@@ -653,7 +654,7 @@ def build_decoder(
             chp = jnp.pad(ch, ((0, 0), (0, 0), (0, pad))) if pad else ch
             posterior = pk.ldpc_posterior(
                 chp, edges, nb, z, n_iters, norm, block_b=block_b, z_axis=z_axis,
-                schedule=schedule,
+                schedule=schedule, group=layered_group,
             )
             posterior = posterior[..., :b] if pad else posterior
         else:
@@ -690,6 +691,7 @@ def decode_reference(
     n_iters: int = 20,
     norm: float = 0.75,
     schedule: str = "flooding",
+    layered_group: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Float64 numpy flooding normalized-min-sum with the identical schedule
     (same edge order, same per-variable summation association as the
@@ -724,26 +726,30 @@ def decode_reference(
         cv = {e: np.zeros((b, z)) for e in range(len(edges))}
         row_eids = [[e for e, (i2, _, _, _) in enumerate(edges) if i2 == i] for i in range(mb)]
         for _ in range(n_iters):
-            for i in range(mb):
-                eids = row_eids[i]
-                v2c = np.stack(
-                    [np.roll(L[:, edges[e][2]], -edges[e][3], axis=-1) - cv[e] for e in eids],
-                    axis=1,
-                )  # (b, deg, z)
-                mag = np.abs(v2c)
-                neg = v2c < 0
-                i_min = np.argmin(mag, axis=1)
-                onehot = np.arange(len(eids))[:, None] == i_min[:, None, :]
-                min1 = np.min(mag, axis=1, keepdims=True)
-                min2 = np.min(np.where(onehot, _BIG, mag), axis=1, keepdims=True)
-                ext = np.where(onehot, min2, min1)
-                par = np.logical_xor.reduce(neg, axis=1, keepdims=True)
-                sgn = 1.0 - 2.0 * np.logical_xor(par, neg)
-                upd = norm * sgn * ext
-                for t_, e in enumerate(eids):
-                    j, s = edges[e][2], edges[e][3]
-                    L[:, j] += np.roll(upd[:, t_] - cv[e], s, axis=-1)
-                    cv[e] = upd[:, t_]
+            for g0 in range(0, mb, layered_group):
+                chunk = range(g0, min(g0 + layered_group, mb))
+                upds = {}
+                for i in chunk:
+                    eids = row_eids[i]
+                    v2c = np.stack(
+                        [np.roll(L[:, edges[e][2]], -edges[e][3], axis=-1) - cv[e] for e in eids],
+                        axis=1,
+                    )  # (b, deg, z)
+                    mag = np.abs(v2c)
+                    neg = v2c < 0
+                    i_min = np.argmin(mag, axis=1)
+                    onehot = np.arange(len(eids))[:, None] == i_min[:, None, :]
+                    min1 = np.min(mag, axis=1, keepdims=True)
+                    min2 = np.min(np.where(onehot, _BIG, mag), axis=1, keepdims=True)
+                    ext = np.where(onehot, min2, min1)
+                    par = np.logical_xor.reduce(neg, axis=1, keepdims=True)
+                    sgn = 1.0 - 2.0 * np.logical_xor(par, neg)
+                    upds[i] = norm * sgn * ext
+                for i in chunk:
+                    for t_, e in enumerate(row_eids[i]):
+                        j, s = edges[e][2], edges[e][3]
+                        L[:, j] += np.roll(upds[i][:, t_] - cv[e], s, axis=-1)
+                        cv[e] = upds[i][:, t_]
         posterior = L.reshape(b, code.n)
         bits = (posterior < 0).astype(np.uint8)
         par2 = np.sum(gather(bits.reshape(b, nb, z).astype(np.int64)) * valid, axis=-2) % 2

@@ -810,7 +810,9 @@ def inpaint_stack(
 # ---------------------------------------------------------------------------
 
 
-def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm, z_axis, schedule):
+def _ldpc_kernel(
+    llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm, z_axis, schedule, group=1
+):
     """One batch-tile program: ALL `n_iters` flooding sweeps in VMEM.
 
     The XLA tier round-trips every message array through HBM once per
@@ -885,18 +887,28 @@ def _ldpc_kernel(llr_ref, out_ref, *, edges, rows, nb, z, n_iters, norm, z_axis,
         return tuple(new)
 
     def sweep_layered(_, state):
-        # Row-layered (serial) schedule: the posterior updates after EVERY
-        # check row, so later rows in the same sweep see fresher beliefs —
-        # ~2x faster convergence per sweep than flooding at the same
-        # per-sweep op count (the classic layered-decoding property).
+        # Row-layered (serial) schedule: the posterior updates after every
+        # GROUP of `group` check rows, so later groups in the same sweep see
+        # fresher beliefs — ~2x faster convergence per sweep than flooding at
+        # group=1 (the classic layered-decoding property). group>1 computes
+        # the whole group's updates from one posterior snapshot before
+        # applying them: it interpolates toward flooding, trading a little
+        # convergence for G-way ILP — the round-3 verdict's row-group remedy
+        # for the lane-z layout, where the strictly serial row chain
+        # underutilizes the narrow batch tile.
         L, c2v = list(state[0]), list(state[1])
-        for i, eids in enumerate(rows):
-            v2c = [roll(L[edges[e][2]], -edges[e][3]) - c2v[e] for e in eids]
-            upd = row_update(v2c)
-            for t_, e in enumerate(eids):
-                j, s = edges[e][2], edges[e][3]
-                L[j] = L[j] + roll(upd[t_] - c2v[e], s)
-                c2v[e] = upd[t_]
+        for g0 in range(0, len(rows), group):
+            chunk = range(g0, min(g0 + group, len(rows)))
+            upds = {}
+            for i in chunk:
+                eids = rows[i]
+                v2c = [roll(L[edges[e][2]], -edges[e][3]) - c2v[e] for e in eids]
+                upds[i] = row_update(v2c)
+            for i in chunk:
+                for t_, e in enumerate(rows[i]):
+                    j, s = edges[e][2], edges[e][3]
+                    L[j] = L[j] + roll(upds[i][t_] - c2v[e], s)
+                    c2v[e] = upds[i][t_]
         return tuple(L), tuple(c2v)
 
     c2v0 = tuple(jnp.zeros(shape, dtype) for _ in edges)
@@ -1070,6 +1082,7 @@ def ldpc_posterior(
     block_b: int = 128,
     z_axis: int = 0,
     schedule: str = "flooding",
+    group: int = 1,
 ) -> jnp.ndarray:
     """Flooding normalized-min-sum posterior, all iterations VMEM-resident.
 
@@ -1112,6 +1125,7 @@ def ldpc_posterior(
             norm=float(norm),
             z_axis=z_axis,
             schedule=schedule,
+            group=group,
         ),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(tile, lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)],

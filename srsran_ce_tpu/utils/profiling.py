@@ -79,19 +79,94 @@ def chained_throughput(
 
         return many
 
-    times = {}
-    for reps in (reps_lo, reps_hi):
-        fn = make(reps)
-        r = fn(*args)
-        float(r)  # force
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.time()
-            r = fn(*args)
-            jax.block_until_ready(r)
-            best = min(best, time.time() - t0)
-        times[reps] = best
-    return max((times[reps_hi] - times[reps_lo]) / (reps_hi - reps_lo), 1e-12)
+    return chained_slope_stats(
+        step_fn, feedback_fn, args, carry_index, reps_lo, reps_hi, trials, k=1
+    )["s_per_step"]
+
+
+def chained_slope_stats(
+    step_fn: Callable,
+    feedback_fn: Callable,
+    args: tuple,
+    carry_index: int = 0,
+    reps_lo: int = 8,
+    reps_hi: int = 72,
+    trials: int = 3,
+    k: int = 3,
+) -> dict:
+    """`chained_throughput` with K INDEPENDENT slope estimates (fresh passes over
+    the same pre-compiled chain executables, separated in wall-clock time).
+
+    This environment's relay shows ~20% run-to-run slope variance (and
+    occasional 2-5x excursions from pooled machine state); a single estimate
+    recorded as THE number scores luck. Pollution only ever ADDS time, so the
+    minimum of K estimates is the best available device-time estimator; the
+    spread quantifies how (un)stable the measurement period was.
+
+    Returns {"s_per_step": min, "slopes": [k floats], "spread": (max-min)/min}.
+    """
+
+    def make(reps):
+        @jax.jit
+        def many(*a):
+            def body(carry, _):
+                cur = list(a)
+                cur[carry_index] = carry
+                out = step_fn(*cur)
+                return feedback_fn(carry, out), 0.0
+            final, _ = jax.lax.scan(body, a[carry_index], None, length=reps)
+            return jnp.sum(final)
+
+        return many
+
+    def measure(lo, hi, fns):
+        times = {}
+        for reps in (lo, hi):
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.time()
+                r = fns[reps](*args)
+                jax.block_until_ready(r)
+                best = min(best, time.time() - t0)
+            times[reps] = best
+        return max((times[hi] - times[lo]) / (hi - lo), 1e-12), times
+
+    def build(lo, hi):
+        fns = {}
+        for reps in (lo, hi):
+            fns[reps] = make(reps)
+            float(fns[reps](*args))  # compile + force materialization via the relay
+        return fns
+
+    lo, hi = reps_lo, reps_hi
+    fns = build(lo, hi)
+    # Chain-length escalation: when the slope contributes <15% of the longest
+    # chain's wall time, the fit is mostly relay-latency jitter (measured to
+    # produce 10x-low garbage on fast rows) — lengthen the chain up to 16x.
+    s, times = measure(lo, hi, fns)
+    for _ in range(2):
+        if s > 0.15 * times[hi] / hi:
+            break
+        hi *= 4
+        fns = build(lo, hi)
+        s, times = measure(lo, hi, fns)
+    slopes = [s]
+    for _ in range(max(1, k) - 1):
+        s, _ = measure(lo, hi, fns)
+        slopes.append(s)
+    # Robust aggregation (see bench.py SlopeRow.stats): pollution only ever
+    # ADDS time, so estimates implausibly far BELOW the median are broken
+    # fits, not a fast device — drop them before taking the min.
+    sl = [x for x in slopes if x > 1e-8]
+    med = float(np.median(sl)) if sl else 1e-12
+    good = [x for x in sl if x >= 0.3 * med] or sl or [1e-12]
+    s_min = min(good)
+    return {
+        "s_per_step": s_min,
+        "slopes": slopes,
+        "n_discarded": len(slopes) - len(good),
+        "spread": (max(good) - s_min) / max(s_min, 1e-12),
+    }
 
 
 @dataclass

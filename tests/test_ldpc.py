@@ -426,3 +426,35 @@ def test_streamed_tier_gates():
         ldpc.build_decoder(code208, n_iters=4, kernels="pallas_stream", schedule="layered")
     with pytest.raises(ValueError, match="layered"):
         ldpc.build_decoder(code208, n_iters=4, kernels="pallas_stream", schedule="flooding")
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_layered_group_matches_reference(group):
+    """Row-GROUP layering (layered_group=G): G rows' updates computed from one
+    posterior snapshot, then applied — interpolates between serial layered
+    (G=1) and flooding, keeping the narrow lane-z tile busy (measured
+    2.3-2.8x over flooding-16 at matched quality on the NR lane-z codes where
+    serial layered managed only 1.1-1.5x). Must match the float64 mirror with
+    the same group."""
+    from srsran_ce_tpu.ops import nr_ldpc
+
+    code = nr_ldpc.nr_base_graph(2, 16)
+    plan = ldpc.make_ldpc_plan(code)
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 2, (16, plan.k), dtype=np.uint8)
+    cw = ldpc.encode(code, u)
+    snr = 10.0**0.35
+    llr = (
+        4 * snr * ((1 - 2.0 * cw) + rng.normal(0, np.sqrt(0.5 / snr), cw.shape))
+    ).astype(np.float32)
+    dec = ldpc.build_decoder(
+        code, n_iters=8, kernels="pallas", schedule="layered", layered_group=group
+    )
+    res = dec(llr)
+    bits_ref, ok_ref, post_ref = ldpc.decode_reference(
+        code, llr, n_iters=8, schedule="layered", layered_group=group
+    )
+    assert np.array_equal(np.asarray(res.bits), bits_ref)
+    assert np.array_equal(np.asarray(res.info), u)
+    scale = np.abs(post_ref).max()
+    assert np.abs(np.asarray(res.posterior, np.float64) - post_ref).max() / scale < 1e-4
