@@ -361,12 +361,15 @@ def select_batch_rows(specs):
                 s = row.prepare()
                 r = meta["batch"] * meta["grid_res"] / s
                 if best is None or r > best[2]:
-                    best = (row, meta, r)
+                    best = (row, meta, r, s)
                 else:
                     row.fns.clear()  # drop loser executables
             except Exception as e:
                 log(f"{name} (batch candidate) FAILED: {type(e).__name__}: {e}")
         if best is not None:
+            # the winner's pilot estimate is itself an independent slope sample
+            # from a separate wall-clock period — keep it in the K pool
+            best[0].slopes.append(best[3])
             winners[name] = (best[0], best[1])
     return winners
 

@@ -109,11 +109,15 @@ def check_geometry(draw: int, seed_base: int = 0xCE_F0) -> dict:
         np.sum(np.abs(ch_j - ch_o) ** 2) / (np.sum(np.abs(ch_o) ** 2) + 1e-30)
     )
 
-    def rel(a, b):
-        return float(abs(a - b) / (abs(b) + 1e-30))
+    def rel(a, b, atol=0.0):
+        # allclose semantics: an absolute floor covers true-zero quantities
+        # (e.g. smoothing="none" + 1 DM-RS symbol reconstructs the pilots
+        # EXACTLY, so the noise estimate is pure rounding ~1e-33 and a bare
+        # relative error is meaningless)
+        return float(abs(a - b) / (abs(b) + atol / 1e-7 + 1e-300))
 
     scalar_errs = {
-        "noise": rel(float(res_j.noise_est), res_o.noise_est),
+        "noise": rel(float(res_j.noise_est), res_o.noise_est, atol=1e-20),
         "rsrp": rel(float(res_j.rsrp), res_o.rsrp),
         "epre": rel(float(res_j.epre), res_o.epre),
         "ta": float(abs(float(res_j.time_alignment) - res_o.time_alignment)),
