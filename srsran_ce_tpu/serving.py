@@ -447,15 +447,16 @@ def _decode_soft(
     from .ops import ldpc as _ldpc
 
     sched = getattr(coding, "schedule", "flooding")
+    group = getattr(coding, "layered_group", 1)
     dec = _ldpc.build_decoder(
         coding.code, n_iters=coding.n_iters, norm=coding.norm,
-        kernels=coding.kernels, schedule=sched,
+        kernels=coding.kernels, schedule=sched, layered_group=group,
     )
     early = coding.early_iters
     if early is not None and early < coding.n_iters:
         dec_early = _ldpc.build_decoder(
             coding.code, n_iters=early, norm=coding.norm,
-            kernels=coding.kernels, schedule=sched,
+            kernels=coding.kernels, schedule=sched, layered_group=group,
         )
     else:
         dec_early = None

@@ -55,10 +55,15 @@ class TransportCoding:
     scramble_c_init: Optional[int] = None
     kernels: str = "auto"
     crc: Optional[str] = None
-    # min-sum schedule: "flooding" (all tiers) or "layered" (row-serial,
-    # pallas tier only — ~2x fewer sweeps for the same BER, so set n_iters
-    # accordingly; measured 2.3x effective throughput at matched quality)
+    # min-sum schedule: "flooding" (all tiers) or "layered" (pallas tiers
+    # only — ~2x fewer sweeps for the same BER, so set n_iters accordingly;
+    # measured 2.3x effective throughput at matched quality; NR-BG1-scale
+    # codes route to the streamed VMEM tier, 87x the flooding gather tier).
+    # layered_group: rows updated per posterior refresh (G>1 recovers the
+    # lane-z tiles' throughput — 2.3-2.8x vs flooding at G=4 where serial
+    # G=1 managed 1.5-1.8x; see ops/ldpc.build_decoder).
     schedule: str = "flooding"
+    layered_group: int = 1
     # Two-phase early termination in the serving decode: every word first
     # runs `early_iters` sweeps (converged words — the vast majority at
     # operating SNR — are done); only parity failures rerun at the full

@@ -395,3 +395,36 @@ def test_decoded_serving_nr_rate_match():
     )
     assert bool(np.asarray(res[0].ok).all())
     assert np.array_equal(res[0].info, u)
+
+
+def test_decoded_serving_layered_group():
+    """serving.process(out='decoded') with the layered schedule + row-group
+    option threaded through TransportCoding (schedule='layered',
+    layered_group=2): the plumbing that routes served decodes onto the
+    grouped-layered pallas tier (and, for NR-BG1-scale codes on hardware,
+    the streamed VMEM tier)."""
+    code = ldpc.array_code(4, 8, 23)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("qpsk")
+    mk = dict(n_rx=1, modulation="qpsk", scramble=False, n_prbs=12, n_layers=1)
+    coding = transport.TransportCoding(
+        code=code, n_iters=12, interleave_seed=3, schedule="layered",
+        layered_group=2, early_iters=None,
+    )
+    geo = synthetic.make_case(seed=51, snr_db=25.0, n_prbs=12, n_layers=1)
+    n_sc, n_sym = geo.received_rg.shape
+    lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, 1, nbits)
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, (lay.c_words, plan.k), dtype=np.uint8)
+    bits = transport.place_codewords(lay, ldpc.encode(code, u), 1, nbits, fill_rng=rng)
+    case = synthetic.make_mimo_case(seed=51, snr_db=25.0, bits=bits, **mk)
+    prob = serving.Problem(
+        case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+        case.beta, case.hop1, case.hop2, case.config,
+    )
+    res = serving.process(
+        [prob], batch_size=2, out="decoded", modulation="qpsk", coding=coding,
+        matmul_precision=None,
+    )[0]
+    assert bool(np.asarray(res.ok).all())
+    assert np.array_equal(res.info, u)
