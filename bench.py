@@ -127,13 +127,14 @@ class SlopeRow:
         t0 = time.time()
         s = self.measure_once()
         # Fast rows bury the slope in relay-latency noise (slope contributes
-        # <15% of the longest chain's wall time -> the fit is mostly intercept
-        # jitter, occasionally NEGATIVE — r4 first run: a 0.09 ms factored row
-        # "measured" 0.000 ms). Escalate the chain length until the slope
-        # dominates, up to 16x.
+        # too little of the longest chain's wall time -> the fit is mostly
+        # intercept jitter, occasionally NEGATIVE — r4 first run: a 0.09 ms
+        # factored row "measured" 0.000 ms; threshold raised 0.15 -> 0.3 after
+        # borderline rows like c4 still swung 60% run to run). Escalate the
+        # chain length until the slope dominates, up to 16x.
         for longer in REPS_LONGER:
             hi = self.rep_points[-1]
-            if s > 0.15 * self.last_times[hi] / hi:
+            if s > 0.3 * self.last_times[hi] / hi:
                 break
             self.rep_points = longer
             s = self.measure_once()

@@ -140,12 +140,12 @@ def chained_slope_stats(
 
     lo, hi = reps_lo, reps_hi
     fns = build(lo, hi)
-    # Chain-length escalation: when the slope contributes <15% of the longest
+    # Chain-length escalation: when the slope contributes <30% of the longest
     # chain's wall time, the fit is mostly relay-latency jitter (measured to
     # produce 10x-low garbage on fast rows) — lengthen the chain up to 16x.
     s, times = measure(lo, hi, fns)
     for _ in range(2):
-        if s > 0.15 * times[hi] / hi:
+        if s > 0.3 * times[hi] / hi:
             break
         hi *= 4
         fns = build(lo, hi)
