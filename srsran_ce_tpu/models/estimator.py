@@ -498,15 +498,14 @@ def _front_pallas_batched(plan: EstimatorPlan, rg_ri, pil_ri, beta, out_layout, 
         [(plan.n_dsym1, plan.hop2.n_dsym + plan.n_dsym1)] if plan.has_hop2 else []
     )
 
-    def gather_one(rg_ri1, pil_ri1):
+    def gather_one(rg_ri1):
         rg = _ri_to_complex(rg_ri1)
-        outs = []
-        for hp, (d0, d1) in zip(hops, splits):
-            rx = _gather_rx(hp, rg)  # (n_cdm, n_dsym, n_re) complex
-            outs.append(_complex_to_ri(rx))
-        return tuple(outs)
+        return tuple(
+            _complex_to_ri(_gather_rx(hp, rg))  # (2, n_cdm, n_dsym, n_re)
+            for hp in hops
+        )
 
-    rx_hops = jax.vmap(gather_one)(rg_ri, pil_ri)  # tuple of (B, 2, n_cdm, nd, n_re)
+    rx_hops = jax.vmap(gather_one)(rg_ri)  # tuple of (B, 2, n_cdm, nd, n_re)
 
     epre = jnp.zeros((B,), rdtype)
     noise = jnp.zeros((B,), rdtype)
@@ -1140,6 +1139,12 @@ def _estimate_impl(
             else:
                 full = _grid_fill(hp, config, h_p)  # (nL, n_sc_hop)
                 block = full[:, None, :] * rot_slice[None, :, None]  # (nL, n_alloc, n_sc_hop)
+            # NOTE (measured, round 4): do NOT shortcut the whole-grid case to
+            # `channel = block` here — returning the bare block measured 0.381
+            # vs 0.286 ms/batch128 at c2 (interleaved A/B, identical outputs).
+            # The full-cover dynamic_update_slice costs nothing (XLA elides
+            # it) while keeping the producer fusion boundaries XLA schedules
+            # best; removing it folded the fill into a slower fusion.
             channel = jax.lax.dynamic_update_slice(
                 channel, block, (0, hp.sym_start, hp.sc_start)
             )
