@@ -412,31 +412,54 @@ def _front_kernel(
             a, b, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST
         )
 
-    rx_r = rx_ref[:, 0]
-    rx_i = rx_ref[:, 1]
-    pil_r = pil_ref[:, 0]
-    pil_i = pil_ref[:, 1]
+    # MERGED (row, n_re) working layout: all heavy elementwise tensors carry
+    # their (layer/cdm, dmrs-symbol) pair as ONE sublane axis of nL*n_dsym
+    # (or n_cdm*n_dsym) rows. With the 4-D (.., nL, n_dsym, n_re) layout the
+    # tiled dims are (n_dsym=2..4, n_re) and every VPU op runs at 25-50%
+    # sublane occupancy; merged, the same op measured 1.7x faster on v5e
+    # (66 -> 39 us/pass at (4,4,636) vs (16,636)). Row r = l*n_dsym + d;
+    # per-(l) blocks are contiguous sublane slices, per-(d) selections are
+    # single-row slices + concat, and per-row scalar coefficients are concats
+    # of (block_b, 1) columns — all layout-friendly ops.
+    nd = n_dsym
+    rx_r = rx_ref[:, 0].reshape(block_b, n_cdm * nd, n_re)
+    rx_i = rx_ref[:, 1].reshape(block_b, n_cdm * nd, n_re)
+    pil_r = pil_ref[:, 0].reshape(block_b, nL * nd, n_re)
+    pil_i = pil_ref[:, 1].reshape(block_b, nL * nd, n_re)
     beta2 = beta_ref[0]  # (block_b, 1), sublane-resident
     b3 = beta2[:, :, None]  # (block_b, 1, 1)
-    b4 = beta2[:, None, :, None]  # (block_b, 1, 1, 1)
 
     def lane_sum(x):  # (..., n) -> (..., 1)
         return jnp.sum(x, axis=-1, keepdims=True)
 
-    epre = lane_sum(jnp.sum(rx_r * rx_r + rx_i * rx_i, axis=(1, 2)))  # (block_b, 1)
+    def rowsel(x, d):  # fixed-d rows of the (l, d) frame -> (block_b, nL, n_re)
+        return jnp.concatenate(
+            [x[:, l * nd + d : l * nd + d + 1] for l in range(nL)], axis=1
+        )
 
-    # layer-expanded received REs (cdm_of_layer = l // 2, static concat)
+    def percol(cols):  # per-(l, d) scalar columns -> (block_b, nL*nd, 1)
+        return jnp.concatenate(
+            [cols[d] for _l in range(nL) for d in range(nd)], axis=1
+        )[:, :, None]
+
+    epre = lane_sum(jnp.sum(rx_r * rx_r + rx_i * rx_i, axis=1))  # (block_b, 1)
+
+    # layer-expanded received REs (cdm_of_layer = l // 2; contiguous slices)
     cdm_of_layer = [min(l // 2, n_cdm - 1) for l in range(nL)]
-    rxl_r = jnp.concatenate([rx_r[:, c : c + 1] for c in cdm_of_layer], axis=1)
-    rxl_i = jnp.concatenate([rx_i[:, c : c + 1] for c in cdm_of_layer], axis=1)
+    rxl_r = jnp.concatenate(
+        [rx_r[:, c * nd : (c + 1) * nd] for c in cdm_of_layer], axis=1
+    )
+    rxl_i = jnp.concatenate(
+        [rx_i[:, c * nd : (c + 1) * nd] for c in cdm_of_layer], axis=1
+    )
     # LS de-spread: rec = rx * conj(pil)
-    rec_r = rxl_r * pil_r + rxl_i * pil_i  # (block_b, nL, n_dsym, n_re)
+    rec_r = rxl_r * pil_r + rxl_i * pil_i  # (block_b, nL*nd, n_re)
     rec_i = rxl_i * pil_r - rxl_r * pil_i
 
     cfo = jnp.zeros((block_b, 1), dt)
     if cfo_possible:
-        a_r, a_i = rec_r[:, :, 0], rec_i[:, :, 0]  # (block_b, nL, n_re)
-        e_r, e_i = rec_r[:, :, 1], rec_i[:, :, 1]
+        a_r, a_i = rowsel(rec_r, 0), rowsel(rec_i, 0)  # (block_b, nL, n_re)
+        e_r, e_i = rowsel(rec_r, 1), rowsel(rec_i, 1)
         in_r = jnp.sum(a_r * e_r + a_i * e_i, axis=-1)  # conj(rec0) * rec1
         in_i = jnp.sum(a_r * e_i - a_i * e_r, axis=-1)  # (block_b, nL)
         acc = jnp.zeros((block_b, 1), dt)
@@ -450,17 +473,29 @@ def _front_kernel(
         cfo = acc / (2.0 * np.pi * n_samples) / n_cdm
         if cfo_compensate:
             # per-DM-RS-symbol phases from STATIC scalars (kernels cannot
-            # capture array constants; n_dsym is tiny so the concat is cheap)
-            phase = jnp.concatenate(
-                [(-2.0 * np.pi * float(s)) * cfo for s in sst_d], axis=1
-            )  # (block_b, n_dsym)
-            cr = jnp.cos(phase)[:, None, :, None]
-            ci = jnp.sin(phase)[:, None, :, None]
-            rec_r, rec_i = rec_r * cr - rec_i * ci, rec_r * ci + rec_i * cr
+            # capture array constants); cos/sin evaluated once per d on
+            # (block_b, 1) columns, then laid out per (l, d) row
+            pc = [jnp.cos((-2.0 * np.pi * float(s)) * cfo) for s in sst_d]
+            ps = [jnp.sin((-2.0 * np.pi * float(s)) * cfo) for s in sst_d]
+            crm = percol(pc)  # (block_b, nL*nd, 1)
+            cim = percol(ps)
+            rec_r, rec_i = rec_r * crm - rec_i * cim, rec_r * cim + rec_i * crm
 
-    # time average (ce_rule_baseline.py:625)
-    hp_r = jnp.sum(rec_r, axis=2) / b3 / n_dsym  # (block_b, nL, n_re)
-    hp_i = jnp.sum(rec_i, axis=2) / b3 / n_dsym
+    # time average (ce_rule_baseline.py:625): per-l contiguous row blocks
+    hp_r = jnp.concatenate(
+        [
+            jnp.sum(rec_r[:, l * nd : (l + 1) * nd], axis=1, keepdims=True)
+            for l in range(nL)
+        ],
+        axis=1,
+    ) / b3 / nd  # (block_b, nL, n_re)
+    hp_i = jnp.concatenate(
+        [
+            jnp.sum(rec_i[:, l * nd : (l + 1) * nd], axis=1, keepdims=True)
+            for l in range(nL)
+        ],
+        axis=1,
+    ) / b3 / nd
 
     # fused smoothing: pair-average + virtual pilots + RC conv as matrices.
     # Rows packed (block_b, [re rows | im rows]) -> (block_b*2*nL, n_re): the
@@ -521,28 +556,39 @@ def _front_kernel(
     ta = i_max / float(fft_size) / float(scs_hz)  # (block_b, 1)
 
     # reconstruct expected RX pilots; noise / RSRP (ce_rule_baseline.py:713-746)
+    # — merged (l, d)-row layout throughout (see the layout note above)
     if cfo_possible and cfo_compensate:
-        ph2 = jnp.concatenate(
-            [(2.0 * np.pi * float(s)) * cfo for s in sst_d], axis=1
-        )  # (block_b, n_dsym)
-        c2 = jnp.cos(ph2)[:, None, :, None]  # (block_b, 1, n_dsym, 1)
-        s2 = jnp.sin(ph2)[:, None, :, None]
+        p2c = [jnp.cos((2.0 * np.pi * float(s)) * cfo) for s in sst_d]
+        p2s = [jnp.sin((2.0 * np.pi * float(s)) * cfo) for s in sst_d]
+        c2m = percol(p2c)  # (block_b, nL*nd, 1)
+        s2m = percol(p2s)
     else:
-        c2 = jnp.ones((block_b, 1, 1, 1), dt)
-        s2 = jnp.zeros((block_b, 1, 1, 1), dt)
-    hr_b = hs_r[:, :, None, :]  # (block_b, nL, 1, n_re)
-    hi_b = hs_i[:, :, None, :]
-    hph_r = hr_b * c2 - hi_b * s2  # (block_b, nL, n_dsym, n_re)
-    hph_i = hr_b * s2 + hi_b * c2
-    con_r = b4 * (pil_r * hph_r - pil_i * hph_i)
-    con_i = b4 * (pil_r * hph_i + pil_i * hph_r)
+        c2m = jnp.ones((block_b, 1, 1), dt)
+        s2m = jnp.zeros((block_b, 1, 1), dt)
+    # h_s rows broadcast over the d positions of each layer's row block
+    hsr_m = jnp.concatenate(
+        [jnp.broadcast_to(hs_r[:, l : l + 1], (block_b, nd, n_re)) for l in range(nL)],
+        axis=1,
+    )
+    hsi_m = jnp.concatenate(
+        [jnp.broadcast_to(hs_i[:, l : l + 1], (block_b, nd, n_re)) for l in range(nL)],
+        axis=1,
+    )
+    hph_r = hsr_m * c2m - hsi_m * s2m  # (block_b, nL*nd, n_re)
+    hph_i = hsr_m * s2m + hsi_m * c2m
+    con_r = b3 * (pil_r * hph_r - pil_i * hph_i)
+    con_i = b3 * (pil_r * hph_i + pil_i * hph_r)
     noise_l = jnp.zeros((block_b, n_re), dt)
     for c in range(n_cdm):
         l0, l1 = 2 * c, min(2 * c + 2, nL)
-        est_r = jnp.sum(con_r[:, l0:l1], axis=1)  # (block_b, n_dsym, n_re)
-        est_i = jnp.sum(con_i[:, l0:l1], axis=1)
-        d_r = rx_r[:, c] - est_r
-        d_i = rx_i[:, c] - est_i
+        # sum the group's layers at matching d: contiguous nd-row blocks
+        est_r = con_r[:, l0 * nd : (l0 + 1) * nd]
+        est_i = con_i[:, l0 * nd : (l0 + 1) * nd]
+        for l in range(l0 + 1, l1):
+            est_r = est_r + con_r[:, l * nd : (l + 1) * nd]
+            est_i = est_i + con_i[:, l * nd : (l + 1) * nd]
+        d_r = rx_r[:, c * nd : (c + 1) * nd] - est_r  # (block_b, nd, n_re)
+        d_i = rx_i[:, c * nd : (c + 1) * nd] - est_i
         noise_l = noise_l + jnp.sum(d_r * d_r + d_i * d_i, axis=1)
     noise = lane_sum(noise_l)  # (block_b, 1)
     rsrp = (
