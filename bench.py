@@ -76,7 +76,7 @@ BENCH_CONFIGS = {
 
 HEADLINE = "c2_mmse_4port_106prb"
 REPS = (8, 40, 72)
-REPS_LONGER = ((8, 144, 288), (8, 576, 1152))  # escalation tiers for fast rows
+REPS_LONGER = ((8, 144, 288), (8, 576, 1152), (8, 2304, 4608))  # fast-row escalation tiers
 TRIALS = 3
 K_SLOPES = 3
 SPREAD_WARN = 0.10

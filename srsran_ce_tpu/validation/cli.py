@@ -338,6 +338,21 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_scaling(args) -> int:
+    """Run the multi-device scaling benchmark (same as `python bench_scaling.py`;
+    on a single-chip host it re-execs itself on the 8-device virtual CPU
+    platform and writes BENCH_SCALING.json)."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[2]
+    spec = importlib.util.spec_from_file_location("bench_scaling", root / "bench_scaling.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="srsran-ce-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -395,6 +410,9 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("bench", help="single-chip throughput benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    sc = sub.add_parser("scaling", help="multi-device scaling-efficiency benchmark")
+    sc.set_defaults(fn=cmd_scaling)
 
     args = p.parse_args(argv)
     return args.fn(args)
