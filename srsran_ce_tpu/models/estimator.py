@@ -443,6 +443,12 @@ def _front_pallas_ok(plan: EstimatorPlan) -> bool:
             return False
         if hp.ta_dft_cos is None:
             return False
+        # the fill stage (serve kernel / factored matmul) needs an interp
+        # OPERATOR for every CDM group
+        if config.interp == "linear" and hp.interp_matrix is None:
+            return False
+        if config.interp == "cnn" and hp.inpaint_schedules is None:
+            return False
         if hp.layer_slices != tuple(
             (2 * c, min(2 * c + 2, nL)) for c in range(hp.n_cdm)
         ):
@@ -567,7 +573,13 @@ def _front_pallas_batched(plan: EstimatorPlan, rg_ri, pil_ri, beta, out_layout, 
         for h, (hp, h_s) in enumerate(zip(hops, h_ps)):
             parts = []
             for c, (l0, l1) in enumerate(hp.layer_slices):
-                w = jnp.asarray(hp.interp_matrix[c], rdtype)
+                if config.interp == "linear":
+                    w = jnp.asarray(hp.interp_matrix[c], rdtype)
+                else:
+                    transient, steady = hp.inpaint_schedules[c]
+                    w = dsp.inpaint_operator(
+                        hp.inpaint_known[c], len(transient) + steady, rdtype
+                    )
                 rows = h_s[:, :, l0:l1].reshape(B * 2 * (l1 - l0), hp.n_re)
                 full = jnp.matmul(rows, w, precision=prec)
                 parts.append(full.reshape(B, 2, l1 - l0, hp.n_sc_hop))

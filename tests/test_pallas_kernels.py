@@ -276,6 +276,7 @@ def test_serve_fill_predicate_uses_kernel_geometry():
         dict(n_prbs=24, n_layers=1, comb=2, snr_db=25.0, cfo_compensate=False),
         dict(n_prbs=12, n_layers=2, comb=2, snr_db=30.0, two_hops=True),
         dict(n_prbs=52, n_layers=2, comb=2, snr_db=20.0, cfo_hz=200.0),
+        dict(n_prbs=24, n_layers=1, comb=2, snr_db=30.0, interp="cnn"),  # inpaint fill
     ],
 )
 def test_pallas_front_matches_xla(kw):
