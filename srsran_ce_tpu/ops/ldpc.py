@@ -638,6 +638,9 @@ def build_decoder(
         if kernels == "pallas_stream":
             from .pallas import kernels as pk
 
+            # batch tile 8 is the measured VMEM maximum at BG1 Z=384 (the c2v
+            # scratch doubles with the tile; block_b=16 fails the Mosaic
+            # compile, block_b=8 runs at 262 Mb/s)
             block_b = 8
             pad = (-b) % block_b
             chp = jnp.pad(ch, ((0, 0), (0, 0), (0, pad))) if pad else ch
