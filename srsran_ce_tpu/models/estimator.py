@@ -453,12 +453,16 @@ def _front_pallas_ok(plan: EstimatorPlan) -> bool:
             (2 * c, min(2 * c + 2, nL)) for c in range(hp.n_cdm)
         ):
             return False
+        # single source of truth with the kernel: fused_front halves its batch
+        # block until front_vmem_bytes fits FRONT_VMEM_BUDGET, so the plan is
+        # eligible iff the SMALLEST block (1) fits that same budget
+        # (tests/test_pallas_front.py pins the gate to the kernel's geometry)
         if (
             _plk.front_vmem_bytes(
                 hp.n_re, hp.n_pils, hp.half_cp_len, hp.ta_scatter_idx.size,
-                hp.n_cdm, nL, hp.n_dsym,
+                hp.n_cdm, nL, hp.n_dsym, block_b=1,
             )
-            > 8 * 1024 * 1024
+            > _plk.FRONT_VMEM_BUDGET
         ):
             return False
     return True

@@ -50,7 +50,9 @@ def atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Elementwise atan2(y, x) from min/max-ratio atan + quadrant fix-up.
 
     Matches jnp.arctan2 to ~2 ulp in float32 on finite inputs, including the
-    axes (x==0 or y==0) and the (0, 0) -> 0 convention."""
+    axes (x==0 or y==0), signed zeros (atan2(-0.0, x<0) = -pi) and the
+    (+-0, +0) -> +-0 convention (the sign selects ride jnp.signbit, which
+    Mosaic lowers as a bitcast+compare)."""
     dt = jnp.result_type(y, x)
     y = y.astype(dt)
     x = x.astype(dt)
@@ -61,8 +63,8 @@ def atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     t = mn / jnp.where(mx > 0, mx, jnp.asarray(1.0, dt))  # (0,0) -> 0
     r = _atan01(t)
     r = jnp.where(ay > ax, jnp.asarray(_PI_2, dt) - r, r)
-    r = jnp.where(x < 0, jnp.asarray(_PI, dt) - r, r)
-    return jnp.where(y < 0, -r, r)
+    r = jnp.where(jnp.signbit(x), jnp.asarray(_PI, dt) - r, r)
+    return jnp.where(jnp.signbit(y), -r, r)
 
 
 def cumsum_last(x: jnp.ndarray) -> jnp.ndarray:

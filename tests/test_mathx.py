@@ -16,11 +16,13 @@ def test_atan2_accuracy_f32():
     rng = np.random.default_rng(0)
     y = (rng.standard_normal(100000) * 10).astype(np.float32)
     x = (rng.standard_normal(100000) * 10).astype(np.float32)
-    y[:10] = [0, 0, 1, -1, 0, 1e-30, -1e-30, 5, -5, 0]
-    x[:10] = [1, -1, 0, 0, 0, 1, 1, 0, 0, 0]
+    y[:14] = [0, 0, 1, -1, 0, 1e-30, -1e-30, 5, -5, 0, -0.0, -0.0, 0.0, -0.0]
+    x[:14] = [1, -1, 0, 0, 0, 1, 1, 0, 0, 0, -1.0, 1.0, -0.0, -0.0]
     got = np.asarray(mathx.atan2(jnp.asarray(y), jnp.asarray(x)))
     want = np.arctan2(y, x)
     assert np.abs(got - want).max() < 3e-7
+    # signed zeros take the numpy branch (ADVICE r04): atan2(-0.0, x<0) = -pi
+    assert np.array_equal(np.signbit(got[:14]), np.signbit(want[:14]))
 
 
 def test_unwrap_matches_numpy():

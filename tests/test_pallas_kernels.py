@@ -350,3 +350,39 @@ def test_pallas_front_rejects_ineligible_plans():
             case.hop1, case.hop2, case.config, 1, batched=True,
             out_layout="serve", kernels="pallas_front",
         )
+
+
+def test_front_predicate_uses_kernel_geometry():
+    """_front_pallas_ok and fused_front must share ONE VMEM model + budget
+    (ADVICE r04: the gate modeled block_b=4 while the kernel ran 16): the gate
+    admits a plan iff the smallest block the kernel can shrink to (1) fits
+    kernels.FRONT_VMEM_BUDGET, and front_vmem_bytes defaults to the block the
+    kernel actually starts at."""
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.models.plan import make_plan
+    from srsran_ce_tpu.utils import synthetic
+
+    # default geometry of the model == the kernel's starting block
+    assert (
+        kernels.front_vmem_bytes(636, 5, 36, 159, 2, 4, 4)
+        == kernels.front_vmem_bytes(
+            636, 5, 36, 159, 2, 4, 4, block_b=kernels.FRONT_BLOCK_B
+        )
+    )
+    for kw in (
+        dict(n_prbs=106, n_layers=4, comb=2),
+        dict(n_prbs=273, n_layers=4, comb=2),
+    ):
+        case = synthetic.make_case(seed=9, snr_db=30.0, **kw)
+        nL = case.pilots.shape[2]
+        plan = make_plan(case.hop1, case.hop2, case.config, nL)
+        want = all(
+            kernels.front_vmem_bytes(
+                hp.n_re, hp.n_pils, hp.half_cp_len, hp.ta_scatter_idx.size,
+                hp.n_cdm, nL, hp.n_dsym, block_b=1,
+            )
+            <= kernels.FRONT_VMEM_BUDGET
+            for hp in (plan.hop1, plan.hop2)
+            if hp is not None
+        )
+        assert estimator._front_pallas_ok(plan) == want, kw
