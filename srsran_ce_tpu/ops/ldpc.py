@@ -59,6 +59,7 @@ __all__ = [
     "encode",
     "build_decoder",
     "decode_reference",
+    "default_layered_group",
     "DecodeResult",
 ]
 
@@ -402,14 +403,33 @@ def _pallas_vmem_fits(code: QCLdpcCode) -> bool:
     return _pallas_layout(code) is not None
 
 
-def _stream_supported(code: QCLdpcCode) -> bool:
-    """The streamed tier's dynamic lane rotation (`pltpu.roll` with a traced
-    shift) compiles only when Z is a whole number of 128-lane registers —
-    z=384 works, z=208/52 crash this environment's Mosaic compile helper.
-    (Interpret mode has no such constraint, but the gate is kept
-    backend-independent so eligibility never silently differs.) The lane-z
-    live set must also fit VMEM at the 8-row batch tile."""
-    return code.z % 128 == 0 and _pallas_vmem_fits(code)
+def _stream_layout(code: QCLdpcCode, c2v_bf16: bool = False, group: int = 1):
+    """Pick the streamed tier's batch tile, or None if even the smallest tile
+    blows the VMEM budget. Z is padded to whole 128-lane registers inside the
+    kernel (round-5: the dynamic `pltpu.roll` lane rotation needs
+    whole-register lengths, so the kernel rotates the padded axis twice and
+    lane-selects — ANY lifting size is now eligible; the round-4 z%128 gate
+    left BG1 Z∈{192..352} on the 3 Mb/s gather tier).
+
+    Live set per tile: c2v scratch (n_edges+1 rows, f32 or bf16) + the in/out
+    L tiles (2*nb rows f32), all (block_b, z_pad). Grouped layering (G rows
+    per posterior snapshot) adds ~3*G*d transient rows of stack. Measured
+    anchor: BG1 Z=384 f32 G=1 compiles at block_b=8 (model 5.6 MB) and fails
+    at 16 (11.1 MB) — consistent with the half-limit budget."""
+    z_pad = -(-code.z // 128) * 128
+    n_edges = sum(s >= 0 for row in code.base for s in row)
+    d = max(sum(s >= 0 for s in row) for row in code.base)
+    c2v_item = 2 if c2v_bf16 else 4
+    per_col = (n_edges + 1) * c2v_item + 2 * code.n_var_blocks * 4
+    per_col += 3 * max(0, group - 1) * d * 4  # grouped-snapshot transients
+    for block_b in (32, 16, 8):
+        if per_col * block_b * z_pad <= _PALLAS_VMEM_BUDGET:
+            return block_b
+    return None
+
+
+def _stream_supported(code: QCLdpcCode, group: int = 1) -> bool:
+    return _stream_layout(code, group=group) is not None
 
 
 # Compile-budget bound for the STATIC-UNROLL formulations (both the XLA tier's
@@ -433,6 +453,30 @@ def _pallas_vmem_bytes(code: QCLdpcCode) -> int:
     return _pallas_live_rows(code) * 8 * (-(-code.z // 128) * 128) * 4
 
 
+def default_layered_group(code: QCLdpcCode) -> int:
+    """Measured-rule layered_group for the VMEM-resident layered tiers
+    (round-5 verdict item 8: pick G per code, don't pin a global constant).
+
+    Sublane-z codes (small/medium Z, 128-lane batch tiles) keep G=1: the
+    serial layered walk already sustains ~2x there (ARCHITECTURE.md). Lane-z
+    codes run narrow batch tiles where the serial row chain starves the VPU;
+    the v5e sweep measured, vs flooding at matched quality:
+      BG2 Z=208 (z_pad 256): G=1 1.76x, G=4 2.8x, G=8 3.0x  -> wide z: G=8
+      BG1 Z=52  (z_pad 128): G=1 1.5x,  G=2 2.4x, G=4 2.25x -> one-reg z: G=2
+    The streamed tier (over the unroll budget) uses the same rule; its G>1
+    grouping shipped in round 5 and the bench records the chosen G per row."""
+    lay = _pallas_layout(code)
+    if lay is not None and lay[0] == 0:
+        return 1
+    z_pad = -(-code.z // 128) * 128
+    g = 8 if z_pad >= 256 else 2
+    if _edge_z(code) > _UNROLL_EDGE_Z_BUDGET:
+        # streamed tier: the group's snapshot transients must also fit VMEM
+        while g > 1 and not _stream_supported(code, g):
+            g //= 2
+    return g
+
+
 @functools.lru_cache(maxsize=64)
 def build_decoder(
     code: QCLdpcCode,
@@ -441,6 +485,7 @@ def build_decoder(
     kernels: str = "xla",
     schedule: str = "flooding",
     layered_group: int = 1,
+    stream_c2v_dtype: Optional[str] = None,
 ):
     """Build the jitted flooding normalized-min-sum decoder for `code`
     (lru-cached: repeated builds — e.g. one per serving.process call — reuse
@@ -480,9 +525,16 @@ def build_decoder(
     fori_loop over scalar-prefetched SMEM wiring tables, quasi-cyclic shifts
     applied with `pltpu.roll`'s dynamic shift — while the full c2v live set
     stays VMEM-resident across all sweeps like the unrolled Pallas tier
-    (kernels.py _ldpc_stream_kernel). Layered schedule only (the natural
-    schedule for a streamed row walk, and ~2x convergence per sweep);
-    requires the lane-z live set to fit the VMEM budget (_pallas_layout).
+    (kernels.py _ldpc_stream_kernel). ANY lifting size is eligible (round 5:
+    Z pads to whole 128-lane registers in-kernel; the true-Z rotation is two
+    padded rotations + a lane select — the former z%128 gate left BG1
+    Z∈{192..352} on the 3 Mb/s gather tier). Layered schedule only (the
+    natural schedule for a streamed row walk, and ~2x convergence per
+    sweep); honors `layered_group` (grouped snapshot updates, mirrored by
+    decode_reference) and `stream_c2v_dtype="bfloat16"` (half-size message
+    scratch; min-sum is scale-invariant, L stays f32 and consistent with the
+    rounded stored messages). Requires the lane-z live set to fit the VMEM
+    budget (_stream_layout).
 
     kernels="auto" picks: for codes over the unroll compile budget
     (edge*z > 60k), the streamed tier when it fits VMEM on an accelerator and
@@ -498,12 +550,14 @@ def build_decoder(
             # _UNROLL_EDGE_Z_BUDGET): layered -> the streamed VMEM tier
             # (O(degree) program size); flooding -> the O(1)-program gather tier
             if schedule == "layered":
-                if not _stream_supported(code) or jax.default_backend() == "cpu":
+                if (
+                    not _stream_supported(code, layered_group)
+                    or jax.default_backend() == "cpu"
+                ):
                     raise ValueError(
                         "schedule='layered' needs the streamed pallas tier "
                         f"(edge*z={_edge_z(code)} over the unroll budget), which "
-                        "requires an accelerator, z % 128 == 0 and a lane-z "
-                        "VMEM fit"
+                        "requires an accelerator and a lane-z VMEM fit"
                     )
                 kernels = "pallas_stream"
             else:
@@ -514,11 +568,11 @@ def build_decoder(
     if kernels == "pallas_stream":
         if schedule != "layered":
             raise ValueError("kernels='pallas_stream' implements the layered schedule only")
-        if not _stream_supported(code):
+        if not _stream_supported(code, layered_group):
             raise ValueError(
-                "streamed pallas tier needs z % 128 == 0 (dynamic lane rotation) "
-                f"and a lane-z VMEM fit: z={code.z}, live set "
-                f"~{_pallas_vmem_bytes(code)/2**20:.1f} MB"
+                "streamed pallas tier needs a lane-z VMEM fit (live messages "
+                f"+ group transients): z={code.z}, layered_group={layered_group}, "
+                f"live set ~{_pallas_vmem_bytes(code)/2**20:.1f} MB"
             )
     elif schedule == "layered" and kernels != "pallas":
         # the row-serial schedule lives only in the VMEM-resident kernels (the
@@ -529,10 +583,10 @@ def build_decoder(
                 raise ValueError("schedule='layered' needs a pallas tier; code too large")
             kernels = "pallas"
         else:
-            if not _stream_supported(code):
+            if not _stream_supported(code, layered_group):
                 raise ValueError(
                     "schedule='layered' on a code over the unroll budget needs "
-                    "the streamed tier (z % 128 == 0 + lane-z VMEM fit)"
+                    "the streamed tier (lane-z VMEM fit incl. group transients)"
                 )
             kernels = "pallas_stream"
     elif kernels == "pallas" and not _pallas_vmem_fits(code):
@@ -638,15 +692,19 @@ def build_decoder(
         if kernels == "pallas_stream":
             from .pallas import kernels as pk
 
-            # batch tile 8 is the measured VMEM maximum at BG1 Z=384 (the c2v
-            # scratch doubles with the tile; block_b=16 fails the Mosaic
-            # compile, block_b=8 runs at 262 Mb/s)
-            block_b = 8
+            # batch tile from the live-set model (_stream_layout): at BG1
+            # Z=384 f32 that is 8 — the measured VMEM maximum (block_b=16
+            # fails the Mosaic compile, 8 runs at 262 Mb/s); bf16 c2v halves
+            # the message set (stream_c2v_dtype="bfloat16")
+            block_b = _stream_layout(
+                code, c2v_bf16=(stream_c2v_dtype == "bfloat16"), group=layered_group
+            )
             pad = (-b) % block_b
             chp = jnp.pad(ch, ((0, 0), (0, 0), (0, pad))) if pad else ch
             posterior = pk.ldpc_stream_posterior(
                 chp, plan.slot_var, plan.slot_shift, plan.slot_valid,
                 len(edges), z, n_iters, norm, block_b=block_b,
+                group=layered_group, c2v_dtype=stream_c2v_dtype,
             )
             posterior = posterior[..., :b] if pad else posterior
         elif kernels == "pallas":

@@ -364,6 +364,14 @@ def fused_fill_rotate_serve(
 # single digits — not n_re/2)
 FRONT_BLOCK_B = 16
 
+# Per-program working-set budget for `fused_front` (half the ~16 MB scoped-VMEM
+# limit, same margin rule as the LDPC layout model). `fused_front` halves its
+# batch block until `front_vmem_bytes` fits this budget, and the eligibility
+# gate (models/estimator._front_pallas_ok) tests the SAME budget at the
+# smallest block the kernel can shrink to — one constant, no predicate/kernel
+# desync (ADVICE r04: the gate used to model block_b=4 while the kernel ran 16).
+FRONT_VMEM_BUDGET = 8 * 1024 * 1024
+
 
 def _front_kernel(
     rx_ref,      # (block_b, 2, n_cdm, n_dsym, n_re)
@@ -605,7 +613,7 @@ def _front_kernel(
 
 def front_vmem_bytes(
     n_re: int, n_pils: int, half_cp_len: int, k_ta: int, n_cdm: int, nL: int,
-    n_dsym: int, block_b: int = 4, itemsize: int = 4,
+    n_dsym: int, block_b: int = FRONT_BLOCK_B, itemsize: int = 4,
 ) -> int:
     """Rough per-program working set of `fused_front` (constants + streamed
     blocks + the dominant intermediates; Mosaic's actual stack allocation runs
@@ -660,6 +668,13 @@ def fused_front(
     half_cp = mats["ta_c"].shape[1] // 2
     assert half_cp == half_cp_len
     while B % block_b:
+        block_b //= 2
+    # shrink for VMEM too, against the same budget the eligibility gate tests
+    # (ADVICE r04: gate modeled block 4 while the kernel ran 16 — a wide
+    # geometry could pass the gate yet blow the Mosaic compile at runtime)
+    while block_b > 1 and front_vmem_bytes(
+        n_re, n_pils, half_cp_len, k_ta, n_cdm, nL, n_dsym, block_b=block_b
+    ) > FRONT_VMEM_BUDGET:
         block_b //= 2
     n_blocks = B // block_b
     dt = rx_ri.dtype
@@ -974,18 +989,20 @@ def _ldpc_kernel(
 
 
 def _ldpc_stream_kernel(
-    tbl_ref,  # SMEM int32 (5, mb*d): [var_j | shift_plus | shift_minus | edge_id | valid]
-    ch_ref,   # (1, nb, block_b, z) channel LLR tile (lane-z layout)
-    out_ref,  # (1, nb, block_b, z) posterior — doubles as the live L workspace
-    c2v_ref,  # VMEM scratch (n_edges + 1, block_b, z); row n_edges = dummy for pads
+    tbl_ref,  # SMEM int32 (5, mb_pad*d): [var_j | shift_plus | shift_minus | edge_id | valid]
+    ch_ref,   # (1, nb, block_b, z_pad) channel LLR tile (lane-z layout)
+    out_ref,  # (1, nb, block_b, z_pad) posterior — doubles as the live L workspace
+    c2v_ref,  # VMEM scratch (n_edges + 1, block_b, z_pad); row n_edges = dummy for pads
     *,
-    mb: int,
+    mb_pad: int,
     nb: int,
     d: int,
     z: int,
+    z_pad: int,
     n_iters: int,
     norm: float,
     block_b: int,
+    group: int,
 ):
     """Row-STREAMED layered min-sum: program size O(d), not O(edges).
 
@@ -999,61 +1016,104 @@ def _ldpc_stream_kernel(
     across all sweeps (the HBM-traffic property that makes the unrolled
     Pallas tier 3.7-7.7x over XLA on small codes).
 
-    Schedule is row-layered (posterior updates after every check row): the
-    natural schedule for a streamed walk, and ~2x convergence per sweep.
-    Mirrors ops/ldpc.decode_reference(schedule="layered") exactly: same row
-    order, same two-min/first-min tie semantics, same update association.
+    Lifting sizes that are NOT a whole number of 128-lane registers run on a
+    z_pad = ceil(z/128)*128 lane axis (this Mosaic's dynamic lane rotation
+    compiles only at whole-register lengths — the round-4 z%128 gate left
+    most large NR Z values on the 3 Mb/s gather tier). `_roll_mod_z` builds
+    the TRUE cyclic rotation over z from two padded-axis rotations + a lane
+    select; pad lanes carry garbage that never contaminates a valid lane
+    (every valid output lane reads only valid input lanes — proof in the
+    helper), and the wrapper slices the posterior back to z.
+
+    Schedule is row-layered with optional GROUPS of `group` rows (the
+    lane-z ILP remedy — see _ldpc_kernel's sweep_layered): all rows in a
+    group compute their min-sum updates from one posterior snapshot, then
+    apply together. Mirrors ops/ldpc.decode_reference(schedule="layered",
+    layered_group=group) exactly: same row order, same two-min/first-min tie
+    semantics, same update association. The c2v scratch may be bfloat16
+    (min-sum is scale-invariant; the live set halves, enabling a 2x batch
+    tile) — L stays f32 and stays exactly consistent with the ROUNDED stored
+    messages (delta uses the round-tripped value).
     NR rows never contain two edges to one variable block, so the
     read-modify-write of L per slot has no intra-row aliasing hazard."""
     dt = ch_ref.dtype
+    cdt = c2v_ref.dtype
     big = jnp.asarray(_LDPC_BIG, dt)
     out_ref[...] = ch_ref[...]
-    c2v_ref[...] = jnp.zeros(c2v_ref.shape, dt)
+    c2v_ref[...] = jnp.zeros(c2v_ref.shape, cdt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_b, z_pad), 1)
 
-    def row_body(i, _):
-        # pass 1: per-slot v2c, two-min fold with first-min index
-        v2c = []
-        c2v_old = []
-        valid_f = []
-        m1 = jnp.full((block_b, z), big, dt)
-        m2 = jnp.full((block_b, z), big, dt)
-        i1 = jnp.zeros((block_b, z), jnp.int32)
-        par = jnp.zeros((block_b, z), jnp.bool_)
-        for t in range(d):
-            j = tbl_ref[0, i * d + t]
-            s_m = tbl_ref[2, i * d + t]
-            e = tbl_ref[3, i * d + t]
-            vld = tbl_ref[4, i * d + t]
-            vf = (vld > 0).astype(dt)
-            L_j = out_ref[0, j]
-            cv = c2v_ref[e]
-            v = pltpu.roll(L_j, s_m, 1) - cv  # roll by (z - s) == roll by -s
-            v2c.append(v)
-            c2v_old.append(cv)
-            valid_f.append(vf)
-            mag = jnp.where(vld > 0, jnp.abs(v), big)
-            neg = (v < 0) & (vld > 0)
-            less = mag < m1
-            m2 = jnp.where(less, m1, jnp.minimum(m2, mag))
-            i1 = jnp.where(less, t, i1)
-            m1 = jnp.where(less, mag, m1)
-            par = par ^ neg
-        # pass 2: extrinsic update, write c2v, fold the delta back into L
-        for t in range(d):
-            j = tbl_ref[0, i * d + t]
-            s_p = tbl_ref[1, i * d + t]
-            e = tbl_ref[3, i * d + t]
-            ext_mag = jnp.where(i1 == t, m2, m1)
-            neg_ext = par ^ (v2c[t] < 0)
-            sgn = 1.0 - 2.0 * neg_ext.astype(dt)
-            upd = norm * sgn * ext_mag
-            c2v_ref[e] = upd
-            delta = valid_f[t] * (upd - c2v_old[t])
-            out_ref[0, j] = out_ref[0, j] + pltpu.roll(delta, s_p, 1)
+    def roll_mod_z(x, t):
+        """y[i] = x[(i - t) mod z] on lanes [0, z), t traced in [0, z).
+        Exact on the valid region: for i in [t, z) the plain rotation reads
+        x[i - t] (valid); for i in [0, t) the z-offset rotation reads
+        x[i - t + z] (in [z - t, z), valid). Pad output lanes are garbage."""
+        if z == z_pad:
+            return pltpu.roll(x, t, 1)
+        a = pltpu.roll(x, t, 1)
+        b = pltpu.roll(x, t + (z_pad - z), 1)
+        return jnp.where(lane < t, b, a)
+
+    def group_body(g, _):
+        # pass 1: all `group` rows' extrinsic updates from ONE L snapshot
+        upds = []      # per (gi, t): rounded stored message (cdt)
+        deltas = []    # per (gi, t): upd_roundtrip - c2v_old, masked (dt)
+        for gi in range(group):
+            i = g * group + gi
+            v2c = []
+            c2v_old = []
+            valid_f = []
+            m1 = jnp.full((block_b, z_pad), big, dt)
+            m2 = jnp.full((block_b, z_pad), big, dt)
+            i1 = jnp.zeros((block_b, z_pad), jnp.int32)
+            par = jnp.zeros((block_b, z_pad), jnp.bool_)
+            for t in range(d):
+                j = tbl_ref[0, i * d + t]
+                s_m = tbl_ref[2, i * d + t]
+                e = tbl_ref[3, i * d + t]
+                vld = tbl_ref[4, i * d + t]
+                vf = (vld > 0).astype(dt)
+                L_j = out_ref[0, j]
+                cv = c2v_ref[e].astype(dt)
+                v = roll_mod_z(L_j, s_m) - cv  # roll by (z - s) == roll by -s
+                v2c.append(v)
+                c2v_old.append(cv)
+                valid_f.append(vf)
+                mag = jnp.where(vld > 0, jnp.abs(v), big)
+                neg = (v < 0) & (vld > 0)
+                less = mag < m1
+                m2 = jnp.where(less, m1, jnp.minimum(m2, mag))
+                i1 = jnp.where(less, t, i1)
+                m1 = jnp.where(less, mag, m1)
+                par = par ^ neg
+            row_upd = []
+            row_delta = []
+            for t in range(d):
+                ext_mag = jnp.where(i1 == t, m2, m1)
+                neg_ext = par ^ (v2c[t] < 0)
+                sgn = 1.0 - 2.0 * neg_ext.astype(dt)
+                # invalid slots store 0, not norm*big: an all-pad row (group
+                # padding) would otherwise write ±7.5e29 (inf in bf16) to the
+                # dummy c2v row and poison later deltas with inf-inf = NaN
+                upd = (norm * sgn * ext_mag * valid_f[t]).astype(cdt)
+                row_upd.append(upd)
+                row_delta.append(valid_f[t] * (upd.astype(dt) - c2v_old[t]))
+            upds.append(row_upd)
+            deltas.append(row_delta)
+        # pass 2: apply the whole group's updates (snapshot semantics == the
+        # float64 mirror's layered_group association)
+        for gi in range(group):
+            i = g * group + gi
+            for t in range(d):
+                j = tbl_ref[0, i * d + t]
+                s_p = tbl_ref[1, i * d + t]
+                e = tbl_ref[3, i * d + t]
+                c2v_ref[e] = upds[gi][t]
+                out_ref[0, j] = out_ref[0, j] + roll_mod_z(deltas[gi][t], s_p)
         return 0
 
     def iter_body(_, carry):
-        return jax.lax.fori_loop(0, mb, row_body, carry, unroll=False)
+        return jax.lax.fori_loop(0, mb_pad // group, group_body, carry, unroll=False)
 
     jax.lax.fori_loop(0, n_iters, iter_body, 0, unroll=False)
 
@@ -1068,50 +1128,71 @@ def ldpc_stream_posterior(
     n_iters: int,
     norm: float,
     block_b: int = 8,
+    group: int = 1,
+    c2v_dtype=None,
 ) -> jnp.ndarray:
     """Streamed layered posterior (see _ldpc_stream_kernel). Same frame
-    contract as `ldpc_posterior`: B must be a multiple of block_b."""
+    contract as `ldpc_posterior`: B must be a multiple of block_b. Z is
+    padded to whole 128-lane registers internally (any lifting size works);
+    `group` rows update per posterior snapshot (layered_group semantics);
+    `c2v_dtype` (default: the LLR dtype) may be jnp.bfloat16 to halve the
+    VMEM-resident message set."""
     nb, zz, B = llr_vzb.shape
     mb, d = slot_var.shape
     assert zz == z and B % block_b == 0, (llr_vzb.shape, block_b)
+    group = max(1, min(int(group), mb))
+    mb_pad = -(-mb // group) * group
+    z_pad = -(-z // 128) * 128
     # slot -> packed edge id (row-major over valid slots); pads -> dummy row
-    eid = np.full((mb, d), n_edges, np.int32)
-    eid[slot_valid] = np.arange(n_edges, dtype=np.int32)
+    eid = np.full((mb_pad, d), n_edges, np.int32)
+    valid_p = np.zeros((mb_pad, d), bool)
+    valid_p[:mb] = slot_valid
+    eid[valid_p] = np.arange(n_edges, dtype=np.int32)
+    var_p = np.zeros((mb_pad, d), np.int32)
+    var_p[:mb] = np.asarray(slot_var, np.int32)
+    shift_p = np.zeros((mb_pad, d), np.int32)
+    shift_p[:mb] = np.asarray(slot_shift, np.int32) % z
     tbl = np.stack(
         [
-            np.asarray(slot_var, np.int32).reshape(-1),
-            np.asarray(slot_shift, np.int32).reshape(-1) % z,
-            (z - np.asarray(slot_shift, np.int32).reshape(-1)) % z,
+            var_p.reshape(-1),
+            shift_p.reshape(-1),
+            (z - shift_p.reshape(-1)) % z,
             eid.reshape(-1),
-            slot_valid.reshape(-1).astype(np.int32),
+            valid_p.reshape(-1).astype(np.int32),
         ]
     )
     n_tiles = B // block_b
-    # lane-z tiling: (nb, z, B) -> (n_tiles, nb, block_b, z)
+    # lane-z tiling: (nb, z, B) -> (n_tiles, nb, block_b, z) [-> pad lanes]
     tiled = jnp.transpose(llr_vzb.reshape(nb, z, n_tiles, block_b), (2, 0, 3, 1))
+    if z_pad != z:
+        tiled = jnp.pad(tiled, ((0, 0), (0, 0), (0, 0), (0, z_pad - z)))
+    cdt = llr_vzb.dtype if c2v_dtype is None else jnp.dtype(c2v_dtype)
     out = pl.pallas_call(
         functools.partial(
             _ldpc_stream_kernel,
-            mb=mb,
+            mb_pad=mb_pad,
             nb=nb,
             d=d,
             z=z,
+            z_pad=z_pad,
             n_iters=int(n_iters),
             norm=float(norm),
             block_b=block_b,
+            group=group,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, nb, block_b, z), lambda b, tbl: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nb, block_b, z_pad), lambda b, tbl: (b, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, nb, block_b, z), lambda b, tbl: (b, 0, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((n_edges + 1, block_b, z), llr_vzb.dtype)],
+            out_specs=pl.BlockSpec((1, nb, block_b, z_pad), lambda b, tbl: (b, 0, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((n_edges + 1, block_b, z_pad), cdt)],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, nb, block_b, z), llr_vzb.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, nb, block_b, z_pad), llr_vzb.dtype),
         interpret=_interpret(),
     )(jnp.asarray(tbl), tiled)
+    out = out[..., :z]
     return jnp.transpose(out, (1, 3, 0, 2)).reshape(nb, z, B)
 
 

@@ -416,16 +416,79 @@ def test_streamed_tier_huge_code_end_to_end():
 
 
 def test_streamed_tier_gates():
-    """z not a 128 multiple -> loud rejection (the dynamic lane rotation
-    constraint); layered+auto on a huge non-eligible code raises instead of
-    silently flooding."""
+    """Round 5 lifted the z%128 gate (in-kernel z padding): ANY NR lifting
+    size is streamable as long as the lane-z live set fits VMEM. Flooding on
+    the streamed tier still raises (it is a layered-walk kernel)."""
     from srsran_ce_tpu.ops import nr_ldpc
 
     code208 = nr_ldpc.nr_base_graph(2, 208)
-    with pytest.raises(ValueError, match="z % 128"):
-        ldpc.build_decoder(code208, n_iters=4, kernels="pallas_stream", schedule="layered")
+    assert ldpc._stream_supported(code208)  # padded to 256 lanes
+    assert ldpc._stream_supported(nr_ldpc.nr_base_graph(1, 240))  # the dead zone
     with pytest.raises(ValueError, match="layered"):
         ldpc.build_decoder(code208, n_iters=4, kernels="pallas_stream", schedule="flooding")
+    # a code whose live set cannot fit even the 8-row tile is still rejected
+    big = ldpc.QCLdpcCode(
+        base=tuple(tuple((i * j) % 1013 for j in range(24)) for i in range(12)),
+        z=1013,
+    )
+    assert not ldpc._stream_supported(big)
+    with pytest.raises(ValueError, match="VMEM"):
+        ldpc.build_decoder(big, n_iters=4, kernels="pallas_stream", schedule="layered")
+
+
+@pytest.mark.parametrize("group,c2v", [(1, None), (3, None), (1, "bfloat16")])
+def test_streamed_tier_padded_z(group, c2v):
+    """The in-kernel z padding (z=144 -> 256 lanes): the two-rotation +
+    lane-select true-Z roll must reproduce decode_reference(layered) exactly
+    in hard decisions for any group, including a group that does not divide
+    mb (row padding). bf16 c2v storage must still decode the payload (the
+    posterior is quantized, so only hard-decision/payload equality is
+    asserted for it)."""
+    from srsran_ce_tpu.ops import nr_ldpc
+
+    code = nr_ldpc.nr_base_graph(2, 144)
+    assert code.z % 128 != 0
+    plan = ldpc.make_ldpc_plan(code)
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 2, (8, plan.k), dtype=np.uint8)
+    cw = ldpc.encode(code, u)
+    snr = 10.0**0.35
+    llr = (
+        4 * snr * ((1 - 2.0 * cw) + rng.normal(0, np.sqrt(0.5 / snr), cw.shape))
+    ).astype(np.float32)
+    dec = ldpc.build_decoder(
+        code, n_iters=6, kernels="pallas_stream", schedule="layered",
+        layered_group=group, stream_c2v_dtype=c2v,
+    )
+    res = dec(llr)
+    assert bool(np.asarray(res.ok).all())
+    assert np.array_equal(np.asarray(res.info), u)
+    if c2v is None:
+        bits_ref, ok_ref, post_ref = ldpc.decode_reference(
+            code, llr, n_iters=6, schedule="layered", layered_group=group
+        )
+        assert np.array_equal(np.asarray(res.bits), bits_ref)
+        assert np.array_equal(np.asarray(res.ok), ok_ref)
+        scale = np.abs(post_ref).max()
+        assert (
+            np.abs(np.asarray(res.posterior, np.float64) - post_ref).max() / scale
+            < 1e-4
+        )
+
+
+def test_default_layered_group_rule():
+    """Task-8 rule: sublane-z codes keep G=1 (serial layered already ~2x);
+    lane-z codes pick G from the measured table (wide z_pad -> 8, one
+    register -> 2)."""
+    from srsran_ce_tpu.ops import nr_ldpc
+
+    assert ldpc.default_layered_group(ldpc.array_code(6, 16, 61)) == 1  # sublane-z
+    assert ldpc.default_layered_group(nr_ldpc.nr_base_graph(1, 52)) == 2
+    assert ldpc.default_layered_group(nr_ldpc.nr_base_graph(2, 208)) == 8
+    # streamed-tier codes cap G at the largest group whose snapshot
+    # transients still fit the lane-z VMEM budget
+    g384 = ldpc.default_layered_group(nr_ldpc.nr_base_graph(1, 384))
+    assert g384 >= 1 and ldpc._stream_supported(nr_ldpc.nr_base_graph(1, 384), g384)
 
 
 @pytest.mark.parametrize("group", [2, 4])
