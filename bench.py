@@ -81,6 +81,37 @@ TRIALS = 3
 K_SLOPES = 3
 SPREAD_WARN = 0.10
 
+# v5e per-chip peaks for the per-row bound attribution (task: name the binding
+# resource). HBM ~819 GB/s; MXU bf16 ~1.97e14 FLOP/s (the fastest unit -> a
+# guaranteed-valid compute FLOOR for any flop mix); VPU f32 ~1.92e12 FLOP/s
+# (the rate the round-3 receiver argument used for the all-VPU pessimistic
+# bound — elementwise work cannot beat it).
+HBM_BW = 819e9
+MXU_FLOPS = 1.97e14
+VPU_FLOPS = 1.92e12
+
+
+def robust_slope_stats(slopes):
+    """Shared min-of-K aggregation policy (round-5 hardening, VERDICT r04
+    item 1). A clamped/negative fit (<=10 ns) is always discarded. An
+    estimate below 0.7x the median survives ONLY if corroborated by a second
+    independent estimate within 10% — r04's c0 row published 44.7e9 REs/s
+    from a min-of-4 fit (0.025 ms) 40% below ALL THREE of its siblings
+    (0.040/0.040/0.043); the old 0.3x-median discard passed it. Pollution
+    only ever ADDS time, so an uncorroborated too-fast fit is a broken fit,
+    not a fast device. Returns (s_min, spread, n_discarded, good)."""
+    sl = [s for s in slopes if s > 1e-8]
+    med = float(np.median(sl)) if sl else 1e-9
+    good = [
+        s
+        for i, s in enumerate(sl)
+        if s >= 0.7 * med
+        or any(j != i and abs(o - s) <= 0.10 * s for j, o in enumerate(sl))
+    ] or sl or [1e-9]
+    s_min = min(good)
+    spread = (max(good) - s_min) / max(s_min, 1e-12)
+    return s_min, spread, len(slopes) - len(good), good
+
 
 class SlopeRow:
     """One bench row: pre-compiled chained-scan executables at several rep
@@ -94,6 +125,8 @@ class SlopeRow:
         self.fns = {}
         self.rep_points = REPS
         self.slopes = []
+        self.archived_slopes = []  # pre-escalation estimates (audit trail)
+        self.escalations = 0
         self.setup_s = 0.0
         self.last_times = {}
 
@@ -141,20 +174,30 @@ class SlopeRow:
         self.setup_s = time.time() - t0
         return s
 
+    def escalate(self) -> bool:
+        """Post-hoc chain-length escalation (VERDICT r05 item 1): move to the
+        next longer REPS tier so the slope dominates the fit; the caller takes
+        K fresh estimates after. The noisy short-chain pool is archived (kept
+        in BENCH_DETAILS for audit) and no longer votes. False = exhausted."""
+        for tier in REPS_LONGER:
+            if tier[-1] > self.rep_points[-1]:
+                self.rep_points = tier
+                self.archived_slopes += self.slopes
+                self.slopes = []
+                self.escalations += 1
+                return True
+        return False
+
     def stats(self) -> dict:
-        # Robust aggregation: a clamped/negative fit (<=10 ns) or an estimate
-        # implausibly far BELOW the median (pollution only ever ADDS time, so
-        # "too fast" means a broken fit, not a fast device) is discarded
-        # before taking the min. Everything is recorded for the audit trail.
-        sl = [s for s in self.slopes if s > 1e-8]
-        med = float(np.median(sl)) if sl else 1e-9
-        good = [s for s in sl if s >= 0.3 * med] or sl or [1e-9]
-        s_min = min(good)
-        spread = (max(good) - s_min) / max(s_min, 1e-12)
+        # shared policy: see robust_slope_stats (corroborated-min discard)
+        s_min, spread, n_disc, _ = robust_slope_stats(self.slopes)
         return {
             "s_per_batch": s_min,
             "slope_estimates_ms": [s * 1e3 for s in self.slopes],
-            "n_slopes_discarded": len(self.slopes) - len(good),
+            "archived_slope_estimates_ms": [s * 1e3 for s in self.archived_slopes],
+            "escalations": self.escalations,
+            "rep_points": list(self.rep_points),
+            "n_slopes_discarded": n_disc,
             "slope_spread": spread,
             "spread_warn": spread > SPREAD_WARN,
         }
@@ -163,16 +206,18 @@ class SlopeRow:
 def _chained_runner(case, config, n_layers, reps, out_layout="serve", kernels="xla"):
     """jitted fn running `reps` strictly-serial estimator batches through the
     PUBLIC batched builder (the exact serving executable, incl. the deferred
-    batched-Pallas serve tier when kernels="pallas"); returns a scalar."""
+    batched-Pallas serve tier when kernels="pallas"); returns a scalar. A
+    learned-smoothing config's denoiser pytree rides as a trailing *params
+    argument."""
     fn = _est.build_ri(
         case.hop1, case.hop2, config, n_layers,
         batched=True, kernels=kernels, out_layout=out_layout,
     )
 
     @jax.jit
-    def many(rg_ri, pil_ri, beta):
+    def many(rg_ri, pil_ri, beta, *params):
         def body(rg_c, _):
-            res = fn(rg_c, pil_ri, beta)
+            res = fn(rg_c, pil_ri, beta, *params)
             if out_layout == "factored":
                 outs = (res.profiles, res.sym_rot)
             else:
@@ -187,6 +232,32 @@ def _chained_runner(case, config, n_layers, reps, out_layout="serve", kernels="x
             return rg_c + 1e-12 * s, res.noise_est.sum()
 
         rg_f, nzs = jax.lax.scan(body, rg_ri, None, length=reps)
+        return rg_f.sum() + nzs.sum()
+
+    return many
+
+
+def _chained_tracked_runner(case, config, n_layers, reps):
+    """Chained runner for the TRACKED serving estimator (models/tracking): the
+    per-slot state (pilot-lattice profile + gain weight) threads through the
+    scan carry — successive iterations ARE successive soundings, so the
+    measured slope is the real steady-state tracked-serving cost."""
+    from srsran_ce_tpu.models import tracking
+
+    fn = tracking.build_tracked_ri(
+        case.hop1, case.hop2, config, n_layers, batched=True, out_layout="serve"
+    )
+
+    @jax.jit
+    def many(rg_ri, pil_ri, beta, h0, w0):
+        def body(carry, _):
+            rg_c, h, w = carry
+            res, h_new, w_new = fn(rg_c, pil_ri, beta, h, w)
+            outs = jax.lax.optimization_barrier((res.channel_est_rg,) + tuple(h_new))
+            s = outs[0][:, :, 0, 0, ::127].sum()
+            return (rg_c + 1e-12 * s, outs[1:], w_new), res.noise_est.sum()
+
+        (rg_f, _, _), nzs = jax.lax.scan(body, (rg_ri, tuple(h0), w0), None, length=reps)
         return rg_f.sum() + nzs.sum()
 
     return many
@@ -243,18 +314,21 @@ def _nmse_vs_oracle(case, nL) -> float:
     )
 
 
-def _nmse_vs_oracle_serve(case, nL) -> float:
+def _nmse_vs_oracle_serve(case, nL, kernels="xla") -> float:
     """Same check through the SERVE-layout executable actually being timed.
     Serving keeps the fill matmul at "high" (3-pass bf16 on multi-layer
     geometries -> ~2e-11 NMSE, a measured +15%-latency trade the conformance
-    path does not make — see ARCHITECTURE.md)."""
+    path does not make — see ARCHITECTURE.md). kernels="pallas_front" gates
+    the fused-front tier on-device (ADVICE r04: the CPU parity tests never
+    exercise its 3-pass-bf16 device precision path)."""
     import jax.numpy as jnp
 
     from srsran_ce_tpu.models import estimator
     from srsran_ce_tpu.utils import oracle
 
     fn = estimator.build_ri(
-        case.hop1, case.hop2, _serving_config(case.config), nL, out_layout="serve"
+        case.hop1, case.hop2, _serving_config(case.config), nL, out_layout="serve",
+        kernels=kernels,
     )
     rg = estimator.split_ri(case.received_rg.astype(np.complex64))
     pil = estimator.split_ri(case.pilots.astype(np.complex64))
@@ -274,6 +348,96 @@ def _serving_config(config):
     return dataclasses.replace(config, matmul_precision="high")
 
 
+def _load_params2d():
+    """Shipped 2-D denoiser checkpoint (artifacts/denoiser2d_ckpt) for the
+    learned2d cost row; None (row skipped) if absent/unloadable."""
+    try:
+        from srsran_ce_tpu.models import training
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "srsran_ce_tpu", "artifacts", "denoiser2d_ckpt",
+        )
+        if not os.path.isdir(path):
+            return None
+        return training.load_checkpoint_2d(path).params
+    except Exception as e:
+        log(f"learned2d checkpoint unavailable ({type(e).__name__}: {e}); row skipped")
+        return None
+
+
+def _gate_oracle_both(case, nL, params=None):
+    """NMSE gates for modes the float64 oracle covers (wiener, time_interp):
+    both the conformance layout and the serve executable being timed."""
+    r = {"nmse_vs_oracle": _nmse_vs_oracle(case, nL)}
+    assert r["nmse_vs_oracle"] < 1e-6, f"quality-row conformance gate: {r}"
+    r["nmse_vs_oracle_serve"] = _nmse_vs_oracle_serve(case, nL)
+    assert r["nmse_vs_oracle_serve"] < 1e-6, f"quality-row serve gate: {r}"
+    return r
+
+
+def _gate_learned2d(case, nL, params):
+    """learned2d has no oracle mirror (trainable weights): gate the timed
+    "high"-precision batched executable against the HIGHEST-precision
+    unbatched serve executable with the same params (catches precision/layout
+    regressions in the quality path); quality-vs-truth lives in
+    QUALITY_REPORT."""
+    from srsran_ce_tpu.models import estimator
+
+    rg = estimator.split_ri(case.received_rg.astype(np.complex64))
+    pil = estimator.split_ri(case.pilots.astype(np.complex64))
+    beta = jnp.asarray(np.float32(case.beta))
+    a = np.asarray(
+        estimator.build_ri(
+            case.hop1, case.hop2, case.config, nL, out_layout="serve"
+        )(rg, pil, beta, params).channel_est_rg,
+        np.float64,
+    )
+    b = np.asarray(
+        estimator.build_ri(
+            case.hop1, case.hop2, _serving_config(case.config), nL, out_layout="serve"
+        )(rg, pil, beta, params).channel_est_rg,
+        np.float64,
+    )
+    nmse = float(np.sum((a - b) ** 2) / (np.sum(a**2) + 1e-30))
+    assert np.isfinite(b).all() and nmse < 1e-6, f"learned2d precision gate: {nmse}"
+    return {"nmse_high_vs_highest": nmse}
+
+
+def _gate_tracked(case, nL, params=None):
+    """Slot-0 tracked output must equal the plain serve estimate exactly in
+    principle (w=0 -> gain 1; the tracker passes the first observation
+    through) — gate at a tight float tolerance."""
+    from srsran_ce_tpu.models import estimator, tracking
+
+    cfg = _serving_config(case.config)
+    rg = estimator.split_ri(case.received_rg.astype(np.complex64))
+    pil = estimator.split_ri(case.pilots.astype(np.complex64))
+    beta = jnp.asarray(np.float32(case.beta))
+    fn_t = tracking.build_tracked_ri(
+        case.hop1, case.hop2, cfg, nL, batched=False, out_layout="serve"
+    )
+    h0, w0 = tracking.init_state(case.hop1, case.hop2, cfg, nL)
+    res_t, _, _ = fn_t(rg, pil, beta, jax.device_put(h0), jax.device_put(w0))
+    res_p = estimator.build_ri(
+        case.hop1, case.hop2, cfg, nL, out_layout="serve"
+    )(rg, pil, beta)
+    a = np.asarray(res_p.channel_est_rg, np.float64)
+    b = np.asarray(res_t.channel_est_rg, np.float64)
+    nmse = float(np.sum((a - b) ** 2) / (np.sum(a**2) + 1e-30))
+    assert nmse < 1e-9, f"tracked slot-0 gate (gain-1 passthrough): {nmse}"
+    return {"nmse_slot0_vs_plain": nmse}
+
+
+QUALITY_GATES = {
+    "q_base_52prb_2l": _gate_oracle_both,
+    "q_wiener_52prb_2l": _gate_oracle_both,
+    "q_time_interp_52prb_2l": _gate_oracle_both,
+    "q_tracked_52prb_2l": _gate_tracked,
+    "q_learned2d_52prb": _gate_learned2d,
+}
+
+
 def _row_inputs(case, batch, n_rx=None):
     rg = _est.split_ri(case.received_rg.astype(np.complex64))
     if n_rx is not None:
@@ -286,15 +450,29 @@ def _row_inputs(case, batch, n_rx=None):
     return (rg_b, pil_b, beta), rg, pil
 
 
-def make_row(name, kwargs, batch, out_layout="serve", n_rx=None, modulation=None, kernels="xla"):
+def make_row(name, kwargs, batch, out_layout="serve", n_rx=None, modulation=None,
+             kernels="xla", params=None, tracked=False):
     """Build one SlopeRow plus its static metadata (grid REs, HBM floor)."""
     case = synthetic.make_case(seed=1234, snr_db=30.0, **kwargs)
     nL = case.pilots.shape[2]
     plan = make_plan(case.hop1, case.hop2, _serving_config(case.config), nL)
     _est.prefetch_plan_constants(plan)
     args, rg, pil = _row_inputs(case, batch, n_rx)
+    if params is not None:
+        args = args + (jax.device_put(params),)
+    if tracked:
+        from srsran_ce_tpu.models import tracking
 
-    if n_rx is not None:
+        h0, w0 = tracking.init_state(
+            case.hop1, case.hop2, _serving_config(case.config), nL, batch=batch
+        )
+        args = args + (jax.device_put(h0), jax.device_put(w0))
+
+    if tracked:
+        make_fn = lambda reps: _chained_tracked_runner(
+            case, _serving_config(case.config), nL, reps
+        )
+    elif n_rx is not None:
         make_fn = lambda reps: _chained_receiver_runner(plan, reps, modulation)
     else:
         make_fn = lambda reps: _chained_runner(
@@ -308,7 +486,7 @@ def make_row(name, kwargs, batch, out_layout="serve", n_rx=None, modulation=None
     # carried grid + pilots, write the serve-layout channel grid (f32 ri pairs).
     # v5e HBM bandwidth ~819 GB/s. The front's intermediates add real traffic on
     # top; x_over_hbm_floor ~= how far the pipeline sits from speed-of-light.
-    hbm_bw = 819e9
+    hbm_bw = HBM_BW
     in_bytes = rg.size * 4 + pil.size * 4
     if n_rx is not None and modulation is not None:
         # int8 LLR grid (nbits, nL, n_sym, n_sc) + per-sc SINR
@@ -324,9 +502,53 @@ def make_row(name, kwargs, batch, out_layout="serve", n_rx=None, modulation=None
         out_bytes = 2 * (n_hops * nL * case.received_rg.shape[0] + 14) * 4
     else:
         out_bytes = 2 * nL * case.received_rg.size * 4
+        if tracked:  # the barrier also materializes the per-hop tracked state
+            n_hops = 2 if case.hop2 is not None else 1
+            out_bytes += 2 * n_hops * nL * pil.shape[1] * 4
     floor_s = batch * (in_bytes + out_bytes) / hbm_bw
-    meta = {"batch": batch, "grid_res": grid_res, "floor_s": floor_s, "case": case, "nL": nL}
+    meta = {
+        "batch": batch, "grid_res": grid_res, "floor_s": floor_s, "case": case,
+        "nL": nL, "params": params,
+    }
     return row, meta
+
+
+def row_bounds(row: SlopeRow, meta, per_batch: float) -> dict:
+    """Name the binding resource (VERDICT r05 item 7): alongside the
+    in/out-traffic HBM floor, derive a compute floor from the compiled
+    chain's XLA cost_analysis (flops at the shortest rep point / reps —
+    the chain body is identical per rep, so the intercept is one final sum).
+    compute floor = flops / MXU peak (the fastest unit -> a valid floor for
+    any flop mix); the all-VPU time (the round-3 receiver-argument rate) is
+    reported as context. bound = the larger (binding) floor;
+    x_over_bound = measured / binding floor (1.0 = speed of light)."""
+    out = {"hbm_floor_ms": meta["floor_s"] * 1e3}
+    flops = bytes_xla = None
+    try:
+        reps = row.rep_points[0]
+        fn = row.fns.get(reps)
+        if fn is not None:
+            ca = fn.lower(*row.args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) / reps
+            bytes_xla = float(ca.get("bytes accessed", 0.0)) / reps
+    except Exception as e:  # cost_analysis is best-effort on this backend
+        out["cost_analysis_error"] = f"{type(e).__name__}: {e}"
+    if flops:
+        out["flops_per_batch"] = flops
+        out["compute_floor_ms"] = flops / MXU_FLOPS * 1e3
+        out["all_vpu_ms"] = flops / VPU_FLOPS * 1e3
+        if bytes_xla:
+            out["xla_bytes_per_batch"] = bytes_xla
+            out["xla_bytes_ms"] = bytes_xla / HBM_BW * 1e3
+    binding = max(
+        [(out["hbm_floor_ms"], "hbm")]
+        + ([(out["compute_floor_ms"], "compute")] if flops else [])
+    )
+    out["bound"] = binding[1]
+    out["x_over_bound"] = per_batch * 1e3 / max(binding[0], 1e-12)
+    return out
 
 
 def row_details(row: SlopeRow, meta) -> dict:
@@ -340,12 +562,16 @@ def row_details(row: SlopeRow, meta) -> dict:
         "res_per_s": batch * grid_res / per_batch,
         "grid_res_per_problem": grid_res,
         "slope_estimates_ms": st["slope_estimates_ms"],
+        "archived_slope_estimates_ms": st["archived_slope_estimates_ms"],
+        "escalations": st["escalations"],
+        "rep_points": st["rep_points"],
+        "n_slopes_discarded": st["n_slopes_discarded"],
         "slope_spread": st["slope_spread"],
         "spread_warn": st["spread_warn"],
         "times_s": {str(k): v for k, v in row.last_times.items()},
         "setup_s": row.setup_s,
-        "hbm_floor_ms": floor_s * 1e3,
         "x_over_hbm_floor": per_batch / floor_s,
+        **row_bounds(row, meta, per_batch),
     }
 
 
@@ -429,6 +655,35 @@ def main():
         HEADLINE + "_pallas_front",
         [dict(kwargs=kwargs, batch=128, kernels="pallas_front")],
     ))
+    # Quality-bearing serving modes (VERDICT r05 item 6): recurring cost rows
+    # so the "3-4x"-class claims (ARCHITECTURE.md time_interp note) and the
+    # wiener/learned2d/tracked serving costs are re-measured every round, each
+    # with a correctness gate (QUALITY_GATES below).
+    q_kw = dict(n_prbs=52, n_layers=2, comb=2, scs_hz=30e3)
+    specs.append(("q_base_52prb_2l", [dict(kwargs=q_kw, batch=128)]))
+    specs.append((
+        "q_wiener_52prb_2l",
+        [dict(kwargs=dict(q_kw, smoothing="wiener"), batch=128)],
+    ))
+    specs.append((
+        "q_time_interp_52prb_2l",
+        [dict(kwargs=dict(q_kw, time_interp="linear", doppler_hz=300.0), batch=128)],
+    ))
+    specs.append((
+        "q_tracked_52prb_2l",
+        [dict(kwargs=q_kw, batch=128, tracked=True)],
+    ))
+    params2d = _load_params2d()
+    if params2d is not None:
+        specs.append((
+            "q_learned2d_52prb",
+            [dict(
+                kwargs=dict(n_prbs=52, n_layers=1, comb=2, scs_hz=30e3,
+                            smoothing="learned2d", time_interp="linear",
+                            doppler_hz=300.0),
+                batch=128, params=params2d,
+            )],
+        ))
 
     rows = select_batch_rows(specs)
 
@@ -441,9 +696,37 @@ def main():
                 log(f"{name} pass {k} FAILED: {type(e).__name__}: {e}")
         log(f"slope pass {k + 1}/{K_SLOPES} done")
 
+    # ---- Phase 2.5: post-hoc chain-length escalation (r05: no row publishes
+    # with spread_warn while a longer chain can fix it) ----
+    for esc in range(len(REPS_LONGER)):
+        noisy = [
+            (n, rw)
+            for n, (rw, _m) in rows.items()
+            if rw.slopes and rw.stats()["spread_warn"]
+        ]
+        if not noisy:
+            break
+        moved = []
+        for name, rw in noisy:
+            if not rw.escalate():
+                continue  # tiers exhausted; spread_warn stands, documented
+            moved.append(name)
+            try:
+                for _ in range(K_SLOPES):
+                    rw.slopes.append(rw.measure_once())
+            except Exception as e:
+                log(f"{name} escalation FAILED: {type(e).__name__}: {e}")
+        if not moved:
+            break
+        log(f"escalation round {esc + 1}: re-measured {moved} at longer chains")
+
     # ---- Phase 3: details + correctness gates ----
     for name, (row, meta) in rows.items():
         try:
+            if not row.slopes and row.archived_slopes:
+                # escalated but the longer chain failed to measure: fall back
+                # to the archived short-chain pool rather than losing the row
+                row.slopes, row.archived_slopes = row.archived_slopes, []
             if not row.slopes:
                 raise RuntimeError("no successful slope estimate")
             r = row_details(row, meta)
@@ -483,6 +766,27 @@ def main():
                 )
                 xla = details.get(HEADLINE, {}).get("latency_ms_per_batch")
                 r["xla_tier_ms_per_batch"] = xla
+            if name in QUALITY_GATES:
+                r.update(QUALITY_GATES[name](case, nL, meta.get("params")))
+                base = details.get("q_base_52prb_2l", {}).get("latency_ms_per_batch")
+                if base:
+                    # cost multiple vs the plain filter serve path at the SAME
+                    # geometry, same run (the recurring home of the "3-4x"
+                    # time-interp class claims)
+                    r["x_vs_plain_serve"] = r["latency_ms_per_batch"] / base
+            if name == HEADLINE + "_pallas_front":
+                # on-device NMSE gate for the fused-front tier (ADVICE r04:
+                # the CPU parity tests run interpret mode at HIGHEST and never
+                # see the 3-pass-bf16 device dots) — hold the serve bound
+                r["nmse_vs_oracle_serve"] = _nmse_vs_oracle_serve(
+                    meta["case"], meta["nL"], kernels="pallas_front"
+                )
+                assert r["nmse_vs_oracle_serve"] < 4e-11, (
+                    f"pallas_front serve NMSE gate: {r['nmse_vs_oracle_serve']}"
+                )
+                r["xla_tier_ms_per_batch"] = details.get(HEADLINE, {}).get(
+                    "latency_ms_per_batch"
+                )
             details[name] = r
             warn = " [SPREAD>10%]" if r["spread_warn"] else ""
             log(
@@ -638,19 +942,27 @@ def main():
             }
             lay_msg = ""
             if try_layered:
-                # layered_group=4: the round-4 row-group remedy for the lane-z
-                # layout's serial-row underutilization — measured 2.3-2.8x vs
-                # flooding-16 at matched quality (group=1 was 1.5-1.8x)
+                # per-code layered_group (VERDICT r05 item 8): argmax-G from
+                # the measured build-time rule (ldpc.default_layered_group —
+                # sublane-z 1; lane-z z_pad>=256 -> 8, one-register -> 2),
+                # replacing round 4's pinned global G=4
+                g_sel = _ldpc.default_layered_group(code)
                 dec_lay = _ldpc.build_decoder(
                     code, n_iters=iters // 2, kernels="pallas", schedule="layered",
-                    layered_group=4,
+                    layered_group=g_sel,
                 )
                 res_l = dec_lay(llr)
                 lay_ok = bool(_np.asarray(res_l.ok).all()) and _np.array_equal(
                     _np.asarray(res_l.info), u
                 )
                 r["layered_payload_exact"] = lay_ok
-                r["layered_group"] = 4
+                r["layered_group"] = g_sel
+                r["layered_group_rationale"] = (
+                    "default_layered_group measured rule: sublane-z -> 1 (serial "
+                    "layered already ~2x); lane-z one-register z_pad -> 2 "
+                    "(BG1 Z=52 sweep: G=2 2.4x > G=4 2.25x); wider z_pad -> 8 "
+                    "(BG2 Z=208 sweep: G=8 3.0x > G=4 2.8x)"
+                )
                 lay_msg = f"; layered-{iters//2} exact=False (speedup withheld)"
                 if lay_ok:
                     st_lay = profiling.chained_slope_stats(
@@ -676,64 +988,183 @@ def main():
             log(f"{bname} FAILED: {type(e).__name__}: {e}")
             details[bname] = {"error": str(e)}
 
-    # BG1 Z=384 through the round-4 STREAMED VMEM tier (kernels='pallas_stream':
-    # O(degree) program via scalar-prefetched wiring tables + dynamic
-    # pltpu.roll, full c2v live set VMEM-resident, row-layered schedule). This
-    # is the tier that closed the round-3 "~130x below the VMEM rows" gap: the
-    # gather tier (above, kept for the honest flooding comparison) measured
-    # 3.0 Mb/s; the streamed tier's first on-chip run measured 257 Mb/s at
-    # batch 128 / layered-8 (payload-exact at the same operating point).
+    # The STREAMED VMEM tier (kernels='pallas_stream': O(degree) program via
+    # scalar-prefetched wiring tables + dynamic pltpu.roll, full c2v live set
+    # VMEM-resident, row-layered schedule). Round 4 closed the "~130x below
+    # the VMEM rows" gap at Z=384 (gather tier 3.0 Mb/s -> 257 Mb/s); round 5
+    # lifted the z%128 gate with in-kernel z padding, so the former dead zone
+    # (BG1 Z∈{192..352}, BG2 Z∈{320,352}) streams too — nr_bg1_z240_streamed
+    # is the recurring dead-zone row (VERDICT r05 item 2). Rows are built via
+    # kernels="auto" (schedule="layered") to prove the automatic routing.
+    for sname, z_s, iters_s, batch_s in (
+        ("nr_bg1_z384_streamed", 384, 8, 128),
+        ("nr_bg1_z240_streamed", 240, 8, 128),
+    ):
+        try:
+            import numpy as _np
+
+            from srsran_ce_tpu.ops import ldpc as _ldpc
+            from srsran_ce_tpu.ops import nr_ldpc as _nr
+
+            code = _nr.nr_base_graph(1, z_s)
+            assert _ldpc._edge_z(code) > _ldpc._UNROLL_EDGE_Z_BUDGET
+            lplan = _ldpc.make_ldpc_plan(code)
+            rng = _np.random.default_rng(0)
+            u = rng.integers(0, 2, (batch_s, lplan.k), dtype=_np.uint8)
+            cw = _ldpc.encode(code, u)
+            snr = 10.0**0.35
+            llr = (
+                4 * snr * ((1 - 2.0 * cw) + rng.normal(0, _np.sqrt(0.5 / snr), cw.shape))
+            ).astype(_np.float32)
+            g_sel = _ldpc.default_layered_group(code)
+            # auto-selection proof: layered + over-unroll-budget routes here
+            dec = _ldpc.build_decoder(
+                code, n_iters=iters_s, kernels="auto", schedule="layered",
+                layered_group=g_sel,
+            )
+            res = dec(llr)
+            ok = bool(_np.asarray(res.ok).all()) and _np.array_equal(
+                _np.asarray(res.info), u
+            )
+            assert ok, f"streamed BG1 Z={z_s} decode not payload-exact; withheld"
+            fb = lambda carry, out: jax.lax.optimization_barrier(
+                jnp.clip(out, -20.0, 20.0)
+            )
+            st = profiling.chained_slope_stats(
+                lambda l: dec(l).posterior, fb, (jnp.asarray(llr),),
+                reps_lo=4, reps_hi=16, k=K_SLOPES,
+            )
+            t = st["s_per_step"]
+            r = {
+                "latency_ms_per_batch": t * 1e3,
+                "slope_spread": st["spread"],
+                "escalations": st.get("escalations", 0),
+                "batch": batch_s,
+                "code": f"NR BG1 Z={z_s} n={code.n} k={lplan.k}",
+                "n_iters": iters_s,
+                "schedule": "layered",
+                "tier": "pallas_stream (kernels='auto')",
+                "layered_group": g_sel,
+                "z_padded_lanes": -(-z_s // 128) * 128,
+                "payload_exact": ok,
+                "info_bits_per_s": batch_s * lplan.k / t,
+            }
+            g = details.get("nr_bg1_z384", {}).get("info_bits_per_s")
+            if g:
+                # the measured gather-tier anchor is the Z=384 row above; at
+                # Z=240 the per-sweep gather work is ~Z-proportional, so the
+                # same-Z comparison is conservative for the dead-zone row
+                r["speedup_vs_gather_tier_z384"] = r["info_bits_per_s"] / g
+            details[sname] = r
+            log(
+                f"{sname} [pallas_stream/auto, layered-{iters_s}, G={g_sel}]: "
+                f"{t*1e3:.3f} ms/batch{batch_s} (spread {st['spread']:.1%}) -> "
+                f"{r['info_bits_per_s']/1e6:.1f} info Mb/s"
+                + (f" ({r['speedup_vs_gather_tier_z384']:.0f}x the z384 gather row)" if g else "")
+            )
+        except Exception as e:
+            log(f"{sname} FAILED: {type(e).__name__}: {e}")
+            details[sname] = {"error": str(e)}
+
+    # ---- Full NR uplink chain, end to end (VERDICT r05 item 3): 273-PRB QPSK
+    # slots carrying TS 38.212 §5.4.2 rate-matched BG1 Z=384 words through
+    # serving.process(out="decoded") — estimate -> joint MMSE -> int8 demap ->
+    # deinterleave -> streamed layered decode -> CRC24B, HOST-side timing over
+    # slot count (the per-slot slope includes packing, relay transfer and the
+    # decode post-pass: a regression in any seam moves this number). Min-of-K
+    # slopes with the shared robust policy; payload-exact gate on every pass.
     try:
         import numpy as _np
 
+        from srsran_ce_tpu import serving, transport
+        from srsran_ce_tpu.ops import demap as _demap
         from srsran_ce_tpu.ops import ldpc as _ldpc
         from srsran_ce_tpu.ops import nr_ldpc as _nr
+        from srsran_ce_tpu.ops import sequences as _seq  # noqa: F401
 
         code = _nr.nr_base_graph(1, 384)
         lplan = _ldpc.make_ldpc_plan(code)
-        rng = _np.random.default_rng(0)
-        batch = 128
-        u = rng.integers(0, 2, (batch, lplan.k), dtype=_np.uint8)
-        cw = _ldpc.encode(code, u)
-        snr = 10.0**0.35
-        llr = (
-            4 * snr * ((1 - 2.0 * cw) + rng.normal(0, _np.sqrt(0.5 / snr), cw.shape))
-        ).astype(_np.float32)
-        dec = _ldpc.build_decoder(
-            code, n_iters=8, kernels="pallas_stream", schedule="layered"
+        g_sel = _ldpc.default_layered_group(code)
+        coding = transport.TransportCoding(
+            code=code, rate_match="nr", tx_bits=2 * 8448, schedule="layered",
+            n_iters=16, crc="crc24b", interleave_seed=7, layered_group=g_sel,
         )
-        res = dec(llr)
-        ok = bool(_np.asarray(res.ok).all()) and _np.array_equal(_np.asarray(res.info), u)
-        assert ok, "streamed BG1 Z=384 decode not payload-exact; throughput withheld"
-        fb = lambda carry, out: jax.lax.optimization_barrier(jnp.clip(out, -20.0, 20.0))
-        st = profiling.chained_slope_stats(
-            lambda l: dec(l).posterior, fb, (jnp.asarray(llr),), reps_lo=4, reps_hi=16,
-            k=K_SLOPES,
+        nbits = _demap.bits_per_symbol("qpsk")
+        seed = 4242
+        geo = synthetic.make_case(seed=seed, snr_db=15.0, n_prbs=273, n_layers=1)
+        n_sc, n_sym = geo.received_rg.shape
+        lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, 1, nbits)
+        k_pay = transport.payload_bits(coding, lplan.k)
+        rng = _np.random.default_rng(seed)
+        u = rng.integers(0, 2, (lay.c_words, k_pay), dtype=_np.uint8)
+        words = transport.crc_attach(u, "crc24b")
+        if coding.n_filler:
+            words = _np.concatenate(
+                [words, _np.zeros((lay.c_words, coding.n_filler), _np.uint8)], axis=1
+            )
+        bits = transport.place_codewords(
+            lay, _ldpc.encode(code, words), 1, nbits, fill_rng=rng
         )
-        t = st["s_per_step"]
-        r = {
-            "latency_ms_per_batch": t * 1e3,
-            "slope_spread": st["spread"],
-            "batch": batch,
-            "code": f"NR BG1 Z=384 n={code.n} k={lplan.k}",
-            "n_iters": 8,
-            "schedule": "layered",
-            "tier": "pallas_stream",
-            "payload_exact": ok,
-            "info_bits_per_s": batch * lplan.k / t,
+        case = synthetic.make_mimo_case(
+            seed=seed, n_rx=1, modulation="qpsk", scramble=False, bits=bits,
+            n_prbs=273, n_layers=1, snr_db=15.0,
+        )
+        prob = serving.Problem(
+            case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+            case.beta, case.hop1, case.hop2, case.config,
+        )
+
+        def run_slots(n):
+            t0 = time.time()
+            res = serving.process(
+                [prob] * n, batch_size=8, out="decoded", modulation="qpsk",
+                coding=coding, matmul_precision="high",
+            )
+            dt = time.time() - t0
+            for rr in res:  # payload-exact gate on EVERY timed pass
+                assert bool(_np.asarray(rr.ok).all()) and _np.array_equal(
+                    rr.info, u
+                ), "e2e decoded chain not payload-exact; throughput withheld"
+            return dt
+
+        n_lo, n_hi = 8, 24
+        run_slots(n_lo)  # warm/compile both chunk shapes
+        run_slots(n_hi)
+        slopes_e2e = []
+        for _ in range(K_SLOPES):
+            t_lo = min(run_slots(n_lo) for _ in range(2))
+            t_hi = min(run_slots(n_hi) for _ in range(2))
+            slopes_e2e.append(max((t_hi - t_lo) / (n_hi - n_lo), 1e-9))
+        t_slot, spread_e2e, n_disc_e2e, _ = robust_slope_stats(slopes_e2e)
+        info_bits_slot = lay.c_words * k_pay
+        details["e2e_decoded_273prb_bg1z384"] = {
+            "latency_ms_per_slot": t_slot * 1e3,
+            "slope_estimates_ms": [s * 1e3 for s in slopes_e2e],
+            "slope_spread": spread_e2e,
+            "n_slopes_discarded": n_disc_e2e,
+            "slots": [n_lo, n_hi],
+            "words_per_slot": int(lay.c_words),
+            "info_bits_per_slot": int(info_bits_slot),
+            "code": f"NR BG1 Z=384 rate-matched E={coding.tx_bits} crc24b",
+            "schedule": f"layered-{coding.n_iters} G={g_sel} (auto -> pallas_stream)",
+            "payload_exact": True,
+            "info_bits_per_s": info_bits_slot / t_slot,
+            "note": (
+                "host wall-clock slope over slot count through serving.process"
+                "(out='decoded'): includes native packing, estimation+MMSE+demap "
+                "on device, int8 LLR relay fetch, descramble/deinterleave, "
+                "chunked streamed decode, CRC; decoder chunks pad to power-of-2 "
+                "buckets so the slope is conservative"
+            ),
         }
-        g = details.get("nr_bg1_z384", {}).get("info_bits_per_s")
-        if g:
-            r["speedup_vs_gather_tier"] = r["info_bits_per_s"] / g
-        details["nr_bg1_z384_streamed"] = r
         log(
-            f"nr_bg1_z384_streamed [pallas_stream, layered-8]: {t*1e3:.3f} ms/batch{batch} "
-            f"(spread {st['spread']:.1%}) -> {r['info_bits_per_s']/1e6:.1f} info Mb/s"
-            + (f" ({r['speedup_vs_gather_tier']:.0f}x the gather tier)" if g else "")
+            f"e2e_decoded_273prb_bg1z384: {t_slot*1e3:.1f} ms/slot "
+            f"(spread {spread_e2e:.1%}, {lay.c_words} words/slot) -> "
+            f"{info_bits_slot / t_slot / 1e6:.1f} info Mb/s end-to-end"
         )
     except Exception as e:
-        log(f"nr_bg1_z384_streamed FAILED: {type(e).__name__}: {e}")
-        details["nr_bg1_z384_streamed"] = {"error": str(e)}
+        log(f"e2e_decoded FAILED: {type(e).__name__}: {e}")
+        details["e2e_decoded_273prb_bg1z384"] = {"error": str(e)}
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
     with open(out_path, "w") as f:

@@ -58,6 +58,44 @@ def test_all_broken_falls_back_gracefully():
     assert st["s_per_batch"] > 0  # never zero/negative
 
 
+def test_uncorroborated_fast_min_discarded_c0_pattern():
+    """The r04 c0 failure mode (VERDICT item 1): a min-of-4 fit 40% below ALL
+    THREE siblings (0.025 vs 0.040/0.040/0.043 ms) must be discarded — the
+    old 0.3x-median rule passed it and published 44.7e9 REs/s."""
+    bench = _load_bench()
+    st = _row_with_slopes(bench, [2.5e-5, 4.0e-5, 4.0e-5, 4.3e-5]).stats()
+    assert st["s_per_batch"] == 4.0e-5
+    assert st["n_slopes_discarded"] == 1
+    assert not st["spread_warn"]  # surviving spread 7.5%
+
+
+def test_corroborated_fast_min_survives():
+    """Two independent agreeing fast estimates are believable (pollution adds
+    time; two passes both measuring fast = the device IS that fast)."""
+    bench = _load_bench()
+    st = _row_with_slopes(bench, [2.0e-5, 2.1e-5, 4.0e-5, 4.1e-5]).stats()
+    assert st["s_per_batch"] == 2.0e-5
+    assert st["n_slopes_discarded"] == 0
+
+
+def test_escalation_archives_and_advances_tiers():
+    """Post-hoc escalation: each escalate() call moves to the next longer
+    REPS tier, archives the noisy pool (audit trail), and counts; exhausted
+    tiers return False and leave the pool intact."""
+    bench = _load_bench()
+    row = _row_with_slopes(bench, [2.0e-4, 3.0e-4])
+    tiers_taken = []
+    while row.escalate():
+        tiers_taken.append(tuple(row.rep_points))
+        row.slopes = [1.0e-4]  # pretend a fresh (clean) longer-chain pool
+    assert tiers_taken == list(bench.REPS_LONGER)
+    assert row.escalations == len(bench.REPS_LONGER)
+    assert 2.0e-4 in row.archived_slopes and 3.0e-4 in row.archived_slopes
+    st = row.stats()
+    assert st["s_per_batch"] == 1.0e-4
+    assert st["archived_slope_estimates_ms"]  # recorded for audit
+
+
 def test_chained_slope_stats_policy_matches():
     from srsran_ce_tpu.utils import profiling
 
