@@ -111,7 +111,14 @@ def _selftest_deep(args) -> int:
     bound is an x64 property) — both flags are flipped BEFORE first backend
     use, the one window where jax_platforms can still be changed in this
     environment (see .claude/skills/verify/SKILL.md)."""
+    import os
     import time
+
+    # the SP sweep needs the virtual multi-device CPU platform; XLA_FLAGS is
+    # read at backend init, which has not happened yet on this code path
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
     import jax
 
@@ -127,14 +134,15 @@ def _selftest_deep(args) -> int:
     progress = lambda msg: print(f"  [{time.time()-t0:6.1f}s] {msg}", flush=True)
     print(
         f"deep fuzz: geometry n={args.geometry_n}, coded n={args.coded_n}, "
-        f"header n={args.header_n} (backend={jax.default_backend()}, x64)",
+        f"header n={args.header_n}, sp n={args.sp_n} "
+        f"(backend={jax.default_backend()}, x64, {len(jax.devices())} devices)",
         flush=True,
     )
     report = deepfuzz.run_all(
         n_geometry=args.geometry_n, n_coded=args.coded_n, n_header=args.header_n,
-        progress=progress,
+        n_sp=args.sp_n, progress=progress,
     )
-    for k in ("geometry", "coded", "header"):
+    for k in ("geometry", "coded", "header", "sp"):
         r = report[k]
         print(f"{k}: {r['n_pass']}/{r['n_cases']} pass ({r['elapsed_s']:.1f}s)")
     g = report["geometry"]
@@ -378,6 +386,8 @@ def main(argv=None) -> int:
     s.add_argument("--geometry-n", type=int, default=100)
     s.add_argument("--coded-n", type=int, default=30)
     s.add_argument("--header-n", type=int, default=120)
+    s.add_argument("--sp-n", type=int, default=30,
+                   help="randomized shard_map-seam geometries (8 virtual devices)")
     s.add_argument("--report", default=None,
                    help="deep-report path (default DEEPFUZZ_REPORT.json)")
     s.set_defaults(fn=cmd_selftest)

@@ -278,6 +278,314 @@ def run_coded_fuzz(n: int, progress=None) -> dict:
     }
 
 
+def draw_sp_case(rng: np.random.Generator) -> dict:
+    """One random geometry for the shard_map-seam sweep (VERDICT r05 item 5:
+    'no randomized geometry ever crosses shard_map seams in the recorded
+    evidence'). Draws the kind (plain estimator / joint receiver / tracked),
+    the mesh split, hopped routes, non-divisible shard counts (pad+mask), and
+    the smoothing/interp modes the SP builders support."""
+    kind = str(rng.choice(["est", "est", "est", "est", "receiver", "tracked"]))
+    n_sp = int(rng.choice([2, 4, 8]))
+    two_hops = bool(rng.random() < 0.25)
+    smoothings = ["filter", "filter", "mean", "none", "wiener"]
+    if kind == "est" and not two_hops:
+        smoothings.append("learned")
+    smoothing = str(rng.choice(smoothings))
+    if two_hops:
+        n_prbs = int(rng.choice([4, 6, 12, 25]))
+    else:
+        # non-divisible counts (25/27/273) exercise the pad+mask route
+        n_prbs = int(rng.choice([16, 24, 25, 27, 32, 52, 106, 273]))
+    n_layers = int(rng.choice([1, 2, 2, 4] if kind != "receiver" else [1, 2]))
+    comb = int(rng.choice([2, 2, 4]))
+    if not two_hops:
+        # honor make_shard_plan's documented geometry contracts: CDM pair
+        # averaging (n_layers >= 2) needs EVEN per-shard pilot counts (R and
+        # the masked last shard's n_rlast), and learned smoothing rejects the
+        # padded route (the denoiser's conv stack has no band-edge
+        # re-anchoring) — walk n_prbs up until the split is valid
+        def _split_ok(p):
+            n_re = p * (12 // comb)
+            r = -(-n_re // n_sp)
+            n_rlast = r - (n_sp * r - n_re)
+            if n_layers >= 2 and (r % 2 or n_rlast % 2):
+                return False
+            if smoothing == "learned" and (n_re % n_sp or n_re // n_sp < 24):
+                # no padded route, and the local block must cover the
+                # denoiser's conv halo (18 taps for the shipped checkpoint)
+                return False
+            return True
+        while not _split_ok(n_prbs):
+            n_prbs += 1
+    kw = dict(
+        n_prbs=n_prbs,
+        n_layers=n_layers,
+        comb=comb,
+        scs_hz=float(rng.choice([15e3, 30e3])),
+        smoothing=smoothing,
+        cfo_compensate=bool(rng.random() < 0.7),
+        interp=str(rng.choice(["linear", "linear", "cnn"])),
+        cnn_alpha=float(rng.choice([0.0, 0.0, 0.3])),
+        two_hops=two_hops,
+        snr_db=float(rng.uniform(10.0, 35.0)),
+        cfo_hz=float(rng.uniform(-300.0, 300.0)),
+        cfo_estimator=str(rng.choice(["first_pair", "first_pair", "wls"])),
+    )
+    if kind == "est" and rng.random() < 0.25 and smoothing != "learned":
+        kw["time_interp"] = "linear"
+        kw["doppler_hz"] = 300.0
+    draw = dict(kind=kind, n_sp=n_sp, kw=kw)
+    if kind == "est":
+        draw["batched"] = bool(rng.random() < 0.5)
+        draw["factored"] = bool(
+            kw.get("time_interp", "none") == "none" and rng.random() < 0.3
+        )
+    if kind == "receiver":
+        draw["n_rx"] = int(rng.choice([2, 3]))
+        draw["modulation"] = str(rng.choice(["", "", "qpsk", "16qam"])) or None
+    return draw
+
+
+def check_sp_case(draw_idx: int, seed_base: int = 0xCE_59) -> dict:
+    """Run one fuzzed geometry across the shard_map seams (2-8 virtual
+    devices) and compare against the unsharded path: estimator draws gate on
+    the float64 oracle (the same 1e-18 NMSE bound as the geometry sweep);
+    receiver/tracked draws gate bitwise-tight (rtol 1e-9) against their
+    unsharded builders."""
+    import jax
+
+    from ..models import estimator, receiver, tracking
+    from ..parallel import mesh as mesh_lib
+    from ..parallel.subcarrier import (
+        build_sp,
+        build_sp_batched,
+        build_sp_receiver,
+        build_sp_tracked,
+    )
+    from ..utils import oracle, synthetic
+
+    rng = np.random.default_rng(seed_base + draw_idx)
+    draw = draw_sp_case(rng)
+    kind, n_sp, kw = draw["kind"], draw["n_sp"], draw["kw"]
+    dp = max(1, len(jax.devices()) // n_sp)
+    mesh = mesh_lib.make_mesh((dp, n_sp), ("dp", "sp"))
+    ri = estimator.split_ri
+    errs: dict = {}
+    ok = True
+    try:
+        if kind == "est":
+            case = synthetic.make_case(seed=int(rng.integers(0, 2**31)), **kw)
+            nL = case.pilots.shape[2]
+            params = None
+            res_o = None
+            if kw["smoothing"] == "learned":
+                # no float64 oracle mirror for trainable weights: the gate for
+                # learned draws is SP == unsharded (below)
+                from ..models import training
+                from pathlib import Path
+
+                ckpt = Path(__file__).resolve().parents[1] / "artifacts" / "denoiser_ckpt"
+                # orbax restores committed to device 0; hand jit host arrays so
+                # it can replicate them over the mesh
+                params = jax.tree_util.tree_map(
+                    np.asarray, training.load_checkpoint(str(ckpt)).params
+                )
+            else:
+                res_o = oracle.estimate(
+                    case.received_rg, case.pilots, case.beta, case.hop1, case.hop2,
+                    case.config,
+                )
+            if draw["batched"]:
+                B = dp * 2
+                fn = build_sp_batched(case.hop1, case.hop2, case.config, nL, mesh)
+                rg_b = np.broadcast_to(ri(case.received_rg), (B,) + (2,) + case.received_rg.shape).copy()
+                pil_b = np.broadcast_to(ri(case.pilots), (B, 2) + case.pilots.shape).copy()
+                beta_b = np.full(B, case.beta)
+                args = (rg_b, pil_b, beta_b) + ((params,) if params is not None else ())
+                out = fn(*args)
+                ch = estimator.merge_ri(np.asarray(out.channel_est_rg)[0])
+                noise = float(np.asarray(out.noise_est)[0])
+            else:
+                fn = build_sp(case.hop1, case.hop2, case.config, nL, mesh)
+                args = (ri(case.received_rg), ri(case.pilots), np.asarray(case.beta))
+                args = args + ((params,) if params is not None else ())
+                out = fn(*args)
+                ch = estimator.merge_ri(np.asarray(out.channel_est_rg))
+                noise = float(out.noise_est)
+            if params is None:
+                nmse = float(
+                    np.sum(np.abs(ch - res_o.channel_est_rg) ** 2)
+                    / (np.sum(np.abs(res_o.channel_est_rg) ** 2) + 1e-30)
+                )
+                errs["nmse_vs_oracle"] = nmse
+                errs["noise_rel"] = float(
+                    abs(noise - res_o.noise_est) / (abs(res_o.noise_est) + 1e-300)
+                )
+                ok = nmse < GEOMETRY_NMSE_BOUND and errs["noise_rel"] < 1e-7
+            else:
+                # learned smoothing has no oracle mirror: gate SP == unsharded
+                fn_1 = estimator.build_ri(case.hop1, case.hop2, case.config, nL)
+                out_1 = fn_1(
+                    ri(case.received_rg), ri(case.pilots), np.asarray(case.beta),
+                    params,
+                )
+                ch_1 = estimator.merge_ri(np.asarray(out_1.channel_est_rg))
+                # unsharded is (sc, sym, L)-ref-layout too. Bound at f32
+                # reassociation scale: the denoiser weights/conv stack are
+                # float32 even under x64, and the halo split reassociates the
+                # conv sums (measured ~1e-7 rel on wide geometries)
+                err = float(
+                    np.max(np.abs(ch - ch_1)) / (np.max(np.abs(ch_1)) + 1e-300)
+                )
+                errs["rel_vs_unsharded"] = err
+                ok = err < 1e-6
+            if ok and draw.get("factored"):
+                builder = build_sp_batched if draw["batched"] else build_sp
+                fnf = builder(
+                    case.hop1, case.hop2, case.config, nL, mesh,
+                    out_layout="factored",
+                )
+                rf = fnf(*args)
+                prof = np.asarray(rf.profiles)
+                rot = np.asarray(rf.sym_rot)
+                if draw["batched"]:
+                    prof, rot = prof[0], rot[0]
+                grid = estimator.reconstruct_factored(
+                    estimator.merge_ri(prof),
+                    estimator.merge_ri(rot),
+                    case.hop1, case.hop2,
+                )
+                errs["factored_rel"] = float(
+                    np.max(np.abs(grid - ch)) / (np.max(np.abs(ch)) + 1e-300)
+                )
+                ok = errs["factored_rel"] < 1e-9
+        elif kind == "receiver":
+            kw = dict(kw)
+            kw.pop("time_interp", None)
+            kw.pop("doppler_hz", None)
+            n_rx = max(draw["n_rx"], kw["n_layers"])
+            case = synthetic.make_mimo_case(
+                seed=int(rng.integers(0, 2**31)), n_rx=n_rx, scramble=False,
+                modulation=draw["modulation"] or "qpsk",
+                **{k: v for k, v in kw.items() if k in (
+                    "n_prbs", "n_layers", "comb", "scs_hz", "smoothing",
+                    "cfo_compensate", "interp", "cnn_alpha", "two_hops",
+                    "snr_db", "cfo_hz", "cfo_estimator",
+                )},
+            )
+            nL = case.pilots.shape[2]
+            B = dp
+            rg_b = np.broadcast_to(
+                ri(case.received_rg), (B, 2) + case.received_rg.shape
+            ).copy()
+            pil_b = np.broadcast_to(ri(case.pilots), (B, 2) + case.pilots.shape).copy()
+            beta_b = np.full(B, case.beta)
+            fn_sp = build_sp_receiver(
+                case.hop1, case.hop2, case.config, nL, mesh,
+                modulation=draw["modulation"],
+            )
+            fn_1 = receiver.build_receiver_ri(
+                case.hop1, case.hop2, case.config, nL, n_rx, batched=True,
+                modulation=draw["modulation"],
+            )
+            out_sp = fn_sp(rg_b, pil_b, beta_b)
+            out_1 = fn_1(rg_b, pil_b, beta_b)
+            if draw["modulation"]:
+                a = np.concatenate([np.asarray(p, np.float64) for p in out_sp.llr])
+                b = np.concatenate([np.asarray(p, np.float64) for p in out_1.llr])
+                # int8 LLRs: identical float math up to fusion reassociation;
+                # round() can flip at quantization boundaries
+                errs["llr_max_abs"] = float(np.abs(a - b).max())
+                ok = errs["llr_max_abs"] <= 1.0
+            else:
+                a = np.asarray(out_sp.x, np.float64)
+                b = np.asarray(out_1.x, np.float64)
+                errs["x_rel"] = float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-300))
+                ok = errs["x_rel"] < 1e-9
+            na = np.asarray(out_sp.noise_est, np.float64)
+            nb = np.asarray(out_1.noise_est, np.float64)
+            errs["noise_rel"] = float(np.max(np.abs(na - nb) / (np.abs(nb) + 1e-300)))
+            ok = ok and errs["noise_rel"] < 1e-9
+        else:  # tracked
+            kw = dict(kw)
+            kw.pop("time_interp", None)
+            kw.pop("doppler_hz", None)
+            seed = int(rng.integers(0, 2**31))
+            cases = [
+                synthetic.make_case(seed=seed, noise_seed=900 + s, **kw)
+                for s in range(2)
+            ]
+            c0 = cases[0]
+            nL = c0.pilots.shape[2]
+            f_sp = build_sp_tracked(c0.hop1, c0.hop2, c0.config, nL, mesh)
+            f_un = tracking.build_tracked_ri(c0.hop1, c0.hop2, c0.config, nL)
+            st_sp = tracking.init_state(c0.hop1, c0.hop2, c0.config, nL)
+            st_un = tracking.init_state(c0.hop1, c0.hop2, c0.config, nL)
+            worst = 0.0
+            for c in cases:
+                a = (ri(c.received_rg), ri(c.pilots), np.asarray(c.beta))
+                r_sp, h_sp, w_sp = f_sp(*a, st_sp[0], st_sp[1])
+                r_un, h_un, w_un = f_un(*a, st_un[0], st_un[1])
+                st_sp = (tuple(np.asarray(h) for h in h_sp), np.asarray(w_sp))
+                st_un = (tuple(np.asarray(h) for h in h_un), np.asarray(w_un))
+                ga = np.asarray(r_sp.channel_est_rg, np.float64)
+                gb = np.asarray(r_un.channel_est_rg, np.float64)
+                worst = max(
+                    worst,
+                    float(np.max(np.abs(ga - gb)) / (np.max(np.abs(gb)) + 1e-300)),
+                    float(abs(float(w_sp) - float(w_un)) / (abs(float(w_un)) + 1e-300)),
+                )
+            errs["tracked_rel"] = worst
+            ok = worst < 1e-9
+    except Exception as e:  # a crash on a valid draw is a failure, recorded
+        errs["exception"] = f"{type(e).__name__}: {e}"
+        ok = False
+    return {
+        "draw": draw_idx,
+        "kind": kind,
+        "n_sp": n_sp,
+        "config": {k: (list(v) if isinstance(v, tuple) else v) for k, v in kw.items()},
+        "extras": {k: v for k, v in draw.items() if k not in ("kind", "n_sp", "kw")},
+        "errs": errs,
+        "ok": bool(ok),
+    }
+
+
+def run_sp_fuzz(n: int, seed_base: int = 0xCE_59, progress=None) -> dict:
+    """N randomized geometries across the shard_map seams (needs >=2 JAX
+    devices — the virtual 8-device CPU platform in tests/CLI)."""
+    import jax
+
+    t0 = time.time()
+    if len(jax.devices()) < 2:
+        return {
+            "n_cases": 0,
+            "n_pass": 0,
+            "skipped": f"needs >=2 devices, have {len(jax.devices())}",
+            "elapsed_s": 0.0,
+        }
+    rows = []
+    for d in range(n):
+        rows.append(check_sp_case(d, seed_base))
+        if progress and (d + 1) % 5 == 0:
+            progress(f"sp {d + 1}/{n}")
+    kinds = {}
+    for r in rows:
+        kinds[r["kind"]] = kinds.get(r["kind"], 0) + 1
+    return {
+        "n_cases": n,
+        "n_pass": int(sum(r["ok"] for r in rows)),
+        "kinds": kinds,
+        "worst": max(
+            (max(r["errs"].values()) for r in rows
+             if r["errs"] and all(isinstance(v, float) for v in r["errs"].values())),
+            default=0.0,
+        ),
+        "failures": [r for r in rows if not r["ok"]][:20],
+        "elapsed_s": time.time() - t0,
+    }
+
+
 def run_header_fuzz(n_cases: int, seed: int = 20260820, tmp_dir: Optional[str] = None) -> dict:
     """Full-format-fidelity header-parser + hop-regrouping fuzz (the same
     truth-recovery checks as tests/test_fuzz_header.py)."""
@@ -336,7 +644,11 @@ def run_header_fuzz(n_cases: int, seed: int = 20260820, tmp_dir: Optional[str] =
 
 
 def run_all(
-    n_geometry: int = 100, n_coded: int = 30, n_header: int = 120, progress=None
+    n_geometry: int = 100,
+    n_coded: int = 30,
+    n_header: int = 120,
+    n_sp: int = 30,
+    progress=None,
 ) -> dict:
     """The full deep-fuzz sweep; the CLI writes this dict as the committed
     DEEPFUZZ_REPORT.json."""
@@ -345,12 +657,14 @@ def run_all(
     report = {
         "backend": jax.default_backend(),
         "x64": bool(jax.config.jax_enable_x64),
+        "n_devices": len(jax.devices()),
         "geometry": run_geometry_fuzz(n_geometry, progress=progress),
         "coded": run_coded_fuzz(n_coded, progress=progress),
         "header": run_header_fuzz(n_header),
+        "sp": run_sp_fuzz(n_sp, progress=progress),
     }
     report["all_pass"] = all(
         report[k]["n_pass"] == report[k]["n_cases"]
-        for k in ("geometry", "coded", "header")
+        for k in ("geometry", "coded", "header", "sp")
     )
     return report
