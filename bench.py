@@ -1017,10 +1017,12 @@ def main():
                 4 * snr * ((1 - 2.0 * cw) + rng.normal(0, _np.sqrt(0.5 / snr), cw.shape))
             ).astype(_np.float32)
             g_sel = _ldpc.default_layered_group(code)
-            # auto-selection proof: layered + over-unroll-budget routes here
+            # auto-selection proof: layered + over-unroll-budget routes here.
+            # bf16 messages: half the VMEM c2v set -> 2x batch tile (measured
+            # 289->358 Mb/s at Z=384); payload-exactness gated below each run
             dec = _ldpc.build_decoder(
                 code, n_iters=iters_s, kernels="auto", schedule="layered",
-                layered_group=g_sel,
+                layered_group=g_sel, stream_c2v_dtype="bfloat16",
             )
             res = dec(llr)
             ok = bool(_np.asarray(res.ok).all()) and _np.array_equal(
@@ -1045,6 +1047,8 @@ def main():
                 "schedule": "layered",
                 "tier": "pallas_stream (kernels='auto')",
                 "layered_group": g_sel,
+                "stream_c2v_dtype": "bfloat16",
+                "stream_block_b": _ldpc._stream_layout(code, c2v_bf16=True, group=g_sel),
                 "z_padded_lanes": -(-z_s // 128) * 128,
                 "payload_exact": ok,
                 "info_bits_per_s": batch_s * lplan.k / t,
@@ -1088,6 +1092,7 @@ def main():
         coding = transport.TransportCoding(
             code=code, rate_match="nr", tx_bits=2 * 8448, schedule="layered",
             n_iters=16, crc="crc24b", interleave_seed=7, layered_group=g_sel,
+            stream_c2v_dtype="bfloat16",
         )
         nbits = _demap.bits_per_symbol("qpsk")
         seed = 4242

@@ -368,6 +368,10 @@ class DecodeResult:
 # the carry), so the model budget is half the hardware limit with margin.
 _PALLAS_VMEM_BUDGET = 7 * 2**20
 
+# the streamed kernel's own budget — measured looser than the unrolled
+# kernels' half-limit rule (see _stream_layout's calibration note)
+_STREAM_VMEM_BUDGET = 9 * 2**20
+
 
 def _pallas_live_rows(code: QCLdpcCode) -> int:
     """Live (z,)-row count of the VMEM-resident kernel per batch tile: one
@@ -413,9 +417,13 @@ def _stream_layout(code: QCLdpcCode, c2v_bf16: bool = False, group: int = 1):
 
     Live set per tile: c2v scratch (n_edges+1 rows, f32 or bf16) + the in/out
     L tiles (2*nb rows f32), all (block_b, z_pad). Grouped layering (G rows
-    per posterior snapshot) adds ~3*G*d transient rows of stack. Measured
-    anchor: BG1 Z=384 f32 G=1 compiles at block_b=8 (model 5.6 MB) and fails
-    at 16 (11.1 MB) — consistent with the half-limit budget."""
+    per posterior snapshot) adds ~3*G*d transient rows of stack. The budget
+    is calibrated by on-chip measurement (round 5, nr_ldpc BG1 stand-in,
+    408 edges): f32 block 16 (13.4 MB model) fails the Mosaic compile while
+    bf16 block 16 (8.4 MB model) compiles and runs payload-exact at
+    358 Mb/s — the streamed kernel's transients are leaner than the unrolled
+    kernel's, so it gets its own 9 MB budget rather than the 7 MB
+    half-limit rule."""
     z_pad = -(-code.z // 128) * 128
     n_edges = sum(s >= 0 for row in code.base for s in row)
     d = max(sum(s >= 0 for s in row) for row in code.base)
@@ -423,7 +431,7 @@ def _stream_layout(code: QCLdpcCode, c2v_bf16: bool = False, group: int = 1):
     per_col = (n_edges + 1) * c2v_item + 2 * code.n_var_blocks * 4
     per_col += 3 * max(0, group - 1) * d * 4  # grouped-snapshot transients
     for block_b in (32, 16, 8):
-        if per_col * block_b * z_pad <= _PALLAS_VMEM_BUDGET:
+        if per_col * block_b * z_pad <= _STREAM_VMEM_BUDGET:
             return block_b
     return None
 
@@ -463,18 +471,22 @@ def default_layered_group(code: QCLdpcCode) -> int:
     the v5e sweep measured, vs flooding at matched quality:
       BG2 Z=208 (z_pad 256): G=1 1.76x, G=4 2.8x, G=8 3.0x  -> wide z: G=8
       BG1 Z=52  (z_pad 128): G=1 1.5x,  G=2 2.4x, G=4 2.25x -> one-reg z: G=2
-    The streamed tier (over the unroll budget) uses the same rule; its G>1
-    grouping shipped in round 5 and the bench records the chosen G per row."""
+    Streamed-tier codes (over the unroll budget) return G=1 — measured on
+    chip at Z=240: G=2 was within relay noise (174 vs 168 Mb/s) and the
+    snapshot transients shrink the admissible batch tile. The bench records
+    the chosen G per row."""
+    if _edge_z(code) > _UNROLL_EDGE_Z_BUDGET:
+        # streamed tier: G=1. Measured round 5 (BG1 Z=240, block 8): G=2 gave
+        # 174 vs 168 Mb/s — within relay noise — while costing snapshot
+        # transients that shrink the admissible batch tile; the streamed
+        # walk's per-row work (d slots x full lane rows) already feeds the
+        # VPU, unlike the unrolled lane-z kernel's narrow-tile rows.
+        return 1
     lay = _pallas_layout(code)
     if lay is not None and lay[0] == 0:
         return 1
     z_pad = -(-code.z // 128) * 128
-    g = 8 if z_pad >= 256 else 2
-    if _edge_z(code) > _UNROLL_EDGE_Z_BUDGET:
-        # streamed tier: the group's snapshot transients must also fit VMEM
-        while g > 1 and not _stream_supported(code, g):
-            g //= 2
-    return g
+    return 8 if z_pad >= 256 else 2
 
 
 @functools.lru_cache(maxsize=64)

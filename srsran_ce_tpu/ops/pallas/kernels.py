@@ -676,6 +676,18 @@ def fused_front(
         n_re, n_pils, half_cp_len, k_ta, n_cdm, nL, n_dsym, block_b=block_b
     ) > FRONT_VMEM_BUDGET:
         block_b //= 2
+    # block_b == 1 does not lower (Mosaic rejects the 1-sublane lane_sum
+    # reduction: "unsupported output implicit dimension" — hit on chip by
+    # unbatched/odd-B builds); pad the batch to a multiple of 2 instead
+    pad_b = 0
+    if block_b == 1:
+        block_b = 2
+        pad_b = (-B) % 2
+        if pad_b:
+            rx_ri = jnp.concatenate([rx_ri, rx_ri[-1:]], axis=0)
+            pil_ri = jnp.concatenate([pil_ri, pil_ri[-1:]], axis=0)
+            beta = jnp.concatenate([beta, beta[-1:]], axis=0)
+            B += pad_b
     n_blocks = B // block_b
     dt = rx_ri.dtype
     # Mosaic lowers only DEFAULT/HIGHEST dots; HIGH runs as the 3-pass bf16
@@ -746,6 +758,8 @@ def fused_front(
         ),
         interpret=_interpret(),
     )(rx_ri, pil_ri, beta.reshape(n_blocks, block_b, 1), *const_in)
+    if pad_b:
+        return h_out[: B - pad_b], sc_out.reshape(B, 8)[: B - pad_b]
     return h_out, sc_out.reshape(B, 8)
 
 

@@ -448,15 +448,18 @@ def _decode_soft(
 
     sched = getattr(coding, "schedule", "flooding")
     group = getattr(coding, "layered_group", 1)
+    c2v_dt = getattr(coding, "stream_c2v_dtype", None)
     dec = _ldpc.build_decoder(
         coding.code, n_iters=coding.n_iters, norm=coding.norm,
         kernels=coding.kernels, schedule=sched, layered_group=group,
+        stream_c2v_dtype=c2v_dt,
     )
     early = coding.early_iters
     if early is not None and early < coding.n_iters:
         dec_early = _ldpc.build_decoder(
             coding.code, n_iters=early, norm=coding.norm,
             kernels=coding.kernels, schedule=sched, layered_group=group,
+            stream_c2v_dtype=c2v_dt,
         )
     else:
         dec_early = None

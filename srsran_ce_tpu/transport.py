@@ -64,6 +64,11 @@ class TransportCoding:
     # G=1 managed 1.5-1.8x; see ops/ldpc.build_decoder).
     schedule: str = "flooding"
     layered_group: int = 1
+    # Streamed-tier message dtype: "bfloat16" halves the VMEM-resident c2v
+    # set, admitting a 2x batch tile (measured round 5 at BG1 Z=384:
+    # 289->358 Mb/s, payload-exact). None = the LLR dtype (f32), which is
+    # the bit-exact mirror of decode_reference. Ignored by non-streamed tiers.
+    stream_c2v_dtype: Optional[str] = None
     # Two-phase early termination in the serving decode: every word first
     # runs `early_iters` sweeps (converged words — the vast majority at
     # operating SNR — are done); only parity failures rerun at the full

@@ -386,3 +386,27 @@ def test_front_predicate_uses_kernel_geometry():
             if hp is not None
         )
         assert estimator._front_pallas_ok(plan) == want, kw
+
+
+def test_pallas_front_unbatched_single_problem():
+    """B=1 (the unbatched build_ri wrapper) must not reach block_b=1 —
+    Mosaic rejects the 1-sublane lane_sum reduction ('unsupported output
+    implicit dimension', found on chip in round 5); fused_front pads the
+    batch to 2 instead. Output must still match the XLA tier."""
+    from srsran_ce_tpu.models import estimator
+    from srsran_ce_tpu.utils import synthetic
+
+    case = synthetic.make_case(seed=31, n_prbs=24, n_layers=2, comb=2, snr_db=30.0)
+    nL = 2
+    rg = estimator.split_ri(case.received_rg).astype(np.float32)
+    pil = estimator.split_ri(case.pilots).astype(np.float32)
+    beta = jnp.asarray(np.float32(case.beta))
+    f_x = estimator.build_ri(case.hop1, case.hop2, case.config, nL, out_layout="serve")
+    f_p = estimator.build_ri(
+        case.hop1, case.hop2, case.config, nL, out_layout="serve",
+        kernels="pallas_front",
+    )
+    a = np.asarray(f_x(rg, pil, beta).channel_est_rg, np.float64)
+    b = np.asarray(f_p(rg, pil, beta).channel_est_rg, np.float64)
+    nmse = np.sum((a - b) ** 2) / (np.sum(a**2) + 1e-30)
+    assert nmse < 1e-9, nmse
