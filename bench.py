@@ -1119,11 +1119,12 @@ def main():
             case.beta, case.hop1, case.hop2, case.config,
         )
 
-        def run_slots(n):
+        def run_slots(n, on_device=False):
             t0 = time.time()
             res = serving.process(
                 [prob] * n, batch_size=8, out="decoded", modulation="qpsk",
                 coding=coding, matmul_precision="high",
+                decode_on_device=on_device,
             )
             dt = time.time() - t0
             for rr in res:  # payload-exact gate on EVERY timed pass
@@ -1141,6 +1142,16 @@ def main():
             t_hi = min(run_slots(n_hi) for _ in range(2))
             slopes_e2e.append(max((t_hi - t_lo) / (n_hi - n_lo), 1e-9))
         t_slot, spread_e2e, n_disc_e2e, _ = robust_slope_stats(slopes_e2e)
+        # the round-5 DEVICE-RESIDENT chain (decode_on_device=True): the LLR
+        # grid never crosses the relay — only decoded bits do
+        run_slots(n_lo, on_device=True)
+        run_slots(n_hi, on_device=True)
+        slopes_dev = []
+        for _ in range(K_SLOPES):
+            t_lo = min(run_slots(n_lo, True) for _ in range(2))
+            t_hi = min(run_slots(n_hi, True) for _ in range(2))
+            slopes_dev.append(max((t_hi - t_lo) / (n_hi - n_lo), 1e-9))
+        t_dev, spread_dev, _, _ = robust_slope_stats(slopes_dev)
         info_bits_slot = lay.c_words * k_pay
         details["e2e_decoded_273prb_bg1z384"] = {
             "latency_ms_per_slot": t_slot * 1e3,
@@ -1154,18 +1165,28 @@ def main():
             "schedule": f"layered-{coding.n_iters} G={g_sel} (auto -> pallas_stream)",
             "payload_exact": True,
             "info_bits_per_s": info_bits_slot / t_slot,
+            "device_decode_ms_per_slot": t_dev * 1e3,
+            "device_decode_spread": spread_dev,
+            "device_decode_slope_estimates_ms": [s * 1e3 for s in slopes_dev],
+            "device_decode_info_bits_per_s": info_bits_slot / t_dev,
+            "device_decode_speedup": t_slot / t_dev,
             "note": (
                 "host wall-clock slope over slot count through serving.process"
                 "(out='decoded'): includes native packing, estimation+MMSE+demap "
                 "on device, int8 LLR relay fetch, descramble/deinterleave, "
                 "chunked streamed decode, CRC; decoder chunks pad to power-of-2 "
-                "buckets so the slope is conservative"
+                "buckets so the slope is conservative. device_decode_* = the "
+                "round-5 decode_on_device=True chain (in-graph descramble/"
+                "deinterleave/rate-recovery/decode; only decoded bits cross "
+                "the relay)"
             ),
         }
         log(
             f"e2e_decoded_273prb_bg1z384: {t_slot*1e3:.1f} ms/slot "
             f"(spread {spread_e2e:.1%}, {lay.c_words} words/slot) -> "
-            f"{info_bits_slot / t_slot / 1e6:.1f} info Mb/s end-to-end"
+            f"{info_bits_slot / t_slot / 1e6:.1f} info Mb/s end-to-end; "
+            f"device-resident {t_dev*1e3:.1f} ms/slot "
+            f"({t_slot/t_dev:.1f}x, spread {spread_dev:.1%})"
         )
     except Exception as e:
         log(f"e2e_decoded FAILED: {type(e).__name__}: {e}")

@@ -166,7 +166,10 @@ class DecodedServeResult:
 
     info: np.ndarray  # (c_words, k) uint8 — decoded systematic payloads
     ok: np.ndarray  # (c_words,) bool — parity check per codeword
-    soft: LlrServeResult  # the underlying soft-bit result (LLR grid + measurements)
+    # the underlying soft-bit result (LLR grid + measurements); None when the
+    # chain ran fully on device (decode_on_device=True — the LLR grid never
+    # crosses the host link, only the decoded bits do)
+    soft: Optional[LlrServeResult]
 
 
 def _hop1_pilot_estimates(problem: Problem):
@@ -431,6 +434,184 @@ def _scatter_out(out, chunk, results) -> None:
         )
 
 
+_DEVICE_DECODE_CACHE: Dict[Tuple, object] = {}
+
+
+def _device_decode_builder(coding, lay, nbits: int, n_layers: int, n_sym: int, n_sc: int):
+    """Jitted ON-DEVICE descramble -> deinterleave -> rate-recover -> decode
+    for one (geometry, coding) bucket: fn(llr_planes) -> (info, ok).
+
+    The host-side _decode_soft fetches the full int8 LLR grid (the largest
+    transfer of the decoded chain on this relay), deinterleaves in numpy and
+    re-uploads (c_words, n) float words to the decoder; this mirror keeps
+    everything device-resident — per-bit sign flips for scrambling, one
+    full-stream gather per bit plane (int8 plane stacking is the measured
+    2.3 ms trap; gathers run in f32), r_max rate-recovery gathers (repeats
+    soft-combine; erasures and filler mirror transport.extract_streams), and
+    the min-sum decode in the SAME program. Only (B, c_words, k) info bits
+    and the parity flags cross the host link.
+    """
+    import jax
+
+    from . import transport as _tr
+    from .ops import ldpc as _ldpc
+
+    tabs = _tr.device_extract_tables(lay, nbits, n_layers, n_sym, n_sc)
+    sgn = None
+    if coding.scramble_c_init is not None:
+        pl = _tr.scramble_planes(
+            coding.scramble_c_init, n_sc, n_sym, n_layers, nbits
+        )  # (n_sc, n_sym, nL, nbits) 0/1
+        # per-bit (nL, n_sym, n_sc) sign planes
+        sgn = [
+            jnp.asarray(
+                (1.0 - 2.0 * pl[..., b].astype(np.float32)).transpose(2, 1, 0)
+            )
+            for b in range(nbits)
+        ]
+    dec = _ldpc.build_decoder(
+        coding.code, n_iters=coding.n_iters, norm=coding.norm,
+        kernels=coding.kernels, schedule=getattr(coding, "schedule", "flooding"),
+        layered_group=getattr(coding, "layered_group", 1),
+        stream_c2v_dtype=getattr(coding, "stream_c2v_dtype", None),
+    )
+    inv = jnp.asarray(tabs["inv"])  # (r_max, n) into [0, tx_bits]
+    filler = jnp.asarray(tabs["filler"])  # (n,) bool
+    c_words, tx_bits, n_code = lay.c_words, lay.tx_bits, lay.n
+
+    # fold the bit-plane choice into ONE flat index over the concatenated
+    # planes, and gather along the MAJOR axis of a batch-LAST frame — the
+    # same layout rule the LDPC gather tier measured 2-5x faster than
+    # batch-leading index gathers on this backend
+    plane_len = n_layers * n_sym * n_sc
+    src_all = jnp.asarray(
+        np.asarray(tabs["bit"], np.int64) * plane_len + np.asarray(tabs["src"], np.int64)
+    )
+
+    @jax.jit
+    def run(planes):
+        B = planes[0].shape[0]
+        ps = [p.astype(jnp.float32) for p in planes]
+        if sgn is not None:
+            ps = [p * s for p, s in zip(ps, sgn)]
+        # (nbits*plane_len, B) batch-last flat frame
+        flat = jnp.concatenate([p.reshape(B, -1) for p in ps], axis=1).T
+        stream = jnp.take(flat, src_all, axis=0)  # (c_words*tx_bits, B)
+        subp = jnp.concatenate(
+            [
+                stream.reshape(c_words, tx_bits, B),
+                jnp.zeros((c_words, 1, B), jnp.float32),
+            ],
+            axis=1,
+        )
+        post = jnp.take(subp, inv[0], axis=1)  # (c_words, n, B)
+        for r in range(1, inv.shape[0]):
+            post = post + jnp.take(subp, inv[r], axis=1)
+        # known-zero fillers: pinned, not combined (mirrors extract_streams)
+        post = jnp.where(
+            filler[None, :, None], jnp.asarray(1024.0, jnp.float32), post
+        )
+        # decoder contract is batch-leading (B*c_words, n); it transposes to
+        # its own batch-last frame internally
+        res = dec(jnp.transpose(post, (2, 0, 1)).reshape(B * c_words, n_code))
+        return (
+            res.info.reshape(B, c_words, -1),
+            res.ok.reshape(B, c_words),
+        )
+
+    return run
+
+
+def _process_decoded_device(problems, coding, batch_size, matmul_precision,
+                            data_beta, modulation, llr_scale, inflight):
+    """process(out='decoded', decode_on_device=True): the complete uplink
+    chain per chunk in device residence; host fetches decoded bits + parity
+    flags only (soft=None on the results). early_iters is ignored (the
+    two-phase retry is host-driven and would require keeping words around);
+    per-problem coding lists are not supported in this mode."""
+    import dataclasses as _dc
+    from collections import deque
+
+    from . import transport as _tr
+    from .models import receiver as _receiver
+    from .ops import demap as _demap
+
+    if isinstance(coding, (list, tuple)):
+        raise ValueError("decode_on_device supports a single shared coding")
+    nbits = _demap.bits_per_symbol(modulation)
+    k_pay = _tr.payload_bits(coding, _tr.make_ldpc_plan(coding.code).k)
+    k_full = _tr.make_ldpc_plan(coding.code).k
+    k_eff = k_full - coding.n_filler
+
+    buckets: Dict[Tuple, List[int]] = {}
+    for i, p in enumerate(problems):
+        buckets.setdefault(p.signature(), []).append(i)
+    results: List[Optional[DecodedServeResult]] = [None] * len(problems)
+    pending: deque = deque()
+
+    def fetch(run_out, chunk):
+        info_b, okp_b = run_out
+        info_h = np.asarray(info_b)  # (B, c_words, k)
+        ok_h = np.asarray(okp_b)
+        if coding.crc is not None:
+            # ONE batched CRC pass per chunk: crc_check's bit-serial loop runs
+            # over k_eff bits regardless of word count, so per-problem calls
+            # would multiply its cost by B (measured ~25 ms x 8 per chunk)
+            B = info_h.shape[0]
+            ok_h = ok_h & _tr.crc_check(
+                info_h[:, :, :k_eff].reshape(B * info_h.shape[1], k_eff),
+                coding.crc,
+            ).reshape(B, info_h.shape[1])
+        for k, i in enumerate(chunk):
+            info = info_h[k]
+            if coding.crc is not None or coding.n_filler:
+                info = info[:, :k_pay]
+            results[i] = DecodedServeResult(info=info, ok=ok_h[k], soft=None)
+
+    for sig, idxs in buckets.items():
+        hop1, hop2, config, n_layers, n_rx = sig
+        if matmul_precision is not None:
+            config = _dc.replace(config, matmul_precision=matmul_precision)
+        fn = _receiver.build_receiver_ri(
+            hop1, hop2, config, n_layers, n_rx, batched=True,
+            data_beta=data_beta, modulation=modulation, llr_scale=llr_scale,
+        )
+        p0 = problems[idxs[0]]
+        n_sc, n_sym = p0.received_rg.shape[-2], p0.received_rg.shape[-1]
+        lay = _tr.layout(coding, hop1, hop2, n_sc, n_sym, n_layers, nbits)
+        ck = (hop1, hop2, n_sc, n_sym, n_layers, nbits, coding)
+        if ck not in _DEVICE_DECODE_CACHE:
+            _DEVICE_DECODE_CACHE[ck] = _device_decode_builder(
+                coding, lay, nbits, n_layers, n_sym, n_sc
+            )
+        run = _DEVICE_DECODE_CACHE[ck]
+
+        def _rg(p: Problem):
+            return (
+                np.asarray(p.received_rg)[None]
+                if p.received_rg.ndim == 2
+                else p.received_rg
+            )
+
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            pad = batch_size - len(chunk) if len(idxs) > batch_size else 0
+            take = chunk + [chunk[-1]] * pad
+            rg_b = _assemble([_rg(problems[i]) for i in take])
+            pil_b = _assemble([problems[i].pilots for i in take])
+            beta = np.asarray([problems[i].beta for i in take], np.float32)
+            res_b = fn(rg_b, pil_b, jnp.asarray(beta))
+            out = run(tuple(res_b.llr))
+            pending.append((out, chunk))
+            if len(pending) >= max(1, inflight):
+                o, c = pending.popleft()
+                fetch(o, c)
+    while pending:
+        o, c = pending.popleft()
+        fetch(o, c)
+    return results
+
+
 def _decode_soft(
     problems: List[Problem],
     soft: "List[LlrServeResult]",
@@ -551,6 +732,7 @@ def process(
     modulation: Optional[str] = None,
     llr_scale: float = 8.0,
     coding=None,
+    decode_on_device: bool = False,
 ) -> "List[ServeResult] | List[FactoredServeResult] | List[EqualizedServeResult] | List[LlrServeResult] | List[DecodedServeResult]":
     """Estimate a heterogeneous list of problems; results in submission order
     (ServeResults, or FactoredServeResults with out="factored").
@@ -615,9 +797,18 @@ def process(
         # `out="decoded"` = the llrs path + a host/device decode post-pass:
         # descramble -> deinterleave (transport layout) -> batched min-sum
         # (ops/ldpc). The coded-transport agreement comes in via `coding`
-        # (transport.TransportCoding).
+        # (transport.TransportCoding). With decode_on_device=True the whole
+        # post-pass runs IN-GRAPH per chunk (descramble sign flips, gather
+        # deinterleave, rate recovery, decode) and only the decoded bits +
+        # parity flags cross the host link (soft=None on the results;
+        # early_iters is ignored; one shared coding required).
         if coding is None:
             raise ValueError("out='decoded' requires coding=transport.TransportCoding(...)")
+        if decode_on_device:
+            return _process_decoded_device(
+                problems, coding, batch_size, matmul_precision, data_beta,
+                modulation, llr_scale, inflight,
+            )
         soft = process(
             problems,
             batch_size=batch_size,

@@ -285,6 +285,52 @@ def extract_streams(lay: TransportLayout, llr_grid: np.ndarray) -> np.ndarray:
     return out
 
 
+def device_extract_tables(
+    lay: TransportLayout, nbits: int, n_layers: int, n_sym: int, n_sc: int
+) -> dict:
+    """Static gather tables for the ON-DEVICE mirror of `extract_streams`
+    (serving.process(decode_on_device=True)): the receiver's per-bit LLR
+    planes are laid out (nL, n_sym, n_sc) on device, and stacking int8 planes
+    in-graph is the measured-slow path (ARCHITECTURE.md int8 trap) — so the
+    deinterleave is expressed as one full-stream gather PER BIT PLANE plus a
+    bit-select, and the rate recovery as r_max gathers (repeat positions
+    soft-combine by addition), never a scatter (the slowest primitive on
+    this backend).
+
+      src    (n_stream,) int32 — per stream position, the flat index into a
+             (nL, n_sym, n_sc) plane
+      bit    (n_stream,) int8  — which bit plane that position reads
+      inv    (r_max, n)  int32 — per codeword position, its stream columns
+             (index into [0, tx_bits]; tx_bits = a zero pad column, so
+             erasures and sub-r_max repeat counts contribute 0)
+      filler (n,) bool         — known-zero filler positions (pinned to a
+             large positive LLR after recovery, mirroring extract_streams)
+    """
+    sc_i, sym_i = np.nonzero(lay.mask)  # C-order over (sc, sym): the exact
+    # iteration order of llr_grid[lay.mask] in extract_streams
+    f = np.asarray(lay.perm, np.int64)  # stream j reads flat position f[j]
+    m = f // (n_layers * nbits)
+    rem = f % (n_layers * nbits)
+    l = rem // nbits
+    b = rem % nbits
+    src = ((l * n_sym + sym_i[m]) * n_sc + sc_i[m]).astype(np.int32)
+    cw = np.asarray(lay.cw_sel, np.int64)  # (tx_bits,) codeword position per col
+    order = np.argsort(cw, kind="stable")
+    counts = np.bincount(cw, minlength=lay.n)
+    r_max = int(counts.max()) if counts.size else 1
+    inv = np.full((max(r_max, 1), lay.n), lay.tx_bits, np.int32)  # pad column
+    seen: dict = {}
+    for k in order:
+        i = cw[k]
+        r = seen.get(i, 0)
+        inv[r, i] = k
+        seen[i] = r + 1
+    filler = np.zeros(lay.n, bool)
+    if lay.filler_pos is not None and lay.filler_pos.size:
+        filler[lay.filler_pos] = True
+    return {"src": src, "bit": b.astype(np.int8), "inv": inv, "filler": filler}
+
+
 # --- CRC attachment (TS 38.212 §5.1) -------------------------------------
 
 _CRC_POLYS = {

@@ -428,3 +428,96 @@ def test_decoded_serving_layered_group():
     )[0]
     assert bool(np.asarray(res.ok).all())
     assert np.array_equal(res.info, u)
+
+
+@pytest.mark.parametrize("scramble", [False, True])
+def test_decoded_on_device_matches_host_path(scramble):
+    """serving.process(out='decoded', decode_on_device=True): the fully
+    device-resident chain (in-graph descramble sign flips, per-bit gather
+    deinterleave, rate recovery, decode) must return EXACTLY the host path's
+    payloads and parity flags, with soft=None (only decoded bits cross the
+    host link)."""
+    code = ldpc.array_code(8, 16, 61)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("16qam")
+    n_layers, n_rx = 2, 2
+    seed = 5100
+    mk = dict(n_rx=n_rx, modulation="16qam", scramble=scramble, n_prbs=12,
+              n_layers=n_layers)
+    probe = synthetic.make_mimo_case(seed=seed, snr_db=20.0, **mk)
+    n_sc, n_sym = probe.data_mask.shape
+    c_init = sequences.pusch_scrambling_c_init(0x4601, seed % 1024, q=0)
+    coding = transport.TransportCoding(
+        code=code, n_iters=30, interleave_seed=77,
+        scramble_c_init=c_init if scramble else None, crc="crc16",
+        early_iters=None,
+    )
+    lay = transport.layout(coding, probe.hop1, probe.hop2, n_sc, n_sym, n_layers, nbits)
+    rng = np.random.default_rng(seed)
+    k_pay = transport.payload_bits(coding, plan.k)
+    u = rng.integers(0, 2, (lay.c_words, k_pay), dtype=np.uint8)
+    words = transport.crc_attach(u, "crc16")
+    bits = transport.place_codewords(
+        lay, ldpc.encode(code, words), n_layers, nbits, fill_rng=rng
+    )
+    case = synthetic.make_mimo_case(seed=seed, snr_db=20.0, bits=bits, **mk)
+    prob = serving.Problem(
+        case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+        case.beta, case.hop1, case.hop2, case.config,
+    )
+    kw = dict(batch_size=2, out="decoded", modulation="16qam", coding=coding,
+              matmul_precision=None)
+    res_h = serving.process([prob, prob], **kw)
+    res_d = serving.process([prob, prob], decode_on_device=True, **kw)
+    for rh, rd in zip(res_h, res_d):
+        assert rd.soft is None
+        assert np.array_equal(np.asarray(rd.ok), np.asarray(rh.ok))
+        assert np.array_equal(rd.info, rh.info)
+        assert np.array_equal(rd.info, u) and bool(np.asarray(rd.ok).all())
+
+
+def test_decoded_on_device_nr_rate_match():
+    """Device-resident decode through the full TS 38.212 §5.4.2 rate-matched
+    path (punctured 2Z head -> erasures, repeats soft-combining, filler
+    pinning): must match the host path bit-for-bit."""
+    from srsran_ce_tpu.ops import nr_ldpc as nr
+
+    code = nr.nr_base_graph(2, 32)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("qpsk")
+    rnti, seed = 0x3344, 4242
+    c_init = sequences.pusch_scrambling_c_init(rnti, seed % 1024)
+    coding = transport.TransportCoding(
+        code=code, rate_match="nr", n_filler=16, crc="crc11", n_iters=20,
+        scramble_c_init=c_init, early_iters=None,
+    )
+    geo = synthetic.make_case(seed=seed, snr_db=22.0, n_prbs=24, n_layers=1)
+    n_sc, n_sym = geo.received_rg.shape
+    lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, 1, nbits)
+    rng = np.random.default_rng(seed)
+    k_pay = transport.payload_bits(coding, plan.k)
+    u = rng.integers(0, 2, (lay.c_words, k_pay), dtype=np.uint8)
+    words = transport.crc_attach(u, "crc11")
+    words_full = np.concatenate(
+        [words, np.zeros((lay.c_words, coding.n_filler), np.uint8)], axis=1
+    )
+    bits = transport.place_codewords(
+        lay, ldpc.encode(code, words_full), 1, nbits, fill_rng=rng
+    )
+    case = synthetic.make_mimo_case(
+        seed=seed, n_rx=2, modulation="qpsk", scramble=True, rnti=rnti,
+        bits=bits, n_prbs=24, n_layers=1, snr_db=22.0,
+    )
+    prob = serving.Problem(
+        case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+        case.beta, case.hop1, case.hop2, case.config,
+    )
+    kw = dict(batch_size=4, out="decoded", modulation="qpsk", coding=coding,
+              matmul_precision=None)
+    rh = serving.process([prob], **kw)[0]
+    rd = serving.process([prob], decode_on_device=True, **kw)[0]
+    assert rd.soft is None
+    assert np.array_equal(rd.info, rh.info) and np.array_equal(
+        np.asarray(rd.ok), np.asarray(rh.ok)
+    )
+    assert np.array_equal(rd.info, u) and bool(np.asarray(rd.ok).all())
