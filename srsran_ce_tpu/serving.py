@@ -783,6 +783,16 @@ def process(
     program, and LlrServeResults carry int8 LLRs (quantized by `llr_scale`) —
     the final soft bits a PHY feeds to LDPC, with neither grids nor symbols
     crossing the transfer-bound host link.
+
+    `out="decoded"` (requires `coding=transport.TransportCoding(...)`) runs
+    the chain to its true endpoint: descramble -> deinterleave -> rate
+    recovery -> batched min-sum decode -> CRC, returning
+    DecodedServeResults. By default the LLR grids are fetched and the
+    deinterleave runs host-side; `decode_on_device=True` keeps the whole
+    post-pass in-graph per chunk (measured 2.1x faster end to end on the
+    slow-relay chip: 17.5 vs 37.5 ms/slot at 273 PRB / BG1 Z=384) — only
+    decoded bits and parity flags cross the host link, soft=None, one
+    shared coding required, early_iters ignored.
     """
     import dataclasses as _dc
     from collections import deque
