@@ -248,12 +248,21 @@ def coded_trial(trial: int) -> dict:
         case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
         case.beta, case.hop1, case.hop2, case.config,
     )
+    # every third trial runs the fully device-resident chain (round-5
+    # decode_on_device: in-graph descramble/deinterleave/rate-recovery/decode);
+    # it ignores early_iters, so pin them off for those draws
+    on_device = bool(trial % 3 == 2)
+    if on_device and early:
+        import dataclasses as _dc
+
+        coding = _dc.replace(coding, early_iters=None)
     res = serving.process(
         [prob], batch_size=4, out="decoded", modulation=modulation, coding=coding,
-        matmul_precision=None,
+        matmul_precision=None, decode_on_device=on_device,
     )[0]
     cfg = dict(mod=modulation, prbs=n_prbs, nL=n_layers, rx=n_rx, hops=two_hops,
-               scr=scramble, crc=crc, sched=schedule, early=early, words=lay.c_words)
+               scr=scramble, crc=crc, sched=schedule, early=early, words=lay.c_words,
+               dev=on_device)
     ok = (
         res.info.shape == (lay.c_words, kp)
         and bool(np.asarray(res.ok).all())
