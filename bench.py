@@ -91,26 +91,10 @@ MXU_FLOPS = 1.97e14
 VPU_FLOPS = 1.92e12
 
 
-def robust_slope_stats(slopes):
-    """Shared min-of-K aggregation policy (round-5 hardening, VERDICT r04
-    item 1). A clamped/negative fit (<=10 ns) is always discarded. An
-    estimate below 0.7x the median survives ONLY if corroborated by a second
-    independent estimate within 10% — r04's c0 row published 44.7e9 REs/s
-    from a min-of-4 fit (0.025 ms) 40% below ALL THREE of its siblings
-    (0.040/0.040/0.043); the old 0.3x-median discard passed it. Pollution
-    only ever ADDS time, so an uncorroborated too-fast fit is a broken fit,
-    not a fast device. Returns (s_min, spread, n_discarded, good)."""
-    sl = [s for s in slopes if s > 1e-8]
-    med = float(np.median(sl)) if sl else 1e-9
-    good = [
-        s
-        for i, s in enumerate(sl)
-        if s >= 0.7 * med
-        or any(j != i and abs(o - s) <= 0.10 * s for j, o in enumerate(sl))
-    ] or sl or [1e-9]
-    s_min = min(good)
-    spread = (max(good) - s_min) / max(s_min, 1e-12)
-    return s_min, spread, len(slopes) - len(good), good
+# THE min-of-K aggregation policy — one implementation, shared with
+# profiling.chained_slope_stats (see its docstring for the c0 episode that
+# shaped the corroborated-min discard)
+robust_slope_stats = profiling.robust_slope_stats
 
 
 class SlopeRow:
@@ -675,11 +659,13 @@ def main():
     ))
     params2d = _load_params2d()
     if params2d is not None:
+        # same (PRB, layer) geometry as q_base so x_vs_plain_serve is a
+        # like-for-like cost multiple (code review r05: the original nL=1 row
+        # understated the multiple against the nL=2 base)
         specs.append((
             "q_learned2d_52prb",
             [dict(
-                kwargs=dict(n_prbs=52, n_layers=1, comb=2, scs_hz=30e3,
-                            smoothing="learned2d", time_interp="linear",
+                kwargs=dict(q_kw, smoothing="learned2d", time_interp="linear",
                             doppler_hz=300.0),
                 batch=128, params=params2d,
             )],

@@ -454,13 +454,15 @@ def _front_pallas_ok(plan: EstimatorPlan) -> bool:
         ):
             return False
         # single source of truth with the kernel: fused_front halves its batch
-        # block until front_vmem_bytes fits FRONT_VMEM_BUDGET, so the plan is
-        # eligible iff the SMALLEST block (1) fits that same budget
-        # (tests/test_pallas_front.py pins the gate to the kernel's geometry)
+        # block until front_vmem_bytes fits FRONT_VMEM_BUDGET, with a floor of
+        # TWO (a 1-sublane block does not lower — Mosaic rejects its lane_sum
+        # reduction — so the kernel bumps 1 back to 2 and pads the batch); the
+        # plan is eligible iff that true smallest block fits the same budget
+        # (tests/test_pallas_kernels.py pins the gate to the kernel geometry)
         if (
             _plk.front_vmem_bytes(
                 hp.n_re, hp.n_pils, hp.half_cp_len, hp.ta_scatter_idx.size,
-                hp.n_cdm, nL, hp.n_dsym, block_b=1,
+                hp.n_cdm, nL, hp.n_dsym, block_b=2,
             )
             > _plk.FRONT_VMEM_BUDGET
         ):

@@ -436,8 +436,20 @@ def _stream_layout(code: QCLdpcCode, c2v_bf16: bool = False, group: int = 1):
     return None
 
 
-def _stream_supported(code: QCLdpcCode, group: int = 1) -> bool:
-    return _stream_layout(code, group=group) is not None
+def _stream_supported(
+    code: QCLdpcCode, group: int = 1, c2v_bf16: bool = False
+) -> bool:
+    return _stream_layout(code, c2v_bf16=c2v_bf16, group=group) is not None
+
+
+def _stream_vmem_bytes(code: QCLdpcCode, group: int = 1, c2v_bf16: bool = False) -> int:
+    """Smallest-tile (block 8) footprint of the STREAM model — for error text."""
+    z_pad = -(-code.z // 128) * 128
+    n_edges = sum(s >= 0 for row in code.base for s in row)
+    d = max(sum(s >= 0 for s in row) for row in code.base)
+    per_col = (n_edges + 1) * (2 if c2v_bf16 else 4) + 2 * code.n_var_blocks * 4
+    per_col += 3 * max(0, group - 1) * d * 4
+    return per_col * 8 * z_pad
 
 
 # Compile-budget bound for the STATIC-UNROLL formulations (both the XLA tier's
@@ -563,7 +575,9 @@ def build_decoder(
             # (O(degree) program size); flooding -> the O(1)-program gather tier
             if schedule == "layered":
                 if (
-                    not _stream_supported(code, layered_group)
+                    not _stream_supported(
+                        code, layered_group, stream_c2v_dtype == "bfloat16"
+                    )
                     or jax.default_backend() == "cpu"
                 ):
                     raise ValueError(
@@ -580,11 +594,14 @@ def build_decoder(
     if kernels == "pallas_stream":
         if schedule != "layered":
             raise ValueError("kernels='pallas_stream' implements the layered schedule only")
-        if not _stream_supported(code, layered_group):
+        bf16 = stream_c2v_dtype == "bfloat16"
+        if not _stream_supported(code, layered_group, bf16):
             raise ValueError(
                 "streamed pallas tier needs a lane-z VMEM fit (live messages "
                 f"+ group transients): z={code.z}, layered_group={layered_group}, "
-                f"live set ~{_pallas_vmem_bytes(code)/2**20:.1f} MB"
+                f"stream model ~{_stream_vmem_bytes(code, layered_group, bf16)/2**20:.1f} MB "
+                f"> the {_STREAM_VMEM_BUDGET/2**20:.0f} MB budget "
+                "(stream_c2v_dtype='bfloat16' halves the message set)"
             )
     elif schedule == "layered" and kernels != "pallas":
         # the row-serial schedule lives only in the VMEM-resident kernels (the
@@ -595,7 +612,9 @@ def build_decoder(
                 raise ValueError("schedule='layered' needs a pallas tier; code too large")
             kernels = "pallas"
         else:
-            if not _stream_supported(code, layered_group):
+            if not _stream_supported(
+                code, layered_group, stream_c2v_dtype == "bfloat16"
+            ):
                 raise ValueError(
                     "schedule='layered' on a code over the unroll budget needs "
                     "the streamed tier (lane-z VMEM fit incl. group transients)"

@@ -671,14 +671,18 @@ def fused_front(
         block_b //= 2
     # shrink for VMEM too, against the same budget the eligibility gate tests
     # (ADVICE r04: gate modeled block 4 while the kernel ran 16 — a wide
-    # geometry could pass the gate yet blow the Mosaic compile at runtime)
-    while block_b > 1 and front_vmem_bytes(
+    # geometry could pass the gate yet blow the Mosaic compile at runtime).
+    # The floor is 2, NOT 1: block_b == 1 does not lower (Mosaic rejects the
+    # 1-sublane lane_sum reduction, "unsupported output implicit dimension" —
+    # hit on chip by unbatched builds), so shrinking to 1 would just bounce
+    # back to 2 and re-enter the over-budget configuration the loop rejected;
+    # the gate (_front_pallas_ok) therefore tests block_b=2 as well.
+    while block_b > 2 and front_vmem_bytes(
         n_re, n_pils, half_cp_len, k_ta, n_cdm, nL, n_dsym, block_b=block_b
     ) > FRONT_VMEM_BUDGET:
         block_b //= 2
-    # block_b == 1 does not lower (Mosaic rejects the 1-sublane lane_sum
-    # reduction: "unsupported output implicit dimension" — hit on chip by
-    # unbatched/odd-B builds); pad the batch to a multiple of 2 instead
+    # odd/unbatched B forced block 1 through the divisibility loop: pad the
+    # batch to a multiple of 2 instead of ever running a 1-sublane block
     pad_b = 0
     if block_b == 1:
         block_b = 2

@@ -507,9 +507,16 @@ def _device_decode_builder(coding, lay, nbits: int, n_layers: int, n_sym: int, n
         post = jnp.take(subp, inv[0], axis=1)  # (c_words, n, B)
         for r in range(1, inv.shape[0]):
             post = post + jnp.take(subp, inv[r], axis=1)
-        # known-zero fillers: pinned, not combined (mirrors extract_streams)
+        if inv.shape[0] > 1:
+            # repeats soft-combined: re-saturate to the int8 range, exactly
+            # like extract_streams' int16-accumulate-then-clip (the planes
+            # are int8-quantized, so unclipped f32 sums would give repeats
+            # more weight than the host path and diverge on marginal words)
+            post = jnp.clip(post, -127.0, 127.0)
+        # known-zero fillers: pinned, not combined, at the int8 maximum
+        # (mirrors extract_streams' int8 branch bit for bit)
         post = jnp.where(
-            filler[None, :, None], jnp.asarray(1024.0, jnp.float32), post
+            filler[None, :, None], jnp.asarray(127.0, jnp.float32), post
         )
         # decoder contract is batch-leading (B*c_words, n); it transposes to
         # its own batch-last frame internally
@@ -523,12 +530,16 @@ def _device_decode_builder(coding, lay, nbits: int, n_layers: int, n_sym: int, n
 
 
 def _process_decoded_device(problems, coding, batch_size, matmul_precision,
-                            data_beta, modulation, llr_scale, inflight):
+                            data_beta, modulation, llr_scale, inflight,
+                            params=None, wiener_auto_delay=None,
+                            auto_time_interp_hz=None):
     """process(out='decoded', decode_on_device=True): the complete uplink
     chain per chunk in device residence; host fetches decoded bits + parity
     flags only (soft=None on the results). early_iters is ignored (the
     two-phase retry is host-driven and would require keeping words around);
-    per-problem coding lists are not supported in this mode."""
+    per-problem coding lists are not supported in this mode. The serving
+    pre-passes (wiener_auto_delay snapping, auto_time_interp_hz promotion)
+    and learned-smoothing params apply exactly as on the host decoded path."""
     import dataclasses as _dc
     from collections import deque
 
@@ -538,6 +549,20 @@ def _process_decoded_device(problems, coding, batch_size, matmul_precision,
 
     if isinstance(coding, (list, tuple)):
         raise ValueError("decode_on_device supports a single shared coding")
+    if wiener_auto_delay is not None:
+        problems = _snap_wiener_delay(problems, wiener_auto_delay)
+    if auto_time_interp_hz is not None:
+        thr = float(auto_time_interp_hz)
+        problems = [
+            _dc.replace(p, config=_dc.replace(p.config, time_interp="linear"))
+            if (
+                p.config.time_interp == "none"
+                and p.config.smoothing != "learned2d"
+                and estimate_doppler(p) > thr
+            )
+            else p
+            for p in problems
+        ]
     nbits = _demap.bits_per_symbol(modulation)
     k_pay = _tr.payload_bits(coding, _tr.make_ldpc_plan(coding.code).k)
     k_full = _tr.make_ldpc_plan(coding.code).k
@@ -572,6 +597,9 @@ def _process_decoded_device(problems, coding, batch_size, matmul_precision,
         hop1, hop2, config, n_layers, n_rx = sig
         if matmul_precision is not None:
             config = _dc.replace(config, matmul_precision=matmul_precision)
+        learned = config.smoothing in ("learned", "learned2d")
+        if learned:
+            assert params is not None, f"smoothing={config.smoothing!r} needs params"
         fn = _receiver.build_receiver_ri(
             hop1, hop2, config, n_layers, n_rx, batched=True,
             data_beta=data_beta, modulation=modulation, llr_scale=llr_scale,
@@ -581,6 +609,11 @@ def _process_decoded_device(problems, coding, batch_size, matmul_precision,
         lay = _tr.layout(coding, hop1, hop2, n_sc, n_sym, n_layers, nbits)
         ck = (hop1, hop2, n_sc, n_sym, n_layers, nbits, coding)
         if ck not in _DEVICE_DECODE_CACHE:
+            if len(_DEVICE_DECODE_CACHE) >= 64:
+                # bounded like the other compile caches (lru_cache(64) on
+                # build_decoder etc.): FIFO-evict so a long-running server
+                # over many geometries cannot grow without bound
+                _DEVICE_DECODE_CACHE.pop(next(iter(_DEVICE_DECODE_CACHE)))
             _DEVICE_DECODE_CACHE[ck] = _device_decode_builder(
                 coding, lay, nbits, n_layers, n_sym, n_sc
             )
@@ -600,7 +633,10 @@ def _process_decoded_device(problems, coding, batch_size, matmul_precision,
             rg_b = _assemble([_rg(problems[i]) for i in take])
             pil_b = _assemble([problems[i].pilots for i in take])
             beta = np.asarray([problems[i].beta for i in take], np.float32)
-            res_b = fn(rg_b, pil_b, jnp.asarray(beta))
+            if learned:
+                res_b = fn(rg_b, pil_b, jnp.asarray(beta), params)
+            else:
+                res_b = fn(rg_b, pil_b, jnp.asarray(beta))
             out = run(tuple(res_b.llr))
             pending.append((out, chunk))
             if len(pending) >= max(1, inflight):
@@ -817,7 +853,9 @@ def process(
         if decode_on_device:
             return _process_decoded_device(
                 problems, coding, batch_size, matmul_precision, data_beta,
-                modulation, llr_scale, inflight,
+                modulation, llr_scale, inflight, params=params,
+                wiener_auto_delay=wiener_auto_delay,
+                auto_time_interp_hz=auto_time_interp_hz,
             )
         soft = process(
             problems,

@@ -23,6 +23,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def robust_slope_stats(slopes, floor: float = 1e-9):
+    """THE min-of-K aggregation policy (one implementation — bench.py imports
+    this; round-4 had two near-copies that could drift). A clamped/negative
+    fit (<=10 ns) is always discarded. An estimate below 0.7x the median
+    survives ONLY if corroborated by a second independent estimate within
+    10% — r04's c0 row published 44.7e9 REs/s from a min-of-4 fit (0.025 ms)
+    40% below ALL THREE of its siblings; the old 0.3x-median discard passed
+    it. Pollution only ever ADDS time, so an uncorroborated too-fast fit is
+    a broken fit, not a fast device.
+
+    Returns (s_min, spread, n_discarded, good)."""
+    sl = [s for s in slopes if s > 1e-8]
+    med = float(np.median(sl)) if sl else floor
+    good = [
+        s
+        for i, s in enumerate(sl)
+        if s >= 0.7 * med
+        or any(j != i and abs(o - s) <= 0.10 * s for j, o in enumerate(sl))
+    ] or sl or [floor]
+    s_min = min(good)
+    spread = (max(good) - s_min) / max(s_min, 1e-12)
+    return s_min, spread, len(slopes) - len(good), good
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/srsce_trace"):
     """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
@@ -143,22 +167,8 @@ def chained_slope_stats(
         return fns
 
     def aggregate(slopes):
-        # Robust aggregation (shared policy with bench.robust_slope_stats,
-        # round-5 hardening): pollution only ever ADDS time, so estimates
-        # implausibly far BELOW the median are broken fits, not a fast
-        # device. A fit under 0.7x the median survives ONLY if corroborated
-        # by a second independent estimate within 10% (the old 0.3x-median
-        # rule passed r04's c0 row: a min 40% below all three siblings).
-        sl = [x for x in slopes if x > 1e-8]
-        med = float(np.median(sl)) if sl else 1e-12
-        good = [
-            x
-            for i, x in enumerate(sl)
-            if x >= 0.7 * med
-            or any(j != i and abs(o - x) <= 0.10 * x for j, o in enumerate(sl))
-        ] or sl or [1e-12]
-        s_min = min(good)
-        return s_min, (max(good) - s_min) / max(s_min, 1e-12), len(slopes) - len(good)
+        s_min, spread, n_disc, _good = robust_slope_stats(slopes, floor=1e-12)
+        return s_min, spread, n_disc
 
     lo, hi = reps_lo, reps_hi
     fns = build(lo, hi)

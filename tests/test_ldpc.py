@@ -434,6 +434,14 @@ def test_streamed_tier_gates():
     assert not ldpc._stream_supported(big)
     with pytest.raises(ValueError, match="VMEM"):
         ldpc.build_decoder(big, n_iters=4, kernels="pallas_stream", schedule="layered")
+    # ...but the gate must model the dtype actually requested: bf16 messages
+    # halve the live set, and THIS code fits with them (code review r05: the
+    # gate used to model f32 regardless and falsely rejected bf16 builds)
+    assert ldpc._stream_supported(big, c2v_bf16=True)
+    assert ldpc.build_decoder(
+        big, n_iters=2, kernels="pallas_stream", schedule="layered",
+        stream_c2v_dtype="bfloat16",
+    ) is not None
 
 
 @pytest.mark.parametrize("group,c2v", [(1, None), (3, None), (1, "bfloat16")])

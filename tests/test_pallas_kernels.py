@@ -376,10 +376,12 @@ def test_front_predicate_uses_kernel_geometry():
         case = synthetic.make_case(seed=9, snr_db=30.0, **kw)
         nL = case.pilots.shape[2]
         plan = make_plan(case.hop1, case.hop2, case.config, nL)
+        # block 2 is the kernel's true floor (block 1 never lowers; fused_front
+        # bumps it back to 2 with batch padding) — the gate must test 2
         want = all(
             kernels.front_vmem_bytes(
                 hp.n_re, hp.n_pils, hp.half_cp_len, hp.ta_scatter_idx.size,
-                hp.n_cdm, nL, hp.n_dsym, block_b=1,
+                hp.n_cdm, nL, hp.n_dsym, block_b=2,
             )
             <= kernels.FRONT_VMEM_BUDGET
             for hp in (plan.hop1, plan.hop2)

@@ -476,10 +476,14 @@ def test_decoded_on_device_matches_host_path(scramble):
         assert np.array_equal(rd.info, u) and bool(np.asarray(rd.ok).all())
 
 
-def test_decoded_on_device_nr_rate_match():
+@pytest.mark.parametrize("tx_bits", [None, 2400])
+def test_decoded_on_device_nr_rate_match(tx_bits):
     """Device-resident decode through the full TS 38.212 §5.4.2 rate-matched
-    path (punctured 2Z head -> erasures, repeats soft-combining, filler
-    pinning): must match the host path bit-for-bit."""
+    path (punctured 2Z head -> erasures, filler pinning; tx_bits=2400 > the
+    1600-bit circular buffer adds REPEATS, whose device-side soft combine
+    must re-saturate to the int8 range exactly like extract_streams'
+    int16-accumulate-then-clip — code review r05): must match the host path
+    bit-for-bit."""
     from srsran_ce_tpu.ops import nr_ldpc as nr
 
     code = nr.nr_base_graph(2, 32)
@@ -489,11 +493,13 @@ def test_decoded_on_device_nr_rate_match():
     c_init = sequences.pusch_scrambling_c_init(rnti, seed % 1024)
     coding = transport.TransportCoding(
         code=code, rate_match="nr", n_filler=16, crc="crc11", n_iters=20,
-        scramble_c_init=c_init, early_iters=None,
+        scramble_c_init=c_init, early_iters=None, tx_bits=tx_bits,
     )
     geo = synthetic.make_case(seed=seed, snr_db=22.0, n_prbs=24, n_layers=1)
     n_sc, n_sym = geo.received_rg.shape
     lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, 1, nbits)
+    if tx_bits is not None:
+        assert lay.has_repeats  # E beyond one circular-buffer pass
     rng = np.random.default_rng(seed)
     k_pay = transport.payload_bits(coding, plan.k)
     u = rng.integers(0, 2, (lay.c_words, k_pay), dtype=np.uint8)
