@@ -170,6 +170,14 @@ class DecodedServeResult:
     # chain ran fully on device (decode_on_device=True — the LLR grid never
     # crosses the host link, only the decoded bits do)
     soft: Optional[LlrServeResult]
+    # the receiver's measurement scalars, populated on the device-resident
+    # path (where soft is None; scalars are a few floats — the host path
+    # exposes the same values through soft.*)
+    noise_est: Optional[float] = None
+    rsrp: Optional[float] = None
+    epre: Optional[float] = None
+    time_alignment: Optional[float] = None
+    cfo_hz: Optional[float] = None
 
 
 def _hop1_pilot_estimates(problem: Problem):
@@ -574,10 +582,14 @@ def _process_decoded_device(problems, coding, batch_size, matmul_precision,
     results: List[Optional[DecodedServeResult]] = [None] * len(problems)
     pending: deque = deque()
 
+    scal_names = ("noise_est", "rsrp", "epre", "time_alignment", "cfo_hz")
+
     def fetch(run_out, chunk):
-        info_b, okp_b = run_out
+        info_b, okp_b, scal = run_out
         info_h = np.asarray(info_b)  # (B, c_words, k)
         ok_h = np.asarray(okp_b)
+        scal_a = np.asarray(scal)  # (5, B) in one transfer
+        scal_h = {k2: scal_a[j] for j, k2 in enumerate(scal_names)}
         if coding.crc is not None:
             # ONE batched CRC pass per chunk: crc_check's bit-serial loop runs
             # over k_eff bits regardless of word count, so per-problem calls
@@ -591,7 +603,10 @@ def _process_decoded_device(problems, coding, batch_size, matmul_precision,
             info = info_h[k]
             if coding.crc is not None or coding.n_filler:
                 info = info[:, :k_pay]
-            results[i] = DecodedServeResult(info=info, ok=ok_h[k], soft=None)
+            results[i] = DecodedServeResult(
+                info=info, ok=ok_h[k], soft=None,
+                **{k2: float(v[k]) for k2, v in scal_h.items()},
+            )
 
     for sig, idxs in buckets.items():
         hop1, hop2, config, n_layers, n_rx = sig
@@ -637,7 +652,18 @@ def _process_decoded_device(problems, coding, batch_size, matmul_precision,
                 res_b = fn(rg_b, pil_b, jnp.asarray(beta), params)
             else:
                 res_b = fn(rg_b, pil_b, jnp.asarray(beta))
-            out = run(tuple(res_b.llr))
+            # one (5, B) array -> ONE relay fetch for all scalars (separate
+            # per-scalar np.asarray calls would each pay the relay latency)
+            scal = jnp.stack(
+                [
+                    jnp.asarray(res_b.noise_est, jnp.float32),
+                    jnp.asarray(res_b.rsrp, jnp.float32),
+                    jnp.asarray(res_b.epre, jnp.float32),
+                    jnp.asarray(res_b.time_alignment, jnp.float32),
+                    jnp.asarray(res_b.cfo_hz, jnp.float32),
+                ]
+            )
+            out = run(tuple(res_b.llr)) + (scal,)
             pending.append((out, chunk))
             if len(pending) >= max(1, inflight):
                 o, c = pending.popleft()

@@ -527,3 +527,36 @@ def test_decoded_on_device_nr_rate_match(tx_bits):
         np.asarray(rd.ok), np.asarray(rh.ok)
     )
     assert np.array_equal(rd.info, u) and bool(np.asarray(rd.ok).all())
+
+
+def test_decoded_on_device_carries_measurement_scalars():
+    """The device-resident result keeps the receiver's measurement scalars
+    (a few floats; the host path exposes them via soft.*)."""
+    code = ldpc.array_code(4, 8, 23)
+    plan = ldpc.make_ldpc_plan(code)
+    nbits = demap.bits_per_symbol("qpsk")
+    coding = transport.TransportCoding(code=code, n_iters=12, interleave_seed=3,
+                                       early_iters=None)
+    geo = synthetic.make_case(seed=51, snr_db=25.0, n_prbs=12, n_layers=1)
+    n_sc, n_sym = geo.received_rg.shape
+    lay = transport.layout(coding, geo.hop1, geo.hop2, n_sc, n_sym, 1, nbits)
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, (lay.c_words, plan.k), dtype=np.uint8)
+    bits = transport.place_codewords(lay, ldpc.encode(code, u), 1, nbits, fill_rng=rng)
+    case = synthetic.make_mimo_case(seed=51, snr_db=25.0, bits=bits, n_rx=1,
+                                    modulation="qpsk", scramble=False, n_prbs=12,
+                                    n_layers=1)
+    prob = serving.Problem(
+        case.received_rg.astype(np.complex64), case.pilots.astype(np.complex64),
+        case.beta, case.hop1, case.hop2, case.config,
+    )
+    kw = dict(batch_size=2, out="decoded", modulation="qpsk", coding=coding,
+              matmul_precision=None)
+    rd = serving.process([prob], decode_on_device=True, **kw)[0]
+    rh = serving.process([prob], **kw)[0]
+    assert np.array_equal(rd.info, rh.info) and np.array_equal(rd.info, u)
+    for name in ("noise_est", "rsrp", "epre", "time_alignment", "cfo_hz"):
+        got = getattr(rd, name)
+        want = getattr(rh.soft, name)
+        assert got is not None and np.isfinite(got)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
