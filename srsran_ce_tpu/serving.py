@@ -851,8 +851,8 @@ def process(
     recovery -> batched min-sum decode -> CRC, returning
     DecodedServeResults. By default the LLR grids are fetched and the
     deinterleave runs host-side; `decode_on_device=True` keeps the whole
-    post-pass in-graph per chunk (measured 2.1x faster end to end on the
-    slow-relay chip: 17.5 vs 37.5 ms/slot at 273 PRB / BG1 Z=384) — only
+    post-pass in-graph per chunk (measured 1.8-2.1x faster end to end on the
+    slow-relay chip: ~20 vs ~38 ms/slot at 273 PRB / BG1 Z=384) — only
     decoded bits and parity flags cross the host link, soft=None, one
     shared coding required, early_iters ignored.
     """
