@@ -529,10 +529,24 @@ def _device_decode_builder(coding, lay, nbits: int, n_layers: int, n_sym: int, n
         # decoder contract is batch-leading (B*c_words, n); it transposes to
         # its own batch-last frame internally
         res = dec(jnp.transpose(post, (2, 0, 1)).reshape(B * c_words, n_code))
-        return (
-            res.info.reshape(B, c_words, -1),
-            res.ok.reshape(B, c_words),
+        # Bit-PACK the payload for the host link (8x smaller than one uint8
+        # per bit — the info fetch is the device path's largest transfer) and
+        # piggyback the parity flag as a trailing byte per word, so decoded
+        # results cost ONE uint8 fetch (+ the stacked scalar row) per chunk.
+        # Big-endian bit order matches np.unpackbits' default.
+        info = res.info.reshape(B, c_words, -1)
+        k = info.shape[-1]
+        k8 = -(-k // 8) * 8
+        if k8 != k:
+            info = jnp.pad(info, ((0, 0), (0, 0), (0, k8 - k)))
+        w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+        packed = (
+            (info.reshape(B, c_words, k8 // 8, 8).astype(jnp.int32) * w)
+            .sum(-1)
+            .astype(jnp.uint8)
         )
+        ok_byte = res.ok.reshape(B, c_words, 1).astype(jnp.uint8)
+        return (jnp.concatenate([packed, ok_byte], axis=-1),)
 
     return run
 
@@ -585,9 +599,10 @@ def _process_decoded_device(problems, coding, batch_size, matmul_precision,
     scal_names = ("noise_est", "rsrp", "epre", "time_alignment", "cfo_hz")
 
     def fetch(run_out, chunk):
-        info_b, okp_b, scal = run_out
-        info_h = np.asarray(info_b)  # (B, c_words, k)
-        ok_h = np.asarray(okp_b)
+        blob_b, scal = run_out
+        blob = np.asarray(blob_b)  # (B, c_words, k8/8 + 1) uint8 — one transfer
+        ok_h = blob[..., -1].astype(bool)
+        info_h = np.unpackbits(blob[..., :-1], axis=-1)[..., :k_full]
         scal_a = np.asarray(scal)  # (5, B) in one transfer
         scal_h = {k2: scal_a[j] for j, k2 in enumerate(scal_names)}
         if coding.crc is not None:
