@@ -1122,12 +1122,22 @@ def main():
         n_lo, n_hi = 8, 24
         run_slots(n_lo)  # warm/compile both chunk shapes
         run_slots(n_hi)
-        slopes_e2e = []
-        for _ in range(K_SLOPES):
-            t_lo = min(run_slots(n_lo) for _ in range(2))
-            t_hi = min(run_slots(n_hi) for _ in range(2))
-            slopes_e2e.append(max((t_hi - t_lo) / (n_hi - n_lo), 1e-9))
+
+        def host_slopes(reps_inner):
+            sl = []
+            for _ in range(K_SLOPES):
+                t_lo = min(run_slots(n_lo) for _ in range(reps_inner))
+                t_hi = min(run_slots(n_hi) for _ in range(reps_inner))
+                sl.append(max((t_hi - t_lo) / (n_hi - n_lo), 1e-9))
+            return sl
+
+        slopes_e2e = host_slopes(2)
         t_slot, spread_e2e, n_disc_e2e, _ = robust_slope_stats(slopes_e2e)
+        if spread_e2e > SPREAD_WARN:
+            # host-clock jitter on ~1 s wall times: escalate inner repeats
+            # (same remedy as the device sub-measurement below)
+            slopes_e2e = host_slopes(4)
+            t_slot, spread_e2e, n_disc_e2e, _ = robust_slope_stats(slopes_e2e)
         # the round-5 DEVICE-RESIDENT chain (decode_on_device=True): the LLR
         # grid never crosses the relay — only decoded bits do. The chain is
         # fast enough (~20 ms/slot) that host-clock jitter dominates small
